@@ -1,0 +1,172 @@
+"""SQL dialect conformance layer.
+
+The reference accepts a Calcite/Postgres-flavored dialect through a custom
+sqlparser-rs dialect (src/dialect.rs:12-150) that rewrites a handful of
+constructs DataFusion cannot parse. Spark SQL parses almost all of it
+natively; this module textually pre-rewrites only the few constructs Spark's
+parser rejects or mis-interprets:
+
+- ``CEIL(x TO unit)`` / ``FLOOR(x TO unit)``  (reference dialect.rs:48-80)
+  → ``timestampceil(x, 'unit')`` / ``date_trunc('unit', x)``.
+- ``expr SIMILAR TO 'pattern'``  (reference RegexOperation, call.py:401-504)
+  → ``regexp_like(expr, '^transpiled$')`` — SQL-regex → Java-regex
+  transpile of ``%``/``_`` with escape handling.
+- ``RAND_INTEGER([seed,] n)``  (reference call.py:809-881)
+  → ``CAST(FLOOR(RAND([seed]) * n) AS INT)``.
+
+Everything else (FILTER clauses, TABLESAMPLE, DISTRIBUTE BY, grouping sets,
+EXISTS/IN subqueries, window frames…) parses natively in Spark SQL and is
+deliberately NOT touched here. The rewriter is token-aware enough to skip
+string literals so patterns inside quotes are not mangled.
+"""
+
+from __future__ import annotations
+
+import re
+
+_UNITS = (
+    "MILLENNIUM|CENTURY|DECADE|YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|"
+    "SECOND|MILLISECOND|MICROSECOND"
+)
+
+
+def sql_similar_to_regex(pattern: str, escape: str | None = None) -> str:
+    """Translate a SQL SIMILAR TO pattern into an anchored Java regex.
+
+    SIMILAR TO is SQL-regex: ``%`` = ``.*``, ``_`` = ``.``, while retaining
+    POSIX-regex metacharacters (``|``, ``*``, ``+``, ``()``, ``[]``, ``{}``).
+    Mirrors the reference's transpiler semantics (call.py:401-504) without
+    copying its implementation.
+    """
+    out = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if escape and ch == escape and i + 1 < len(pattern):
+            nxt = pattern[i + 1]
+            out.append(re.escape(nxt))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(ch)
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+def sql_like_to_regex(pattern: str, escape: str | None = None) -> str:
+    """Translate a SQL LIKE pattern to an anchored Java regex (used by the
+    LIKE-with-custom-escape path; plain LIKE goes straight to Spark)."""
+    out = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if escape and ch == escape and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+def _split_literals(sql: str) -> list[tuple[str, bool]]:
+    """Split sql into (chunk, is_string_literal) segments so rewrites can
+    skip quoted strings."""
+    parts: list[tuple[str, bool]] = []
+    buf = []
+    i, n = 0, len(sql)
+    in_str = False
+    while i < n:
+        ch = sql[i]
+        if not in_str:
+            if ch == "'":
+                parts.append(("".join(buf), False))
+                buf = [ch]
+                in_str = True
+            else:
+                buf.append(ch)
+        else:
+            buf.append(ch)
+            if ch == "'":
+                # '' is an escaped quote inside the literal
+                if i + 1 < n and sql[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    parts.append(("".join(buf), True))
+                    buf = []
+                    in_str = False
+        i += 1
+    if buf:
+        parts.append(("".join(buf), in_str))
+    return parts
+
+
+def _rewrite_outside_literals(sql: str, fn) -> str:
+    return "".join(chunk if is_lit else fn(chunk) for chunk, is_lit in _split_literals(sql))
+
+
+_CEIL_FLOOR_RE = re.compile(
+    r"\b(CEIL|CEILING|FLOOR)\s*\(\s*([^()]+?)\s+TO\s+(" + _UNITS + r")\s*\)",
+    re.IGNORECASE,
+)
+
+_RAND_INTEGER_RE = re.compile(
+    r"\bRAND_INTEGER\s*\(\s*(?:(\d+)\s*,\s*)?([^()]+?)\s*\)", re.IGNORECASE
+)
+
+# expr SIMILAR TO 'pattern' [ESCAPE 'c']  — expr is a conservative token run
+_SIMILAR_RE = re.compile(
+    r"('(?:[^']|'')*'|[A-Za-z_][\w.]*(?:\s*\([^()]*\))?)\s+(NOT\s+)?SIMILAR\s+TO\s+"
+    r"'((?:[^']|'')*)'(?:\s+ESCAPE\s+'(.)')?",
+    re.IGNORECASE,
+)
+
+
+def _ceil_floor_repl(m: re.Match) -> str:
+    fn, expr, unit = m.group(1).upper(), m.group(2), m.group(3).upper()
+    if fn == "FLOOR":
+        return f"date_trunc('{unit}', {expr})"
+    # CEIL: truncate, and if truncation changed the value, add one unit
+    trunc = f"date_trunc('{unit}', {expr})"
+    return (
+        f"CASE WHEN {trunc} = CAST({expr} AS TIMESTAMP) THEN {trunc} "
+        f"ELSE {trunc} + INTERVAL '1' {unit} END"
+    )
+
+
+def _rand_integer_repl(m: re.Match) -> str:
+    seed, high = m.group(1), m.group(2)
+    rand = f"RAND({seed})" if seed else "RAND()"
+    return f"CAST(FLOOR({rand} * ({high})) AS INT)"
+
+
+def rewrite(sql: str) -> str:
+    """Apply all dialect rewrites to a SQL string (string literals are left
+    untouched except where they are the SIMILAR TO pattern itself)."""
+
+    # CEIL(x TO unit) exprs may contain literals (TIMESTAMP '...'), so these
+    # run on the full text; the patterns are specific enough not to fire
+    # inside ordinary strings.
+    sql = _CEIL_FLOOR_RE.sub(_ceil_floor_repl, sql)
+    sql = _RAND_INTEGER_RE.sub(_rand_integer_repl, sql)
+
+    # SIMILAR TO spans a literal, so run on the full text
+    def _similar_repl(m: re.Match) -> str:
+        expr, neg, pat, esc = m.group(1), m.group(2), m.group(3), m.group(4)
+        regex = sql_similar_to_regex(pat.replace("''", "'"), esc)
+        regex_sql = regex.replace("'", "''").replace("\\", "\\\\")
+        base = f"regexp_like({expr}, '{regex_sql}')"
+        return f"NOT {base}" if neg else base
+
+    sql = _SIMILAR_RE.sub(_similar_repl, sql)
+    return sql

@@ -1,0 +1,274 @@
+"""Custom-statement front door.
+
+The reference extends SQL with DDL/ML statements through a 1.4k-line Rust
+parser (src/parser.rs:339-550) producing DataFusion Extension nodes executed
+by Python plugins (physical/rel/custom/*.py). Spark SQL already parses most
+DDL natively; this module intercepts only the statements Spark does not
+know, routes any embedded ``SELECT`` back through ``Context.sql`` and
+executes the rest as registry operations:
+
+| statement                                   | reference plugin            |
+|---------------------------------------------|-----------------------------|
+| CREATE TABLE t WITH (location=…, format=…)  | create_table.py:16-80       |
+| CREATE TABLE t AS / CREATE VIEW v AS        | create_memory_table.py:14-76|
+| DROP TABLE / DROP SCHEMA / DROP MODEL       | drop_table.py …             |
+| CREATE SCHEMA / USE SCHEMA                  | create_catalog_schema.py    |
+| SHOW SCHEMAS / TABLES / COLUMNS / MODELS    | show_*.py                   |
+| ANALYZE TABLE … COMPUTE STATISTICS          | analyze_table.py:15-70      |
+| CREATE MODEL / PREDICT / EXPORT MODEL /     | create_model.py:23-227,     |
+|   DESCRIBE MODEL / CREATE EXPERIMENT        | predict_model.py:18-94, …   |
+
+Anything not matched returns ``None`` and flows to ``spark.sql``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:
+    from dask_sql_spark.context import Context
+
+_FLAGS = re.IGNORECASE | re.DOTALL
+
+_CREATE_TABLE_WITH = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"([\w.\"]+)\s+WITH\s*\((.*)\)\s*$",
+    _FLAGS,
+)
+_CREATE_TABLE_AS = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TABLE|VIEW)\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"([\w.\"]+)\s+AS\s+(.*)$",
+    _FLAGS,
+)
+_DROP_TABLE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.\"]+)\s*$", _FLAGS
+)
+_DROP_MODEL = re.compile(
+    r"^\s*DROP\s+MODEL\s+(IF\s+EXISTS\s+)?([\w.\"]+)\s*$", _FLAGS
+)
+_CREATE_SCHEMA = re.compile(
+    r"^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?([\w\"]+)\s*$", _FLAGS
+)
+_DROP_SCHEMA = re.compile(
+    r"^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?([\w\"]+)\s*$", _FLAGS
+)
+_USE_SCHEMA = re.compile(r"^\s*USE\s+SCHEMA\s+([\w\"]+)\s*$", _FLAGS)
+_SHOW_SCHEMAS = re.compile(r"^\s*SHOW\s+SCHEMAS\s*$", _FLAGS)
+_SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES(?:\s+FROM\s+([\w\"]+))?\s*$", _FLAGS)
+_SHOW_COLUMNS = re.compile(r"^\s*SHOW\s+COLUMNS\s+FROM\s+([\w.\"]+)\s*$", _FLAGS)
+_SHOW_MODELS = re.compile(r"^\s*SHOW\s+MODELS\s*$", _FLAGS)
+_DESCRIBE_MODEL = re.compile(r"^\s*DESCRIBE\s+MODEL\s+([\w.\"]+)\s*$", _FLAGS)
+_ANALYZE_TABLE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+([\w.\"]+)\s+COMPUTE\s+STATISTICS\s+FOR\s+"
+    r"(ALL\s+COLUMNS|COLUMNS\s+(.*))\s*$",
+    _FLAGS,
+)
+_CREATE_MODEL = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MODEL\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"([\w.\"]+)\s+WITH\s*\((.*)\)\s+AS\s+(.*)$",
+    _FLAGS,
+)
+_PREDICT = re.compile(
+    r"^\s*SELECT\s+(.*?)\s+FROM\s+PREDICT\s*\(\s*MODEL\s+([\w.\"]+)\s*,\s*(.*)\)\s*$",
+    _FLAGS,
+)
+_EXPORT_MODEL = re.compile(
+    r"^\s*EXPORT\s+MODEL\s+([\w.\"]+)\s+WITH\s*\((.*)\)\s*$", _FLAGS
+)
+
+
+def _unquote(name: str) -> str:
+    return name.strip().strip('"')
+
+
+def parse_kwargs(body: str) -> dict:
+    """Parse the ``key = value`` list inside ``WITH ( ... )``.
+
+    Values may be quoted strings, numbers, booleans, or bare words
+    (reference parser.rs key-value grammar)."""
+    out: dict = {}
+    for m in re.finditer(
+        r"([\w.]+)\s*=\s*('(?:[^']|'')*'|\(.*?\)|[^,()]+)", body, re.DOTALL
+    ):
+        key = m.group(1).strip().lower()
+        raw = m.group(2).strip()
+        if raw.startswith("'") and raw.endswith("'"):
+            val = raw[1:-1].replace("''", "'")
+        elif raw.lower() in ("true", "false"):
+            val = raw.lower() == "true"
+        else:
+            try:
+                val = int(raw)
+            except ValueError:
+                try:
+                    val = float(raw)
+                except ValueError:
+                    val = raw
+        out[key] = val
+    return out
+
+
+def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | None:
+    """Try to execute ``sql`` as a custom statement; return a result
+    DataFrame (possibly empty) if handled, else None."""
+    spark = context.spark
+
+    m = _CREATE_TABLE_WITH.match(sql)
+    if m:
+        replace, if_not_exists, name, body = m.groups()
+        name = _unquote(name)
+        if not replace and not if_not_exists and context._table_exists(name):
+            raise RuntimeError(f"Table {name} already exists")
+        if if_not_exists and context._table_exists(name):
+            return context._empty_result()
+        kwargs = parse_kwargs(body)
+        location = kwargs.pop("location", None)
+        fmt = kwargs.pop("format", None)
+        persist = bool(kwargs.pop("persist", False))
+        if location is None:
+            raise ValueError("CREATE TABLE ... WITH requires location=...")
+        context.create_table(name, location, format=fmt, persist=persist, **kwargs)
+        return context._empty_result()
+
+    m = _CREATE_TABLE_AS.match(sql)
+    if m:
+        replace, kind, if_not_exists, name, select = m.groups()
+        name = _unquote(name)
+        if if_not_exists and context._table_exists(name):
+            return context._empty_result()
+        df = context.sql(select)
+        # TABLE persists (eager cache), VIEW stays lazy
+        # (reference create_memory_table.py:64-66)
+        context.create_table(name, df, persist=kind.upper() == "TABLE")
+        return context._empty_result()
+
+    m = _DROP_TABLE.match(sql)
+    if m:
+        if_exists, name = m.groups()
+        name = _unquote(name)
+        if not context._table_exists(name):
+            if if_exists:
+                return context._empty_result()
+            raise RuntimeError(f"Table {name} does not exist")
+        context.drop_table(name)
+        return context._empty_result()
+
+    m = _DROP_MODEL.match(sql)
+    if m:
+        if_exists, name = m.groups()
+        name = _unquote(name)
+        schema = context.schemas[context.schema_name]
+        if name not in schema.models:
+            if if_exists:
+                return context._empty_result()
+            raise RuntimeError(f"Model {name} does not exist")
+        del schema.models[name]
+        return context._empty_result()
+
+    m = _CREATE_SCHEMA.match(sql)
+    if m:
+        context.create_schema(_unquote(m.group(2)))
+        return context._empty_result()
+
+    m = _DROP_SCHEMA.match(sql)
+    if m:
+        if_exists, name = m.groups()
+        name = _unquote(name)
+        if name not in context.schemas:
+            if if_exists:
+                return context._empty_result()
+            raise RuntimeError(f"Schema {name} does not exist")
+        context.drop_schema(name)
+        return context._empty_result()
+
+    m = _USE_SCHEMA.match(sql)
+    if m:
+        name = _unquote(m.group(1))
+        if name not in context.schemas:
+            raise RuntimeError(f"Schema {name} does not exist")
+        context.schema_name = name
+        return context._empty_result()
+
+    if _SHOW_SCHEMAS.match(sql):
+        return spark.createDataFrame(
+            [(s,) for s in sorted(context.schemas)], "Schema: string"
+        )
+
+    m = _SHOW_TABLES.match(sql)
+    if m:
+        schema = _unquote(m.group(1)) if m.group(1) else context.schema_name
+        if schema not in context.schemas:
+            raise RuntimeError(f"Schema {schema} does not exist")
+        names = sorted(context.schemas[schema].tables)
+        return spark.createDataFrame([(t,) for t in names], "Table: string")
+
+    m = _SHOW_COLUMNS.match(sql)
+    if m:
+        from dask_sql_spark.mappings import spark_type_to_sql_name
+
+        name = _unquote(m.group(1))
+        df = context._get_table(name)
+        rows = [
+            (f.name, spark_type_to_sql_name(f.dataType), "YES" if f.nullable else "NO")
+            for f in df.schema.fields
+        ]
+        return spark.createDataFrame(rows, "Column: string, Type: string, Nullable: string")
+
+    if _SHOW_MODELS.match(sql):
+        names = sorted(context.schemas[context.schema_name].models)
+        return spark.createDataFrame([(n,) for n in names], "Model: string")
+
+    m = _DESCRIBE_MODEL.match(sql)
+    if m:
+        from dask_sql_spark.ml.model import describe_model
+
+        return describe_model(context, _unquote(m.group(1)))
+
+    m = _ANALYZE_TABLE.match(sql)
+    if m:
+        name = _unquote(m.group(1))
+        cols_spec = m.group(2)
+        df = context._get_table(name)
+        if cols_spec.upper().startswith("COLUMNS"):
+            cols = [c.strip().strip('"') for c in m.group(3).split(",")]
+            df = df.select(*cols)
+        # describe()-style stats table (reference analyze_table.py:15-70);
+        # distributed: summary() aggregates executor-side.
+        return df.summary()
+
+    m = _CREATE_MODEL.match(sql)
+    if m:
+        from dask_sql_spark.ml.model import create_model
+
+        replace, if_not_exists, name, body, select = m.groups()
+        name = _unquote(name)
+        schema = context.schemas[context.schema_name]
+        if name in schema.models and if_not_exists:
+            return context._empty_result()
+        if name in schema.models and not replace:
+            raise RuntimeError(f"Model {name} already exists")
+        create_model(context, name, parse_kwargs(body), select)
+        return context._empty_result()
+
+    m = _PREDICT.match(sql)
+    if m:
+        from dask_sql_spark.ml.model import predict_model
+
+        projection, model_name, select = m.groups()
+        df = predict_model(context, _unquote(model_name), select)
+        if projection.strip() != "*":
+            df.createOrReplaceTempView("__predict_result__")
+            df = spark.sql(f"SELECT {projection} FROM __predict_result__")
+        return df
+
+    m = _EXPORT_MODEL.match(sql)
+    if m:
+        from dask_sql_spark.ml.model import export_model
+
+        export_model(context, _unquote(m.group(1)), parse_kwargs(m.group(2)))
+        return context._empty_result()
+
+    return None

@@ -1,0 +1,95 @@
+"""Input dispatch: anything → Spark DataFrame.
+
+Parity with the reference's input plugin chain
+(dask_sql/input_utils/location.py:13-54 — extension-dispatched
+``dd.read_<ext>``; dask.py / pandaslike.py — direct frame registration).
+
+Spark-first: location strings go through ``spark.read.format(...)`` so the
+scan benefits from Catalyst column pruning / predicate pushdown and scales
+to many files; pandas frames go through ``spark.createDataFrame`` (Arrow).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+_EXT_TO_FORMAT = {
+    ".parquet": "parquet",
+    ".pq": "parquet",
+    ".csv": "csv",
+    ".json": "json",
+    ".ndjson": "json",
+    ".jsonl": "json",
+    ".orc": "orc",
+    ".txt": "text",
+    ".text": "text",
+    ".avro": "avro",
+    ".tsv": "csv",
+}
+
+
+def _infer_format(path: str) -> str:
+    # strip glob suffixes like /path/*.parquet
+    base = path.rstrip("*").rstrip("/")
+    _, ext = os.path.splitext(base if not base.endswith("*") else base[:-1])
+    if ext.lower() in _EXT_TO_FORMAT:
+        return _EXT_TO_FORMAT[ext.lower()]
+    # directory of parquet files is the common lake layout
+    return "parquet"
+
+
+def read_location(
+    spark: SparkSession,
+    location: str,
+    format: str | None = None,
+    **kwargs: Any,
+) -> DataFrame:
+    """Read a location string into a DataFrame, dispatching on extension or
+    explicit ``format=`` (reference location.py:13-54).
+
+    kwargs are passed through as reader options (e.g. ``header=True``,
+    ``inferSchema=True`` for csv). For csv, header+schema inference default
+    on to match the reference's pandas-like behavior.
+    """
+    fmt = (format or _infer_format(location)).lower()
+    reader = spark.read
+    if fmt == "csv":
+        kwargs.setdefault("header", True)
+        kwargs.setdefault("inferSchema", True)
+    if fmt == "tsv":
+        fmt = "csv"
+        kwargs.setdefault("sep", "\t")
+    options = {k: _as_option(v) for k, v in kwargs.items()}
+    return reader.format(fmt).options(**options).load(location)
+
+
+def _as_option(v: Any) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def to_spark_dataframe(
+    spark: SparkSession,
+    input_table: Any,
+    format: str | None = None,
+    **kwargs: Any,
+) -> DataFrame:
+    """Convert any supported input (Spark DF, pandas DF, location string,
+    list-of-rows) to a Spark DataFrame."""
+    if isinstance(input_table, DataFrame):
+        return input_table
+    if isinstance(input_table, str):
+        return read_location(spark, input_table, format=format, **kwargs)
+    try:
+        import pandas as pd
+
+        if isinstance(input_table, pd.DataFrame):
+            return spark.createDataFrame(input_table)
+    except ImportError:  # pragma: no cover
+        pass
+    # final fallback: rows/dicts
+    return spark.createDataFrame(input_table)
