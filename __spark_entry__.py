@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` exposes
+one callable per implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline operators of §7 M6); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for the side-by-side correctness gate.
+
+Cross-engine determinism rules used throughout (see also
+dask_sql_spark/operators/hashing.py):
+- money/double sums route through DECIMAL casts (exact, order-independent),
+  then CAST back to DOUBLE so both engines emit identical doubles;
+- every hash is md5-derived (identical in Spark and DuckDB);
+- LIMIT queries always carry a fully deterministic ORDER BY tie-break;
+- fp-sensitive aggregates (stddev/corr) are ROUNDed to kill last-ulp
+  engine differences.
 """
 
 from __future__ import annotations
@@ -13,26 +21,1205 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
 
+_CTX_CACHE: dict = {}
+
+
+def _ctx(spark: SparkSession, sf_dir: str):
+    """Context with all test tables registered; cached per (session, dir)."""
+    from dask_sql_spark import Context
+
+    key = (id(spark), sf_dir)
+    ctx = _CTX_CACHE.get(key)
+    if ctx is None:
+        ctx = Context(spark=spark)
+        _CTX_CACHE.clear()  # views are session-global; don't mix sf_dirs
+        _CTX_CACHE[key] = ctx
+        for t in TABLES:
+            ctx.create_table(t, f"{sf_dir}/{t}.parquet")
+    return ctx
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _ctx(spark, sf_dir)._get_table(name)
+
+
+# ------------------------------------------------------------------ #
+# registry                                                           #
+# ------------------------------------------------------------------ #
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _sqlq(name: str, spark_sql: str, duck_sql: str | None = None) -> None:
+    """Register a SQL query; oracle defaults to the identical SQL."""
+
+    def fn(spark: SparkSession, sf_dir: str, _sql: str = spark_sql) -> DataFrame:
+        return _ctx(spark, sf_dir).sql(_sql)
+
+    _QUERIES[name] = fn
+    _ORACLES[name] = duck_sql if duck_sql is not None else spark_sql
+
+
+def _dfq(name: str, fn: Callable, duck_sql: str | None = None) -> None:
+    """Register a DataFrame-API operator; oracle optional."""
+    _QUERIES[name] = fn
+    if duck_sql is not None:
+        _ORACLES[name] = duck_sql
+
+
+# shared SQL fragments ------------------------------------------------ #
+_REV = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)"
+
+
+# ==================================================================== #
+# 1. TPC-H-style relational queries (SURVEY §2.1-2.5)                  #
+# ==================================================================== #
+_sqlq(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+
+_sqlq(
+    "q3_shipping_priority",
+    f"""
+SELECT o_orderkey, {_REV} AS revenue, o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+
+_sqlq(
+    "q5_local_supplier",
+    f"""
+SELECT n_name, {_REV} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+
+_sqlq(
+    "q6_forecast_revenue",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)
+
+_sqlq(
+    "q4_order_priority",
+    """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+""",
+)
+
+_sqlq(
+    "q10_returned_items",
+    f"""
+SELECT c_custkey, c_name, {_REV} AS revenue,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+
+_sqlq(
+    "q18_large_orders",
+    """
+SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+)
+""",
+)
+
+# ==================================================================== #
+# 2. join matrix (SURVEY §2.2)                                         #
+# ==================================================================== #
+_sqlq(
+    "join_left_q13",
+    """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) t GROUP BY c_count
+""",
+)
+
+_sqlq(
+    "join_right",
+    """
+SELECT n_name, COUNT(s_suppkey) AS n_sup
+FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+
+_sqlq(
+    "join_full_outer",
+    """
+SELECT c_custkey, o_cnt
+FROM customer
+FULL JOIN (SELECT o_custkey, COUNT(*) AS o_cnt FROM orders GROUP BY o_custkey) o
+  ON c_custkey = o_custkey
+""",
+)
+
+_sqlq(
+    "join_semi_in",
+    "SELECT COUNT(*) AS n FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+)
+
+_sqlq(
+    "join_anti_notexists",
+    """
+SELECT COUNT(*) AS n FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+
+_sqlq("join_cross", "SELECT r_name, n_name FROM region CROSS JOIN nation")
+
+_sqlq(
+    "join_theta",
+    """
+SELECT a.n_name AS n1, b.n_name AS n2
+FROM nation a JOIN nation b
+  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+""",
+)
+
+# ==================================================================== #
+# 3. aggregation battery (SURVEY §2.3)                                 #
+# ==================================================================== #
+_sqlq(
+    "agg_stats",
+    """
+SELECT l_returnflag,
+  ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_samp,
+  ROUND(STDDEV_POP(l_quantity), 4) AS sd_pop,
+  ROUND(VAR_SAMP(l_quantity), 4) AS v_samp,
+  ROUND(VAR_POP(l_quantity), 4) AS v_pop,
+  MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q,
+  ROUND(CORR(l_quantity, l_extendedprice), 6) AS qp_corr
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+
+# regr_sxx/syy via exact decimal sums (deterministic), per reference
+# AGGREGATION_MAPPING custom 3-phase sums (aggregate.py:175-202)
+_sqlq(
+    "agg_regr_manual",
+    """
+SELECT l_returnflag,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE)
+    - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS sxx,
+  COUNT(*) AS regr_n
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+
+_sqlq(
+    "agg_bitops",
+    """
+SELECT l_returnflag,
+  BIT_AND(l_linenumber) AS b_and,
+  BIT_OR(l_linenumber) AS b_or,
+  BIT_XOR(l_linenumber) AS b_xor
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+
+_sqlq(
+    "agg_bool",
+    """
+SELECT o_orderstatus,
+  BOOL_AND(o_totalprice > 1000) AS all_big,
+  BOOL_OR(o_totalprice > 400000) AS any_huge
+FROM orders GROUP BY o_orderstatus
+""",
+)
+
+_sqlq(
+    "agg_filter_clause",
+    """
+SELECT l_returnflag,
+  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS sum_hidisc
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+
+_sqlq(
+    "agg_distinct",
+    """
+SELECT l_returnflag,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  CAST(SUM(DISTINCT l_linenumber) AS BIGINT) AS sum_ln
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+
+_sqlq(
+    "agg_minmax_str",
+    """
+SELECT c_mktsegment, MIN(c_name) AS min_name, MAX(c_name) AS max_name,
+       COUNT(*) AS n
+FROM customer GROUP BY c_mktsegment
+""",
+)
+
+_sqlq(
+    "group_null_keys",
+    """
+SELECT NULLIF(o_orderstatus, 'O') AS status_k, COUNT(*) AS n
+FROM orders GROUP BY NULLIF(o_orderstatus, 'O')
+""",
+)
+
+_sqlq(
+    "rollup_count",
+    """
+SELECT r_name, n_name, COUNT(*) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+
+_sqlq(
+    "cube_sum",
+    """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+
+_sqlq(
+    "grouping_sets",
+    """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+
+_sqlq(
+    "having_clause",
+    "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15",
+)
+
+# ==================================================================== #
+# 4. window functions (SURVEY §2.4 + additive rank/lag/lead family)    #
+# ==================================================================== #
+_sqlq(
+    "window_rownum_top3",
+    """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) t WHERE rn <= 3
+""",
+)
+
+_sqlq(
+    "window_running_sum",
+    """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+  COUNT(*) OVER (PARTITION BY o_custkey
+    ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt_3,
+  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey) AS DOUBLE) AS max_in_cust
+FROM orders
+""",
+)
+
+_sqlq(
+    "window_rank_family",
+    """
+SELECT s_suppkey,
+  RANK() OVER (ORDER BY s_nationkey) AS rnk,
+  DENSE_RANK() OVER (ORDER BY s_nationkey) AS drnk,
+  ROUND(PERCENT_RANK() OVER (ORDER BY s_nationkey), 6) AS prnk,
+  ROUND(CUME_DIST() OVER (ORDER BY s_nationkey), 6) AS cd,
+  NTILE(4) OVER (ORDER BY s_acctbal, s_suppkey) AS quartile
+FROM supplier
+""",
+)
+
+_sqlq(
+    "window_lag_lead",
+    """
+SELECT o_custkey, o_orderkey,
+  LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_ok,
+  LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_ok,
+  FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_ok,
+  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+  NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS second_ok
+FROM orders
+""",
+)
+
+_sqlq(
+    "window_range_frame",
+    """
+SELECT p_partkey, p_size,
+  COUNT(*) OVER (ORDER BY p_size RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS cnt_near
+FROM part
+""",
+)
+
+# ==================================================================== #
+# 5. sort / limit / set ops (SURVEY §2.1, §2.5)                        #
+# ==================================================================== #
+_sqlq(
+    "sort_limit_offset",
+    "SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 50",
+)
+
+_sqlq(
+    "topk_by_price",
+    """
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+""",
+)
+
+_sqlq(
+    "sort_nulls_first",
+    """
+SELECT x, o_orderkey FROM (
+  SELECT NULLIF(o_orderstatus, 'F') AS x, o_orderkey FROM orders
+) t ORDER BY x ASC NULLS FIRST, o_orderkey LIMIT 50
+""",
+)
+
+_sqlq(
+    "union_all",
+    """
+SELECT c_custkey AS k, 'c' AS src FROM customer
+UNION ALL
+SELECT s_suppkey AS k, 's' AS src FROM supplier
+""",
+)
+
+_sqlq(
+    "union_distinct",
+    "SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey AS k FROM supplier",
+)
+
+_sqlq(
+    "intersect_keys",
+    "SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders",
+)
+
+_sqlq(
+    "except_keys",
+    "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders",
+)
+
+_sqlq("distinct_op", "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer")
+
+_sqlq(
+    "values_inline",
+    """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, CAST(x + y AS BIGINT) AS s
+FROM VALUES (1, 10), (2, 20), (3, 30) AS t(x, y)
+""",
+    """
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, CAST(x + y AS BIGINT) AS s
+FROM (VALUES (1, 10), (2, 20), (3, 30)) t(x, y)
+""",
+)
+
+# ==================================================================== #
+# 6. scalar expressions (SURVEY §2.6)                                  #
+# ==================================================================== #
+_sqlq(
+    "case_expr",
+    """
+SELECT o_orderkey,
+  CASE WHEN o_totalprice > 300000 THEN 'huge'
+       WHEN o_totalprice > 150000 THEN 'big'
+       ELSE 'small' END AS bucket,
+  CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2 ELSE 0 END AS status_code
+FROM orders
+""",
+)
+
+_sqlq(
+    "in_between_not",
+    """
+SELECT
+  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS n_pri,
+  COUNT(CASE WHEN o_totalprice BETWEEN 100000 AND 200000 THEN 1 END) AS n_mid,
+  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT') THEN 1 END) AS n_not
+FROM orders
+""",
+)
+
+_sqlq(
+    "null_ops",
+    """
+SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS st,
+  COUNT(*) AS n,
+  COUNT(NULLIF(o_orderstatus, 'O')) AS n_nonnull
+FROM orders GROUP BY 1
+""",
+)
+
+_sqlq(
+    "is_distinct_from",
+    """
+SELECT COUNT(*) AS n FROM orders
+WHERE NULLIF(o_orderstatus, 'O') IS DISTINCT FROM NULLIF(o_orderstatus, 'F')
+""",
+)
+
+_sqlq(
+    "scalar_string",
+    """
+SELECT c_custkey,
+  UPPER(c_name) AS up, LOWER(c_name) AS lo, LENGTH(c_name) AS len,
+  SUBSTRING(c_name, 3, 5) AS sub, TRIM(c_name) AS tr,
+  REPLACE(c_name, '0', '#') AS rep, REVERSE(c_name) AS rev,
+  CONCAT(c_name, '|', c_mktsegment) AS cat,
+  LPAD(c_name, 25, '.') AS lp, RPAD(c_name, 25, '.') AS rp,
+  POSITION('1' IN c_name) AS pos,
+  INITCAP(LOWER(c_mktsegment)) AS seg_cap
+FROM customer
+""",
+    """
+SELECT c_custkey,
+  UPPER(c_name) AS up, LOWER(c_name) AS lo, LENGTH(c_name) AS len,
+  SUBSTRING(c_name, 3, 5) AS sub, TRIM(c_name) AS tr,
+  REPLACE(c_name, '0', '#') AS rep, REVERSE(c_name) AS rev,
+  CONCAT(c_name, '|', c_mktsegment) AS cat,
+  LPAD(c_name, 25, '.') AS lp, RPAD(c_name, 25, '.') AS rp,
+  POSITION('1' IN c_name) AS pos,
+  CONCAT(UPPER(SUBSTRING(c_mktsegment, 1, 1)), LOWER(SUBSTRING(c_mktsegment, 2))) AS seg_cap
+FROM customer
+""",
+)
+
+_sqlq(
+    "scalar_math",
+    """
+SELECT p_partkey,
+  ROUND(ABS(p_retailprice - 1000), 4) AS ab,
+  ROUND(p_retailprice, 1) AS r1,
+  CAST(CEIL(p_retailprice) AS BIGINT) AS ce,
+  CAST(FLOOR(p_retailprice) AS BIGINT) AS fl,
+  ROUND(POWER(p_size, 2), 4) AS pw,
+  MOD(p_size, 7) AS md,
+  CAST(SIGN(p_size - 25) AS INT) AS sg,
+  ROUND(SQRT(p_size), 6) AS sq,
+  ROUND(EXP(p_size / 10.0), 6) AS ex,
+  ROUND(LN(p_size + 1), 6) AS lg,
+  ROUND(LOG10(p_size + 1), 6) AS l10,
+  ROUND(CBRT(p_size), 6) AS cb,
+  ROUND(SIN(p_size), 6) AS sn,
+  ROUND(COS(p_size), 6) AS cs,
+  ROUND(ATAN2(p_size, 10), 6) AS at2,
+  ROUND(RADIANS(p_size), 6) AS rd,
+  ROUND(DEGREES(1.0), 6) AS dg
+FROM part
+""",
+)
+
+_sqlq(
+    "scalar_datetime",
+    """
+SELECT o_orderkey,
+  YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m, DAY(o_orderdate) AS d,
+  QUARTER(o_orderdate) AS q, HOUR(o_orderdate) AS h,
+  EXTRACT(YEAR FROM o_orderdate) AS ey,
+  WEEKOFYEAR(o_orderdate) AS wk,
+  DAYOFYEAR(o_orderdate) AS doy,
+  DAYOFWEEK(o_orderdate) - 1 AS dow,
+  CAST(CAST(LAST_DAY(o_orderdate) AS DATE) AS TIMESTAMP) AS ld,
+  DATE_TRUNC('MONTH', o_orderdate) AS mon,
+  TIMESTAMPADD(MONTH, 3, o_orderdate) AS plus3m,
+  TIMESTAMPADD(DAY, 10, o_orderdate) AS plus10d,
+  TIMESTAMPDIFF(DAY, o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS days_to_end
+FROM orders
+""",
+    """
+SELECT o_orderkey,
+  YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m, DAY(o_orderdate) AS d,
+  QUARTER(o_orderdate) AS q, HOUR(o_orderdate) AS h,
+  EXTRACT(YEAR FROM o_orderdate) AS ey,
+  CAST(WEEK(o_orderdate) AS INT) AS wk,
+  CAST(DAYOFYEAR(o_orderdate) AS INT) AS doy,
+  CAST(DAYOFWEEK(o_orderdate) AS INT) AS dow,
+  CAST(CAST(LAST_DAY(o_orderdate) AS DATE) AS TIMESTAMP) AS ld,
+  DATE_TRUNC('MONTH', o_orderdate) AS mon,
+  o_orderdate + INTERVAL 3 MONTH AS plus3m,
+  o_orderdate + INTERVAL 10 DAY AS plus10d,
+  DATE_DIFF('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS days_to_end
+FROM orders
+""",
+)
+
+_sqlq(
+    "string_like",
+    """
+SELECT c_custkey,
+  c_name LIKE '%00%' AS has00,
+  c_name LIKE 'Customer%' AS pre,
+  c_mktsegment LIKE '%MOB%' AS mid,
+  c_mktsegment ILIKE 'auto%' AS il,
+  c_mktsegment SIMILAR TO '(AUTO|BUIL).*' AS sim
+FROM customer
+""",
+)
+
+_sqlq(
+    "regex_fns",
+    """
+SELECT doc_id,
+  REGEXP_EXTRACT(text, '([a-z]+)', 1) AS first_word,
+  REGEXP_REPLACE(text, '[aeiou]', '_') AS no_vowel,
+  text RLIKE 'join.*scan' AS has_seq
+FROM documents
+""",
+    """
+SELECT doc_id,
+  REGEXP_EXTRACT(text, '([a-z]+)', 1) AS first_word,
+  REGEXP_REPLACE(text, '[aeiou]', '_', 'g') AS no_vowel,
+  REGEXP_MATCHES(text, 'join.*scan') AS has_seq
+FROM documents
+""",
+)
+
+_sqlq(
+    "cast_types",
+    """
+SELECT o_orderkey,
+  CAST(o_orderkey AS STRING) AS k_str,
+  CAST(o_totalprice AS INT) AS p_int,
+  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS d,
+  CAST(o_orderkey AS DOUBLE) AS k_dbl,
+  CAST('42' AS BIGINT) AS s_int
+FROM orders
+""",
+    """
+SELECT o_orderkey,
+  CAST(o_orderkey AS VARCHAR) AS k_str,
+  CAST(TRUNC(o_totalprice) AS INT) AS p_int,
+  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS d,
+  CAST(o_orderkey AS DOUBLE) AS k_dbl,
+  CAST('42' AS BIGINT) AS s_int
+FROM orders
+""",
+)
+
+_sqlq(
+    "int_division",
+    """
+SELECT o_orderkey,
+  o_orderkey DIV 7 AS q7,
+  MOD(o_orderkey, 7) AS r7,
+  (100 - o_orderkey) DIV 7 AS qneg
+FROM orders
+""",
+    """
+SELECT o_orderkey,
+  o_orderkey // 7 AS q7,
+  o_orderkey % 7 AS r7,
+  (100 - o_orderkey) // 7 AS qneg
+FROM orders
+""",
+)
+
+# ==================================================================== #
+# 7. subqueries (SURVEY §2.6 rex ScalarSubquery / §4.1 decorrelation)  #
+# ==================================================================== #
+_sqlq(
+    "scalar_subquery",
+    """
+SELECT COUNT(*) AS n FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+""",
+)
+
+_sqlq(
+    "correlated_scalar",
+    """
+SELECT c_custkey FROM customer c
+WHERE c_acctbal > (
+  SELECT 1.5 * AVG(c2.c_acctbal) FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey
+)
+""",
+)
+
+_sqlq(
+    "in_subquery",
+    """
+SELECT COUNT(*) AS n FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+""",
+)
+
+_sqlq(
+    "not_in_subquery",
+    """
+SELECT COUNT(*) AS n FROM customer
+WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+""",
+)
+
+# ==================================================================== #
+# 8. events: sessionize / pivot / JSON                                 #
+# ==================================================================== #
+_sqlq(
+    "events_sessionize",
+    """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+), sess AS (
+  SELECT user_id, ts, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, session_id
+""",
+)
+
+_sqlq(
+    "events_pivot_conditional",
+    """
+SELECT user_id,
+  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+FROM events GROUP BY user_id
+""",
+)
+
+_sqlq(
+    "events_json_extract",
+    """
+SELECT CAST(GET_JSON_OBJECT(props, '$.k') AS INT) AS k_val, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CAST(GET_JSON_OBJECT(props, '$.k') AS INT)
+""",
+    """
+SELECT CAST(props->>'$.k' AS INT) AS k_val, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CAST(props->>'$.k' AS INT)
+""",
+)
+
+# ==================================================================== #
+# 9. Spark-specific execution surface (oracle = logical equivalent)    #
+# ==================================================================== #
+_sqlq(
+    "distribute_by",
+    "SELECT c_custkey, c_nationkey FROM customer DISTRIBUTE BY c_nationkey",
+    "SELECT c_custkey, c_nationkey FROM customer",
+)
+
+
+def _sample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TABLESAMPLE is nondeterministic across engines → rows-only check
+    return _ctx(spark, sf_dir).sql(
+        "SELECT c_custkey FROM customer TABLESAMPLE (50 PERCENT) REPEATABLE (42)"
+    )
+
+
+_dfq("sample_bernoulli", _sample_fn)
+
+# ==================================================================== #
+# 10. documents: text analysis (SURVEY §7 M6)                          #
+# ==================================================================== #
+_DOC_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
+)
+
+
+def _text_stats_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.text import add_token_stats
+
+    docs = _table(spark, sf_dir, "documents")
+    return add_token_stats(docs).select("doc_id", "n_tokens", "n_pieces")
+
+
+_dfq(
+    "text_token_stats",
+    _text_stats_fn,
+    f"""
+SELECT doc_id, len({_DOC_TOKS}) AS n_tokens,
+  len(list_filter(string_split_regex(
+    regexp_replace(text, '([^\\sA-Za-z0-9]|[0-9]+)', ' \\1 ', 'g'), '\\s+'),
+    t -> t <> '')) AS n_pieces
+FROM documents
+""",
+)
+
+
+def _quality_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.text import add_quality_score
+
+    docs = _table(spark, sf_dir, "documents")
+    return add_quality_score(docs).select(
+        "doc_id", "n_chars_m", "punct_ratio", "digit_ratio",
+        "stopword_ratio", "mean_word_len",
+    )
+
+
+_dfq(
+    "text_quality",
+    _quality_fn,
+    f"""
+WITH t AS (SELECT doc_id, text, {_DOC_TOKS} AS tk, length(text) AS n FROM documents)
+SELECT doc_id,
+  n AS n_chars_m,
+  ROUND((n - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g'))) / CAST(CASE WHEN n > 0 THEN n ELSE 1 END AS DOUBLE), 4) AS punct_ratio,
+  ROUND((n - length(regexp_replace(text, '[0-9]', '', 'g'))) / CAST(CASE WHEN n > 0 THEN n ELSE 1 END AS DOUBLE), 4) AS digit_ratio,
+  CASE WHEN len(tk) > 0 THEN ROUND(len(list_filter(tk, w -> w IN ('the','and','of','to','in','is','that','it','was','for'))) / CAST(len(tk) AS DOUBLE), 4) ELSE 0.0 END AS stopword_ratio,
+  CASE WHEN len(tk) > 0 THEN ROUND(list_sum(list_transform(tk, w -> length(w))) / CAST(len(tk) AS DOUBLE), 4) ELSE 0.0 END AS mean_word_len
+FROM t
+""",
+)
+
+
+def _langid_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.text import add_langid
+
+    docs = _table(spark, sf_dir, "documents")
+    return add_langid(docs).select("doc_id", "lang", "lang_guess")
+
+
+def _lang_in(words: list[str]) -> str:
+    quoted = ",".join(f"'{w}'" for w in words)
+    return f"len(list_filter(tk, w -> w IN ({quoted})))"
+
+
+def _langid_oracle() -> str:
+    from dask_sql_spark.operators.text import STOPWORDS
+
+    s = {lang: _lang_in(ws) for lang, ws in STOPWORDS.items()}
+    g = f"greatest({s['en']}, {s['de']}, {s['fr']}, {s['es']})"
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_DOC_TOKS} AS tk FROM documents)
+SELECT doc_id, lang,
+  CASE WHEN {g} = 0 THEN 'und'
+       WHEN {s['en']} = {g} THEN 'en'
+       WHEN {s['de']} = {g} THEN 'de'
+       WHEN {s['fr']} = {g} THEN 'fr'
+       WHEN {s['es']} = {g} THEN 'es'
+  END AS lang_guess
+FROM t
+"""
+
+
+_dfq("text_langid", _langid_fn, _langid_oracle())
+
+
+def _fingerprint_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.text import add_fingerprint
+
+    docs = _table(spark, sf_dir, "documents")
+    return add_fingerprint(docs).select("doc_id", "fp")
+
+
+_dfq(
+    "text_fingerprint",
+    _fingerprint_fn,
+    """
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(list_filter(
+    string_split_regex(lower(regexp_replace(text, '[^A-Za-z0-9\\s]', ' ', 'g')), '\\s+'),
+    t -> t <> ''))), ' ')) AS fp
+FROM documents
+""",
+)
+
+# ==================================================================== #
+# 11. deduplication (SURVEY §7 M6)                                     #
+# ==================================================================== #
+
+
+def _dedup_exact_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_table(spark, sf_dir, "documents"))
+
+
+_dfq(
+    "dedup_exact",
+    _dedup_exact_fn,
+    """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+
+_SHINGLE_CTE = f"""
+docs AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM docs, UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS t(i)
+  WHERE array_to_string(toks[i:i+2], ' ') <> ''
+)
+"""
+
+
+def _jaccard_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _table(spark, sf_dir, "documents"), threshold=0.12
+    )
+
+
+_dfq(
+    "dedup_ngram_jaccard",
+    _jaccard_fn,
+    f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+  ROUND(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) >= 0.12
+""",
+)
+
+
+def _minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _table(spark, sf_dir, "documents"), num_perm=16, bands=8
+    )
+
+
+def _minhash_oracle(num_perm: int = 16, bands: int = 8) -> str:
+    from dask_sql_spark.operators.hashing import MINHASH_PERMS, MINHASH_PRIME
+
+    rows_per_band = num_perm // bands
+    perm_values = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS[:num_perm])
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+hashes AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {MINHASH_PRIME} AS h
+  FROM sh
+),
+perms(perm, a, b) AS (VALUES {perm_values}),
+sig AS (
+  SELECT doc_id, perm, MIN((a * h + b) % {MINHASH_PRIME}) AS minhash
+  FROM hashes, perms GROUP BY doc_id, perm
+),
+bands AS (
+  SELECT doc_id, perm // {rows_per_band} AS band,
+    string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY perm) AS bucket
+  FROM sig GROUP BY doc_id, perm // {rows_per_band}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+_dfq("dedup_minhash_lsh", _minhash_fn, _minhash_oracle())
+
+
+def _simhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _table(spark, sf_dir, "documents"), bits=32, max_hamming=3
+    )
+
+
+_dfq(
+    "dedup_simhash",
+    _simhash_fn,
+    f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_DOC_TOKS}) AS tok FROM documents
+),
+th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+bits AS (
+  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, UNNEST(range(32)) AS t(j) GROUP BY doc_id, j
+),
+sims AS (
+  SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+),
+expl AS (
+  SELECT doc_id, simhash, blk, (simhash >> (blk * 8)) & 255 AS blk_val
+  FROM sims, UNNEST(range(4)) AS t(blk)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sha, b.simhash AS shb
+  FROM expl a JOIN expl b
+    ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sha, shb)) AS hamming
+FROM cands WHERE bit_count(xor(sha, shb)) <= 3
+""",
+)
+
+_EMB_DOUBLE = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+def _embdup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.dedup import embedding_near_dupes
+
+    return embedding_near_dupes(
+        _table(spark, sf_dir, "embeddings"), threshold=0.6
+    )
+
+
+_dfq(
+    "dedup_embedding_cosine",
+    _embdup_fn,
+    f"""
+WITH e AS (SELECT vec_id, {_EMB_DOUBLE} AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_COS} >= 0.6
+""",
+)
+
+# ==================================================================== #
+# 12. similarity search (SURVEY §7 M6)                                 #
+# ==================================================================== #
+
+
+def _ann_brute_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.similarity import brute_force_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+_dfq(
+    "ann_brute_topk",
+    _ann_brute_fn,
+    f"""
+WITH e AS (SELECT vec_id, {_EMB_DOUBLE} AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS id_b, {_COS} AS cos
+  FROM q a JOIN e b ON b.vec_id <> a.vec_id
+)
+SELECT query_id, id_b AS neighbor_id, rank FROM (
+  SELECT query_id, id_b,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, id_b) AS rank
+  FROM scored
+) t WHERE rank <= 10
+""",
+)
+
+
+def _ann_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.similarity import lsh_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    # approximate → no exact oracle; rows-only check
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+_dfq("ann_lsh_topk", _ann_lsh_fn)
+
+
+def _emb_stats_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = _table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("vec_sum"),
+        F.round(
+            F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("vec_norm"),
+    )
+
+
+_dfq(
+    "embedding_stats",
+    _emb_stats_fn,
+    f"""
+WITH e AS (SELECT vec_id, label, embedding, {_EMB_DOUBLE} AS v FROM embeddings)
+SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+  ROUND(list_sum(v), 4) AS vec_sum,
+  ROUND(sqrt(list_dot_product(v, v)), 4) AS vec_norm
+FROM e
+""",
+)
+
+
+def _array_explode_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return (
+        emb.where(F.col("vec_id") < 10)
+        .select("vec_id", F.posexplode(F.col("embedding")).alias("pos", "v"))
+        .select("vec_id", "pos", F.round(F.col("v").cast("double"), 4).alias("v"))
+    )
+
+
+_dfq(
+    "array_posexplode",
+    _array_explode_fn,
+    """
+SELECT vec_id,
+  UNNEST(range(len(embedding))) AS pos,
+  UNNEST(list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 4))) AS v
+FROM embeddings WHERE vec_id < 10
+""",
+)
+
+# ==================================================================== #
+# 13. multimodal plumbing (SURVEY §7 M6; decode is a deterministic     #
+#     fake — real codecs are not in this container)                    #
+# ==================================================================== #
+
+
+def _multimodal_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.multimodal import attach_binary, extract_image_meta
+
+    docs = attach_binary(_table(spark, sf_dir, "documents"), "text")
+    meta = extract_image_meta(docs, fake=True)
+    return meta.select("doc_id", "byte_len", "width", "height", "channels")
+
+
+_dfq(
+    "multimodal_image_meta",
+    _multimodal_fn,
+    """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  CAST(16 + (CAST('0x' || substr(md5(text), 1, 2) AS INT) % 240) AS INT) AS width,
+  CAST(16 + (CAST('0x' || substr(md5(text), 3, 2) AS INT) % 240) AS INT) AS height,
+  CAST(1 + (CAST('0x' || substr(md5(text), 5, 2) AS INT) % 4) AS INT) AS channels
+FROM documents
+""",
+)
+
+
+# ==================================================================== #
+# driver contract                                                      #
+# ==================================================================== #
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -75,6 +75,9 @@ def default_spark_session(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
+        # read TIMESTAMP(NANOS) parquet as long; sources/location.py
+        # restores them to timestamps losslessly
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
     }
     if shuffle_partitions is not None:
         defaults["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
@@ -98,6 +101,12 @@ class Context:
 
     def __init__(self, spark: SparkSession | None = None, **session_conf: str):
         self.spark = spark or default_spark_session(**session_conf)
+        try:
+            # dynamic conf; needed for nano-timestamp parquet inputs even
+            # when the session was built outside default_spark_session
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
         self.schemas: dict[str, SchemaContainer] = {
             DEFAULT_SCHEMA_NAME: SchemaContainer(DEFAULT_SCHEMA_NAME)
         }

@@ -1,0 +1,352 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families (SURVEY.md §7 M6): exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup. All are shuffle-conscious DataFrame
+compositions — no Python in the hot path, no driver-side materialization.
+
+Scale design (100 TB):
+- exact dedup is one hash-groupBy shuffle on a 64-bit key;
+- MinHash/LSH shuffles (doc, shingle) pairs then (band, bucket) pairs —
+  the classic shingle→minhash→band→bucket-join pipeline; candidate
+  verification only touches bucket-mates, never the full cross product;
+- SimHash uses block-banding (pigeonhole: ham ≤ k ⇒ some of k+1 blocks
+  equal) so the self-join is per-block-bucket, not all-pairs;
+- embedding near-dup brute-force is quadratic and only for small/verified
+  sets — the scale path is the LSH variant in operators/similarity.py.
+
+All hashes are md5-derived (operators/hashing.py) so results reproduce
+bit-for-bit in the DuckDB oracle; swap in xxhash64 for raw speed when no
+cross-engine check is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dask_sql_spark.operators.hashing import (
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+    portable_hash64,
+)
+
+
+# --------------------------------------------------------------------- #
+# exact                                                                 #
+# --------------------------------------------------------------------- #
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per distinct content with the
+    keeper (min id) and the duplicate count. Single shuffle on the content
+    hash; at 100 TB group on the 60-bit hash, not the full text."""
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep only the min-id row per distinct text (the dedup *apply* step)."""
+    w = (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(w, on=id_col, how="left_semi")
+
+
+# --------------------------------------------------------------------- #
+# shingling (shared by minhash / jaccard)                               #
+# --------------------------------------------------------------------- #
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document → (id, shingle).
+
+    Tokenization = lowercase + whitespace split (identical in the SQL
+    oracle). The transform→filter builds n-grams via sliding index.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .where(F.col("shingle") != "")
+    )
+
+
+# --------------------------------------------------------------------- #
+# n-gram Jaccard                                                        #
+# --------------------------------------------------------------------- #
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard ≥ threshold.
+
+    Plan: explode shingles → self-join on shingle (co-shingle pairs) →
+    count common → join per-doc sizes → |A∩B| / (|A|+|B|−|A∩B|).
+    The shingle join only pairs documents sharing ≥1 shingle, so the
+    complexity is Σ bucket² over shingle buckets, not N². At 100 TB,
+    drop ultra-frequent shingles first (stopword-gram blowup guard).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sza = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sza, "id_a")
+        .join(szb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------- #
+# MinHash + LSH                                                         #
+# --------------------------------------------------------------------- #
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, perm, minhash) — min over shingles of h_i(s) = (a·H(s)+b) mod p.
+
+    H is the portable 60-bit md5 hash reduced mod p; (a, b) are the fixed
+    MINHASH_PERMS constants, so the DuckDB oracle reproduces every value.
+    The perm table is tiny → broadcast joined; the only shuffle is the
+    (id, perm) groupBy.
+    """
+    spark = df.sparkSession
+    perms = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(MINHASH_PERMS[:num_perm])],
+        "perm INT, a BIGINT, b BIGINT",
+    )
+    sh = shingles(df, id_col, text_col, shingle_n).withColumn(
+        "h", portable_hash64(F.col("shingle")) % MINHASH_PRIME
+    )
+    return (
+        sh.join(F.broadcast(perms))
+        .withColumn("ph", (F.col("a") * F.col("h") + F.col("b")) % MINHASH_PRIME)
+        .groupBy(id_col, "perm")
+        .agg(F.min("ph").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    num_perm/bands rows per band; documents agreeing on ALL minhashes in
+    any band land in the same bucket and become a candidate pair. With
+    r = num_perm/bands rows per band, P(candidate) = 1-(1-s^r)^bands — the
+    standard S-curve. Bucket join is per (band, signature) — never N².
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+    band_sigs = (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("perm"), F.col("minhash")))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                "_",
+            ).alias("bucket")
+        )
+    )
+    a = band_sigs.alias("a")
+    b = band_sigs.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------- #
+# SimHash                                                               #
+# --------------------------------------------------------------------- #
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash) — Charikar simhash over whitespace tokens.
+
+    Per bit position j: sum over tokens of (+1 if bit j of H(token) else
+    −1); simhash bit j = 1 iff the sum > 0. Implemented by exploding the
+    (token-hash × bit-position) grid as DataFrame ops; tokens are *not*
+    deduplicated (multiplicity weights, standard simhash).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    tok_h = (
+        df.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .withColumn("h", portable_hash64(F.col("tok")))
+    )
+    bit = tok_h.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+    ).withColumn(
+        # shiftright/shiftleft builtins take a literal count; the count is
+        # a column here, so go through SQL exprs
+        "w",
+        F.when(F.expr("shiftright(h, j) & 1") == 1, 1).otherwise(-1),
+    )
+    return (
+        bit.groupBy(id_col, "j")
+        .agg(F.sum("w").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)"))
+                .otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with simhash Hamming distance ≤ max_hamming.
+
+    Scale path: split the simhash into (max_hamming+1) blocks — any pair
+    within distance k must agree exactly on ≥1 block (pigeonhole), so the
+    self-join runs per (block index, block value) bucket instead of N².
+    """
+    blocks = max_hamming + 1
+    block_bits = bits // blocks
+    sh = simhash(df, id_col, text_col, bits)
+    exploded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("blk"),
+    ).withColumn(
+        "blk_val",
+        F.expr(f"shiftright(simhash, blk * {block_bits}) & {(1 << block_bits) - 1}"),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cands = (
+        a.join(b, on=["blk", "blk_val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------- #
+# embedding cosine near-dup                                             #
+# --------------------------------------------------------------------- #
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns, JVM-side via
+    zip_with + aggregate (no UDF)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_near_dupes(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold, by brute-force self-join.
+
+    Quadratic — correct-but-small-set tool (e.g. verifying LSH candidates).
+    The 100 TB path is LSH bucketing first (operators/similarity.py), then
+    this check within buckets only.
+    """
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers (SURVEY.md §7 M6):
+
+- :func:`brute_force_topk` — exact cosine top-k, the correctness baseline.
+  All math is JVM-side (zip_with/aggregate); ranking is a per-query window.
+- :func:`lsh_topk` — random-hyperplane LSH bucketing as the scale path:
+  sign-bit signatures computed against a fixed set of hyperplanes, shuffle
+  on (signature) buckets, exact rerank only within buckets. At 1000
+  executors the bucket join replaces the full N×M cross product.
+
+Hyperplanes are derived deterministically from a seed via numpy and baked
+into the plan as literals, so the computation is reproducible and entirely
+Catalyst-visible (no UDF, no python in the hot path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dask_sql_spark.operators.dedup import cosine
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """row_number over (query, score desc, id) — deterministic tie-break."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("id_b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("id_b").alias("neighbor_id"), "rank")
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query vector against the corpus.
+
+    ``queries`` is a (id, vector) DataFrame (often a filtered slice of
+    ``emb``). The query side is broadcast — top-k search with a small query
+    set against a huge corpus is a broadcast-nested-loop by design, scanned
+    once, no shuffle of the corpus.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("vq"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("id_b"))
+        .withColumn("cos", cosine(F.col("vq"), F.col("vb")))
+    )
+    return _rank_topk(scored, k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def signature_col(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit LSH signature of a vector column against fixed hyperplanes,
+    as a single integer — pure Catalyst expressions."""
+    bits = []
+    for j, plane in enumerate(planes):
+        lits = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, lits, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane bucketing, exact rerank
+    within the query's bucket. Recall grows with fewer planes / multiple
+    probes; this implementation also probes all buckets at Hamming
+    distance 1 (flip each bit) to soften boundary effects.
+    """
+    dim = len(
+        emb.select(vec_col).first()[0]
+    )  # one-row schema probe; metadata-scale, not data-scale
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    c = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    ).withColumn("sig", signature_col(F.col("vb"), planes))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("vq"),
+    ).withColumn("qsig", signature_col(F.col("vq"), planes))
+    # multiprobe: the bucket itself + all 1-bit flips
+    probes = F.array(
+        F.col("qsig"), *[F.col("qsig").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+    )
+    q = q.withColumn("sig", F.explode(probes))
+
+    scored = (
+        c.join(F.broadcast(q), on="sig")
+        .where(F.col("query_id") != F.col("id_b"))
+        .withColumn("cos", cosine(F.col("vq"), F.col("vb")))
+    )
+    return _rank_topk(scored, k)

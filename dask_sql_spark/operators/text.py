@@ -1,0 +1,131 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure Spark column expressions (whole-stage codegen, no
+Python in the hot path) over a ``documents``-shaped table
+(doc_id, text, ...). Each has an exactly-equivalent SQL form used by the
+DuckDB oracle — see __spark_entry__.py.
+
+Beyond-reference capability (the dask-sql reference has no text operators);
+designed per SURVEY.md §7 M6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# whitespace tokenizer shared by all operators (identical regex in DuckDB)
+_WS = r"\s+"
+
+# small multilingual stopword lists for the language-ID heuristic.
+# Literal constants so the SQL oracle can embed the same lists.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "un", "une", "est", "que", "dans"],
+    "es": ["el", "los", "las", "que", "y", "una", "es", "por", "con", "para"],
+}
+
+_PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased text; empty strings removed."""
+    toks = F.split(F.lower(F.trim(text)), _WS)
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish word/punct split
+    count (reference-free; SURVEY.md §7 M6 'token counting')."""
+    t = F.col(text_col)
+    # BPE-ish pieces: word chunks, digit runs, single punctuation marks
+    pieces = F.filter(
+        F.split(
+            F.regexp_replace(t, r"([^\sA-Za-z0-9]|\d+)", r" $1 "), _WS
+        ),
+        lambda p: p != F.lit(""),
+    )
+    return df.withColumn("n_tokens", token_count(t)).withColumn(
+        "n_pieces", F.size(pieces)
+    )
+
+
+def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, punctuation ratio, stopword ratio, digit
+    ratio, mean word length — the standard cheap pre-filters for LLM
+    training corpora (C4/Gopher-style rules)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, _PUNCT_CLASS, ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    toks = tokens(t)
+    n_toks = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS["en"])))
+    mean_word_len = F.when(
+        n_toks > 0,
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w)).cast(
+                "double"
+            )
+            / n_toks,
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    safe = F.when(n_chars > 0, n_chars).otherwise(F.lit(1))
+    return (
+        df.withColumn("n_chars_m", n_chars)
+        .withColumn("punct_ratio", F.round(n_punct.cast("double") / safe, 4))
+        .withColumn("digit_ratio", F.round(n_digit.cast("double") / safe, 4))
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_toks > 0, F.round(n_stop.cast("double") / n_toks, 4)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn("mean_word_len", mean_word_len)
+    )
+
+
+def add_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: argmax of per-language stopword hit counts
+    (n-gram/stopword heuristic; ties break by fixed language order
+    en→de→fr→es, 'und' for no hits at all)."""
+    toks = tokens(F.col(text_col))
+    scores = {
+        lang: F.size(F.filter(toks, lambda w: w.isin(words)))
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in ["en", "de", "fr", "es"]:  # fixed priority for ties
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return df.withColumn("lang_guess", expr)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: canonicalize (lowercase, strip non-alnum,
+    sorted distinct tokens) then md5 — the classic 'fingerprint' clustering
+    key (OpenRefine-style), portable across engines."""
+    canon = F.array_join(
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.split(
+                        F.lower(F.regexp_replace(text, r"[^A-Za-z0-9\s]", " ")), _WS
+                    ),
+                    lambda tk: tk != F.lit(""),
+                )
+            )
+        ),
+        " ",
+    )
+    return F.md5(canon)
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fp", fingerprint(F.col(text_col)))

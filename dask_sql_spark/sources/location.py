@@ -63,7 +63,43 @@ def read_location(
         fmt = "csv"
         kwargs.setdefault("sep", "\t")
     options = {k: _as_option(v) for k, v in kwargs.items()}
-    return reader.format(fmt).options(**options).load(location)
+    df = reader.format(fmt).options(**options).load(location)
+    if fmt == "parquet":
+        df = _restore_nano_timestamps(spark, df, location)
+    return df
+
+
+def _nano_timestamp_fields(location: str) -> list[str]:
+    """Names of timestamp[ns] fields in a parquet location (driver-side
+    footer peek via pyarrow; metadata-scale, not data-scale)."""
+    try:
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(location, format="parquet").schema
+        return [
+            f.name
+            for f in schema
+            if str(f.type).startswith("timestamp[ns")
+        ]
+    except Exception:
+        return []
+
+
+def _restore_nano_timestamps(spark: SparkSession, df: DataFrame, location: str) -> DataFrame:
+    """Spark's parquet reader rejects TIMESTAMP(NANOS) columns. With
+    ``spark.sql.legacy.parquet.nanosAsLong`` they arrive as epoch-nanos
+    BIGINT; convert back to TIMESTAMP with exact integer division (a
+    double division would lose precision above 2^53). The whole fix stays
+    a file-source scan — pushdown and partitioning are unaffected."""
+    nano_cols = _nano_timestamp_fields(location)
+    if not nano_cols:
+        return df
+    from pyspark.sql import functions as F
+
+    for c in nano_cols:
+        if c in df.columns:
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` DIV 1000)"))
+    return df
 
 
 def _as_option(v: Any) -> str:

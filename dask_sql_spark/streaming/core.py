@@ -1,0 +1,83 @@
+"""Structured Streaming surface (additive — the reference has no streaming
+at all, SURVEY.md §2.10; plans are all batch LogicalPlans,
+reference src/sql/logical.rs:300-375).
+
+Thin, Spark-idiomatic helpers for the common stream shapes a data pipeline
+needs: windowed aggregation with watermarks, streaming dedup, and a
+sessionization operator via ``applyInPandasWithState``-free composition
+(session_window is native since Spark 3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding) windowed counts with late-data watermark."""
+    win = (
+        F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows (gap-based) per key — native session_window."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon
+    (dropDuplicates over keys + event time)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(id_cols)
+
+
+def memory_sink_query(df: DataFrame, name: str, output_mode: str = "complete"):
+    """Run a streaming DataFrame into an in-memory table (testing sink)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )

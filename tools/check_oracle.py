@@ -1,0 +1,132 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare
+row-count + (column-name-sorted) values, exact for non-floats and
+exact-or-1e-9-relative for floats. Usage:
+
+    python tools/check_oracle.py [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            try:
+                df[c] = df[c].astype("string")
+            except (TypeError, ValueError):
+                df[c] = df[c].map(str)
+        # datetimes → naive UTC strings for comparison
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            s = df[c]
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
+        if pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("boolean")
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
+    if len(a) != len(b):
+        return f"row count {len(a)} vs {len(b)}"
+    if sorted(a.columns) != sorted(b.columns):
+        return f"columns {sorted(a.columns)} vs {sorted(b.columns)}"
+    a, b = norm(a.copy()), norm(b.copy())
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            avf = av.astype(float).to_numpy()
+            bvf = bv.astype(float).to_numpy()
+            both_nan = np.isnan(avf) & np.isnan(bvf)
+            close = np.isclose(avf, bvf, rtol=1e-9, atol=1e-12)
+            bad = ~(both_nan | close)
+            if bad.any():
+                i = int(np.argmax(bad))
+                return f"col {c} row {i}: {avf[i]!r} vs {bvf[i]!r}"
+            exact = (avf == bvf) | both_nan
+            if not exact.all():
+                i = int(np.argmax(~exact))
+                return f"col {c} row {i} INEXACT: {avf[i]!r} vs {bvf[i]!r}"
+        else:
+            eq = (av == bv) | (av.isna() & bv.isna())
+            if not eq.all():
+                i = int(np.argmax(~eq.to_numpy()))
+                return f"col {c} row {i}: {av.iloc[i]!r} vs {bv.iloc[i]!r}"
+    return None
+
+
+def main() -> int:
+    filters = sys.argv[1:]
+    import __spark_entry__ as entrymod
+    from dask_sql_spark.context import default_spark_session
+
+    spark = default_spark_session(shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    failures: list[str] = []
+    for name, fn in qs.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: SPARK ERROR\n{traceback.format_exc()}")
+            continue
+        if name not in oracles:
+            n_rows_only += 1
+            print(f"rows  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s) [no oracle]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: DUCKDB ERROR\n{traceback.format_exc()}")
+            continue
+        diff = compare(sdf, odf)
+        if diff:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: {diff}  ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+        else:
+            n_pass += 1
+            print(f"pass  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    if failures:
+        print("failures:", " ".join(failures))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
