@@ -123,6 +123,7 @@ class Context:
         persist: bool = False,
         schema_name: str | None = None,
         statistics: Statistics | None = None,
+        auto_rebalance: bool = False,
         **kwargs: Any,
     ) -> None:
         """Register a table (reference context.py:168-260).
@@ -131,11 +132,22 @@ class Context:
         location string (csv/parquet/json/orc/…, dispatched like the
         reference's input plugin chain), or rows. ``persist=True`` caches
         into cluster memory (reference input_utils/convert.py:70-71).
+
+        ``auto_rebalance`` (opt-in): when a *small* file-backed table
+        arrives with pathologically low scan parallelism (e.g. one giant
+        parquet row group — a single task serializes every downstream
+        operator), repartition to cluster parallelism and cache.
+        Size-capped so a 100 TB fact table is never touched. Off by
+        default: measured locally, NVMe parquet scans + whole-stage
+        codegen beat in-memory-cache scans for one-pass analytics; turn
+        it on for iterative workloads that rescan small tables many times.
         """
         schema_name = schema_name or self.schema_name
         df = to_spark_dataframe(self.spark, input_table, format=format, **kwargs)
         if persist:
             df = df.cache()
+        elif auto_rebalance and isinstance(input_table, str):
+            df = self._maybe_rebalance(df, input_table)
         schema = self.schemas[schema_name]
         schema.tables[table_name.lower()] = df
         if isinstance(input_table, str):
@@ -143,6 +155,37 @@ class Context:
         if statistics:
             schema.statistics[table_name.lower()] = statistics
         df.createOrReplaceTempView(self._view_name(table_name, schema_name))
+
+    # size cap for auto-rebalance caching: tables above this stay pure
+    # file scans (their layout is the lake's responsibility)
+    AUTO_REBALANCE_MAX_BYTES = 2 * 1024**3
+
+    def _maybe_rebalance(self, df: DataFrame, location: str):
+        """Repartition+cache a small table whose file layout starves the
+        cluster of parallelism (scan splits < half the executor slots)."""
+        import glob
+        import os
+
+        try:
+            paths = glob.glob(location) or [location]
+            size = sum(
+                os.path.getsize(p)
+                for path in paths
+                for p in (
+                    [path]
+                    if os.path.isfile(path)
+                    else glob.glob(os.path.join(path, "**"), recursive=True)
+                )
+                if os.path.isfile(p)
+            )
+        except OSError:
+            return df
+        if size > self.AUTO_REBALANCE_MAX_BYTES:
+            return df
+        parallelism = self.spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() * 2 >= parallelism:
+            return df
+        return df.repartition(parallelism).cache()
 
     def drop_table(self, table_name: str, schema_name: str | None = None) -> None:
         schema_name = schema_name or self.schema_name

@@ -29,6 +29,7 @@ from dask_sql_spark.operators.hashing import (
     MINHASH_PRIME,
     portable_hash64,
 )
+from dask_sql_spark.operators.util import ensure_parallelism
 
 
 # --------------------------------------------------------------------- #
@@ -83,7 +84,8 @@ def shingles(
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
         .where(F.col("shingle") != "")
     )
 
@@ -147,27 +149,25 @@ def minhash_signatures(
     num_perm: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, perm, minhash) — min over shingles of h_i(s) = (a·H(s)+b) mod p.
+    """Wide minhash signature: one row per document with columns
+    mh0..mh{num_perm-1} = min over shingles of h_i(s) = (a·H(s)+b) mod p.
 
     H is the portable 60-bit md5 hash reduced mod p; (a, b) are the fixed
     MINHASH_PERMS constants, so the DuckDB oracle reproduces every value.
-    The perm table is tiny → broadcast joined; the only shuffle is the
-    (id, perm) groupBy.
+
+    Scale shape: all num_perm mins are computed in a SINGLE groupBy over
+    the shingle rows — Catalyst plans a partial (map-side) aggregate, so
+    the shuffle carries one num_perm-wide row per (partition, doc), not
+    num_perm× exploded rows.
     """
-    spark = df.sparkSession
-    perms = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(MINHASH_PERMS[:num_perm])],
-        "perm INT, a BIGINT, b BIGINT",
-    )
     sh = shingles(df, id_col, text_col, shingle_n).withColumn(
         "h", portable_hash64(F.col("shingle")) % MINHASH_PRIME
     )
-    return (
-        sh.join(F.broadcast(perms))
-        .withColumn("ph", (F.col("a") * F.col("h") + F.col("b")) % MINHASH_PRIME)
-        .groupBy(id_col, "perm")
-        .agg(F.min("ph").alias("minhash"))
-    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS[:num_perm])
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -187,21 +187,24 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
-    band_sigs = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("perm"), F.col("minhash")))
-                    ),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-                "_",
-            ).alias("bucket")
-        )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{b * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
     )
+    band_sigs = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = band_sigs.alias("a")
     b = band_sigs.alias("b")
     return (
@@ -235,30 +238,26 @@ def simhash(
         lambda t: t != F.lit(""),
     )
     tok_h = (
-        df.select(F.col(id_col), F.explode(toks).alias("tok"))
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(toks).alias("tok"))
         .withColumn("h", portable_hash64(F.col("tok")))
     )
-    bit = tok_h.select(
-        id_col,
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-    ).withColumn(
-        # shiftright/shiftleft builtins take a literal count; the count is
-        # a column here, so go through SQL exprs
-        "w",
-        F.when(F.expr("shiftright(h, j) & 1") == 1, 1).otherwise(-1),
-    )
-    return (
-        bit.groupBy(id_col, "j")
-        .agg(F.sum("w").alias("s"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)"))
-                .otherwise(0)
-            ).alias("simhash")
+    # all `bits` bit-sums in ONE groupBy (map-side partial agg; the shuffle
+    # carries one bits-wide row per (partition, doc) instead of bits×
+    # exploded rows)
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {j}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    sums = tok_h.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("bigint")
+    for j in range(bits):
+        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-    )
+    return sums.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_pairs(

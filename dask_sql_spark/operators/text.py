@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dask_sql_spark.operators.util import ensure_parallelism
+
 # whitespace tokenizer shared by all operators (identical regex in DuckDB)
 _WS = r"\s+"
 
@@ -42,6 +44,7 @@ def token_count(text: Column) -> Column:
 def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens plus a BPE-ish word/punct split
     count (reference-free; SURVEY.md §7 M6 'token counting')."""
+    df = ensure_parallelism(df)
     t = F.col(text_col)
     # BPE-ish pieces: word chunks, digit runs, single punctuation marks
     pieces = F.filter(
@@ -59,6 +62,7 @@ def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality scoring: length, punctuation ratio, stopword ratio, digit
     ratio, mean word length — the standard cheap pre-filters for LLM
     training corpora (C4/Gopher-style rules)."""
+    df = ensure_parallelism(df)
     t = F.col(text_col)
     n_chars = F.length(t)
     n_punct = n_chars - F.length(F.regexp_replace(t, _PUNCT_CLASS, ""))
@@ -95,6 +99,7 @@ def add_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Language-ID heuristic: argmax of per-language stopword hit counts
     (n-gram/stopword heuristic; ties break by fixed language order
     en→de→fr→es, 'und' for no hits at all)."""
+    df = ensure_parallelism(df)
     toks = tokens(F.col(text_col))
     scores = {
         lang: F.size(F.filter(toks, lambda w: w.isin(words)))
@@ -128,4 +133,5 @@ def fingerprint(text: Column) -> Column:
 
 
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    df = ensure_parallelism(df)
     return df.withColumn("fp", fingerprint(F.col(text_col)))
