@@ -154,11 +154,13 @@ def rewrite(sql: str) -> str:
     """Apply all dialect rewrites to a SQL string (string literals are left
     untouched except where they are the SIMILAR TO pattern itself)."""
 
-    # CEIL(x TO unit) exprs may contain literals (TIMESTAMP '...'), so these
-    # run on the full text; the patterns are specific enough not to fire
+    # CEIL(x TO unit) exprs may contain literals (TIMESTAMP '...'), so this
+    # one runs on the full text; the pattern is specific enough not to fire
     # inside ordinary strings.
     sql = _CEIL_FLOOR_RE.sub(_ceil_floor_repl, sql)
-    sql = _RAND_INTEGER_RE.sub(_rand_integer_repl, sql)
+    sql = _rewrite_outside_literals(
+        sql, lambda chunk: _RAND_INTEGER_RE.sub(_rand_integer_repl, chunk)
+    )
 
     # SIMILAR TO spans a literal, so run on the full text
     def _similar_repl(m: re.Match) -> str:

@@ -82,7 +82,12 @@ def predict_model(context: "Context", name: str, select: str) -> DataFrame:
     df = context.sql(select)
     spark = context.spark
     model_bc = spark.sparkContext.broadcast(pickle.dumps(model))
-    out_schema = df.schema.add("target", "double")
+    from pyspark.sql import types as T
+
+    # StructType.add mutates in place — never call it on df.schema
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("target", T.DoubleType())]
+    )
 
     def _predict(batches):
         est = pickle.loads(model_bc.value)

@@ -66,9 +66,9 @@ _ANALYZE_TABLE = re.compile(
     r"(ALL\s+COLUMNS|COLUMNS\s+(.*))\s*$",
     _FLAGS,
 )
-_CREATE_MODEL = re.compile(
+_CREATE_MODEL_HEAD = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MODEL\s+(IF\s+NOT\s+EXISTS\s+)?"
-    r"([\w.\"]+)\s+WITH\s*\((.*)\)\s+AS\s+(.*)$",
+    r"([\w.\"]+)\s+WITH\s*\(",
     _FLAGS,
 )
 _PREDICT = re.compile(
@@ -82,6 +82,29 @@ _EXPORT_MODEL = re.compile(
 
 def _unquote(name: str) -> str:
     return name.strip().strip('"')
+
+
+def _split_balanced(sql: str, open_idx: int) -> tuple[str, str] | None:
+    """Given the index of an opening '(', return (inner, rest-after-close)
+    using paren-depth scanning that skips string literals. Needed because a
+    greedy regex would mis-split ``WITH (...) AS SELECT CAST(a AS ...)``."""
+    depth = 0
+    in_str = False
+    for i in range(open_idx, len(sql)):
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return sql[open_idx + 1 : i], sql[i + 1 :]
+    return None
 
 
 def parse_kwargs(body: str) -> dict:
@@ -239,11 +262,19 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
         # distributed: summary() aggregates executor-side.
         return df.summary()
 
-    m = _CREATE_MODEL.match(sql)
+    m = _CREATE_MODEL_HEAD.match(sql)
     if m:
         from dask_sql_spark.ml.model import create_model
 
-        replace, if_not_exists, name, body, select = m.groups()
+        replace, if_not_exists, name = m.groups()
+        split = _split_balanced(sql, m.end() - 1)
+        if split is None:
+            raise ValueError("CREATE MODEL: unbalanced parentheses in WITH (...)")
+        body, rest = split
+        rest_m = re.match(r"\s*AS\s+(.*)$", rest, _FLAGS)
+        if rest_m is None:
+            raise ValueError("CREATE MODEL requires `AS <select>`")
+        select = rest_m.group(1)
         name = _unquote(name)
         schema = context.schemas[context.schema_name]
         if name in schema.models and if_not_exists:

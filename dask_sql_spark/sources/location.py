@@ -124,8 +124,35 @@ def to_spark_dataframe(
         import pandas as pd
 
         if isinstance(input_table, pd.DataFrame):
-            return spark.createDataFrame(input_table)
+            return spark.createDataFrame(_normalize_pandas(input_table))
     except ImportError:  # pragma: no cover
         pass
     # final fallback: rows/dicts
     return spark.createDataFrame(input_table)
+
+
+# unsigned → next-wider signed, preserving NULLs; Spark has no unsigned
+# types and Arrow conversion rejects them (reference collapses unsigned into
+# same-width signed SQL types, mappings.py:32-39 — we widen instead so
+# values above the signed midpoint survive)
+_UNSIGNED_TO_SIGNED = {
+    "UInt8": "Int16",
+    "UInt16": "Int32",
+    "UInt32": "Int64",
+    "UInt64": "Int64",
+    "uint8": "int16",
+    "uint16": "int32",
+    "uint32": "int64",
+    "uint64": "int64",
+}
+
+
+def _normalize_pandas(pdf):
+    import pandas as pd  # noqa: F401
+
+    converted = {}
+    for c in pdf.columns:
+        name = str(pdf[c].dtype)
+        if name in _UNSIGNED_TO_SIGNED:
+            converted[c] = pdf[c].astype(_UNSIGNED_TO_SIGNED[name])
+    return pdf.assign(**converted) if converted else pdf

@@ -1,0 +1,74 @@
+"""Context API tests (reference tests/unit/test_context.py +
+tests/integration/test_create.py / test_schema.py)."""
+
+import pandas as pd
+import pytest
+
+
+def test_sql_returns_lazy_dataframe(context):
+    df = context.sql("SELECT * FROM df_simple")
+    from pyspark.sql import DataFrame
+
+    assert isinstance(df, DataFrame)
+    assert df.count() == 3
+
+
+def test_return_futures_false_collects(context):
+    out = context.sql("SELECT a FROM df_simple ORDER BY a", return_futures=False)
+    assert isinstance(out, pd.DataFrame)
+    assert list(out["a"]) == [1, 2, 3]
+
+
+def test_adhoc_dataframes(context):
+    pdf = pd.DataFrame({"x": [10, 20]})
+    out = context.sql(
+        "SELECT SUM(x) AS s FROM adhoc", dataframes={"adhoc": pdf}
+    ).collect()
+    assert out[0].s == 30
+
+
+def test_config_options_scoped(context):
+    before = context.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    context.sql(
+        "SELECT 1 AS x",
+        config_options={"sql.join.broadcast": "1048576"},
+    )
+    assert (
+        context.spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    )
+
+
+def test_create_and_drop_table(context):
+    context.create_table("tmp_t", pd.DataFrame({"x": [1]}))
+    assert context.sql("SELECT * FROM tmp_t").count() == 1
+    context.drop_table("tmp_t")
+    with pytest.raises(Exception):
+        context.sql("SELECT * FROM tmp_t").collect()
+
+
+def test_schemas(context):
+    context.create_schema("s2")
+    context.create_table("t_in_s2", pd.DataFrame({"x": [5]}), schema_name="s2")
+    assert context.sql("SELECT x FROM s2.t_in_s2").collect()[0].x == 5
+    context.drop_schema("s2")
+    assert "s2" not in context.schemas
+
+
+def test_explain_returns_plan(context):
+    plan = context.explain("SELECT a FROM df_simple WHERE a > 1")
+    assert "Physical Plan" in plan
+
+
+def test_create_table_from_location(context, tmp_path):
+    p = str(tmp_path / "t.csv")
+    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_csv(p, index=False)
+    context.create_table("csv_t", p)
+    rows = context.sql("SELECT a, b FROM csv_t ORDER BY a").collect()
+    assert [tuple(r) for r in rows] == [(1, "x"), (2, "y")]
+    context.drop_table("csv_t")
+
+
+def test_statement_rejects_multiple(context):
+    # one statement per sql() call, like the reference (context.py:846-849)
+    df = context.sql("SELECT 1 AS x; ")
+    assert df.collect()[0].x == 1

@@ -1,0 +1,85 @@
+"""Custom statement tests: DDL + ML (reference test_create.py,
+test_show.py, test_model.py)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+
+def test_create_table_with_location(context, tmp_path):
+    p = str(tmp_path / "loc.parquet")
+    pd.DataFrame({"x": [1, 2, 3]}).to_parquet(p)
+    context.sql(f"CREATE TABLE loc_t WITH (location = '{p}', format = 'parquet')")
+    assert context.sql("SELECT COUNT(*) AS n FROM loc_t").collect()[0].n == 3
+    context.sql("DROP TABLE loc_t")
+
+
+def test_create_table_as(context):
+    context.sql("CREATE OR REPLACE TABLE ctas_t AS SELECT a * 2 AS a2 FROM df_simple")
+    rows = sorted(r.a2 for r in context.sql("SELECT a2 FROM ctas_t").collect())
+    assert rows == [2, 4, 6]
+    context.sql("DROP TABLE ctas_t")
+
+
+def test_create_view_lazy(context):
+    context.sql("CREATE OR REPLACE VIEW v_t AS SELECT a FROM df_simple WHERE a > 1")
+    assert context.sql("SELECT COUNT(*) AS n FROM v_t").collect()[0].n == 2
+    context.sql("DROP TABLE v_t")
+
+
+def test_show_schemas_tables_columns(context):
+    schemas = [r.Schema for r in context.sql("SHOW SCHEMAS").collect()]
+    assert "root" in schemas
+    tables = [r.Table for r in context.sql("SHOW TABLES").collect()]
+    assert "df_simple" in tables
+    cols = context.sql("SHOW COLUMNS FROM df_simple").collect()
+    assert {(r.Column, r.Type) for r in cols} == {("a", "BIGINT"), ("b", "DOUBLE")}
+
+
+def test_analyze_table(context):
+    rows = context.sql(
+        "ANALYZE TABLE df_simple COMPUTE STATISTICS FOR COLUMNS a"
+    ).collect()
+    stats = {r.summary: r.a for r in rows}
+    assert stats["count"] == "3" and stats["max"] == "3"
+
+
+def test_if_not_exists_and_errors(context):
+    context.sql("CREATE OR REPLACE TABLE exists_t AS SELECT 1 AS x")
+    # IF NOT EXISTS on existing: no-op
+    context.sql("CREATE TABLE IF NOT EXISTS exists_t AS SELECT 2 AS x")
+    assert context.sql("SELECT x FROM exists_t").collect()[0].x == 1
+    with pytest.raises(RuntimeError):
+        context.sql("DROP TABLE never_was")
+    context.sql("DROP TABLE IF EXISTS never_was")  # tolerated
+    context.sql("DROP TABLE exists_t")
+
+
+def test_create_model_predict_export_describe(context, tmp_path):
+    context.sql(
+        """CREATE OR REPLACE MODEL m1 WITH (
+             model_class = 'tests.dummy_estimator.MeanRegressor',
+             target_column = 'b'
+           ) AS SELECT CAST(a AS DOUBLE) AS a, b FROM df_simple"""
+    )
+    models = [r.Model for r in context.sql("SHOW MODELS").collect()]
+    assert "m1" in models
+
+    rows = context.sql(
+        "SELECT * FROM PREDICT(MODEL m1, SELECT CAST(a AS DOUBLE) AS a FROM df_simple)"
+    ).collect()
+    assert len(rows) == 3
+    assert all(abs(r.target - 2.2) < 1e-9 for r in rows)  # mean of b
+
+    desc = {r.Param: r.Value for r in context.sql("DESCRIBE MODEL m1").collect()}
+    assert desc["shift"] == "0.0"
+
+    out = str(tmp_path / "m1.pkl")
+    context.sql(f"EXPORT MODEL m1 WITH (format = 'pickle', location = '{out}')")
+    assert os.path.exists(out)
+
+    context.sql("DROP MODEL m1")
+    with pytest.raises(RuntimeError):
+        context.sql("DROP MODEL m1")
+    context.sql("DROP MODEL IF EXISTS m1")

@@ -1,0 +1,59 @@
+"""Dialect rewriter unit tests (reference: RegexOperation call.py:401-504,
+dialect.rs:48-150)."""
+
+import re
+
+from dask_sql_spark.dialect import (
+    rewrite,
+    sql_like_to_regex,
+    sql_similar_to_regex,
+)
+
+
+def test_similar_to_basic():
+    assert sql_similar_to_regex("a%") == "^a.*$"
+    assert sql_similar_to_regex("a_c") == "^a.c$"
+    # POSIX metachars survive (that's what distinguishes SIMILAR TO from LIKE)
+    assert sql_similar_to_regex("(a|b)%") == "^(a|b).*$"
+
+
+def test_similar_to_escape():
+    assert sql_similar_to_regex("!%x", escape="!") == "^%x$"
+    assert sql_similar_to_regex("a!_b", escape="!") == "^a_b$"
+
+
+def test_like_to_regex_escapes_metachars():
+    assert sql_like_to_regex("a.b%") == "^a\\.b.*$"
+    assert re.match(sql_like_to_regex("100%"), "100three")
+
+
+def test_rewrite_similar_to():
+    out = rewrite("SELECT a SIMILAR TO 'x%' FROM t")
+    assert "regexp_like(a, '^x.*$')" in out
+
+
+def test_rewrite_not_similar_to():
+    out = rewrite("SELECT a NOT SIMILAR TO 'x%' FROM t")
+    assert "NOT regexp_like" in out
+
+
+def test_rewrite_ceil_floor_to_unit():
+    out = rewrite("SELECT FLOOR(ts TO DAY) FROM t")
+    assert "date_trunc('DAY', ts)" in out
+    out = rewrite("SELECT CEIL(ts TO MONTH) FROM t")
+    assert "date_trunc('MONTH', ts)" in out and "INTERVAL '1' MONTH" in out
+
+
+def test_rewrite_rand_integer():
+    assert "FLOOR(RAND() * (10))" in rewrite("SELECT RAND_INTEGER(10)")
+    assert "RAND(7)" in rewrite("SELECT RAND_INTEGER(7, 10)")
+
+
+def test_rewrite_leaves_plain_sql_alone():
+    q = "SELECT a, b FROM t WHERE a LIKE 'x%' AND b > 3"
+    assert rewrite(q) == q
+
+
+def test_rewrite_skips_string_literals():
+    q = "SELECT 'RAND_INTEGER(10)' AS s"
+    assert rewrite(q) == q

@@ -1,0 +1,58 @@
+"""Driver-contract smoke tests: entry() runs, queries()/oracle_sql() are
+consistent, and a fast subset hash-matches DuckDB at sf0.001 (the full
+sf0.01 sweep lives in tools/check_oracle.py)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+FAST_SUBSET = [
+    "q1_pricing_summary",
+    "join_left_q13",
+    "agg_filter_clause",
+    "window_rank_family",
+    "int_division",
+    "dedup_exact",
+    "text_langid",
+]
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns
+
+
+def test_queries_oracles_consistent():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 50
+    # every oracle refers to a registered query
+    assert set(oracles) <= set(qs)
+    # only known-nondeterministic/approximate ops may skip the oracle
+    assert set(qs) - set(oracles) == {"sample_bernoulli", "ann_lsh_topk"}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in entrymod.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", FAST_SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    sdf = entrymod.queries()[name](spark, SF_DIR).toPandas()
+    odf = duck.execute(entrymod.oracle_sql()[name]).df()
+    assert compare(sdf, odf) is None

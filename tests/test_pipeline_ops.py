@@ -1,0 +1,183 @@
+"""Training-data pipeline operator tests: dedup, similarity, text,
+multimodal (SURVEY §7 M6) over small synthetic documents."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+                "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+                "completely different content about spark sql engines",
+                "Der schnelle braune Fuchs und der faule Hund",
+                "le renard brun rapide et le chien paresseux et la",
+                "short",
+                "the quick brown fox jumps over the lazy dog today",  # near-dup
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf).repartition(3)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.14, 0.0]),   # ~cos 0.99 with 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [0.7, 0.7, 0.14]),
+    ]
+    return spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+
+# ------------------------- dedup ------------------------- #
+def test_exact_duplicates(docs):
+    from dask_sql_spark.operators.dedup import drop_exact_duplicates, exact_duplicates
+
+    groups = exact_duplicates(docs).collect()
+    dupes = [g for g in groups if g.n_copies > 1]
+    assert len(dupes) == 1 and dupes[0].keeper_id == 0 and dupes[0].n_copies == 2
+    kept = drop_exact_duplicates(docs)
+    assert kept.count() == 7
+    assert kept.where(F.col("doc_id") == 2).count() == 0
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    from dask_sql_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0  # exact dup
+    assert (0, 1) in pairs  # one-word difference
+    assert all(not (a == 3 or b == 3) for a, b in pairs)  # unrelated doc
+
+
+def test_minhash_lsh_candidates(docs):
+    from dask_sql_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, num_perm=16, bands=8).collect()
+    }
+    assert (0, 2) in pairs  # identical text always collides
+    assert all(not (a == 3 or b == 3) for a, b in pairs)
+
+
+def test_minhash_matches_bruteforce_jaccard(docs):
+    # LSH candidates with high bands (8 bands of 2 rows) must include every
+    # pair with jaccard >= ~0.5 on this tiny corpus
+    from dask_sql_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    true_pairs = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    cands = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, num_perm=16, bands=8).collect()
+    }
+    assert true_pairs <= cands
+
+
+def test_simhash_hamming(docs):
+    from dask_sql_spark.operators.dedup import simhash, simhash_pairs
+
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sh[0] == sh[2]  # identical docs → identical simhash
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, max_hamming=6).collect()}
+    assert pairs[(0, 2)] == 0
+
+
+def test_embedding_near_dupes(emb):
+    from dask_sql_spark.operators.dedup import embedding_near_dupes
+
+    pairs = {(r.id_a, r.id_b) for r in embedding_near_dupes(emb, threshold=0.95).collect()}
+    assert pairs == {(0, 1)}
+
+
+# ------------------------- similarity ------------------------- #
+def test_brute_force_topk(emb):
+    from dask_sql_spark.operators.similarity import brute_force_topk
+
+    res = brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=2).collect()
+    ranked = sorted(((r.rank, r.neighbor_id) for r in res))
+    assert ranked[0] == (1, 1)  # nearest neighbour of 0 is 1
+
+
+def test_lsh_topk_recovers_close_neighbor(emb):
+    from dask_sql_spark.operators.similarity import lsh_topk
+
+    res = lsh_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=2, n_planes=4
+    ).collect()
+    assert any(r.neighbor_id == 1 for r in res)
+
+
+# ------------------------- text ------------------------- #
+def test_token_stats(docs):
+    from dask_sql_spark.operators.text import add_token_stats
+
+    rows = {r.doc_id: r for r in add_token_stats(docs).collect()}
+    assert rows[0].n_tokens == 9
+    assert rows[6].n_tokens == 1
+
+
+def test_quality_score(docs):
+    from dask_sql_spark.operators.text import add_quality_score
+
+    rows = {r.doc_id: r for r in add_quality_score(docs).collect()}
+    assert rows[0].stopword_ratio > 0  # 'the' twice / 9 tokens
+    assert rows[0].digit_ratio == 0.0
+    assert rows[0].mean_word_len > 3
+
+
+def test_langid(docs):
+    from dask_sql_spark.operators.text import add_langid
+
+    rows = {r.doc_id: r.lang_guess for r in add_langid(docs).collect()}
+    assert rows[0] == "en" and rows[4] == "de" and rows[5] == "fr"
+
+
+def test_fingerprint_clusters_word_permutations(spark):
+    from dask_sql_spark.operators.text import add_fingerprint
+
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["alpha beta gamma", "Gamma, beta alpha!", "delta"]}
+    )
+    rows = {r.doc_id: r.fp for r in add_fingerprint(spark.createDataFrame(pdf)).collect()}
+    assert rows[0] == rows[1] != rows[2]
+
+
+# ------------------------- multimodal ------------------------- #
+def test_multimodal_plumbing(docs):
+    from dask_sql_spark.operators.multimodal import (
+        attach_binary,
+        extract_image_meta,
+        resize_stub,
+    )
+
+    with_bin = attach_binary(docs, "text")
+    meta = extract_image_meta(with_bin, fake=True)
+    rows = {r.doc_id: r for r in meta.collect()}
+    assert rows[0].byte_len == len("the quick brown fox jumps over the lazy dog")
+    assert rows[0].sha1 == rows[2].sha1  # identical payloads
+    assert 16 <= rows[0].width < 256 and 1 <= rows[0].channels <= 4
+    resized = resize_stub(with_bin.select("doc_id", "payload"))
+    assert resized.collect()[0].resized_to == 224
+
+
+def test_decode_without_fake_raises():
+    from dask_sql_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"bytes", fake=False)
