@@ -1,0 +1,105 @@
+"""Presto wire server + CLI tests (reference test_server.py, test_jdbc.py,
+test_cmd.py)."""
+
+import json
+import time
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(context):
+    from dask_sql_spark.server.app import run_server
+
+    s = run_server(context, host="127.0.0.1", port=0, blocking=False)
+    yield s
+    s.stop()
+
+
+def _post(server, sql: str) -> dict:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/statement",
+        data=sql.encode(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as resp:
+        return json.load(resp)
+
+
+def _poll(payload: dict, timeout: float = 30.0) -> dict:
+    deadline = time.time() + timeout
+    while "nextUri" in payload and time.time() < deadline:
+        with urllib.request.urlopen(payload["nextUri"]) as resp:
+            payload = json.load(resp)
+        if payload.get("stats", {}).get("state") in ("FINISHED", "FAILED"):
+            break
+        time.sleep(0.05)
+    return payload
+
+
+def test_statement_roundtrip(server):
+    payload = _poll(_post(server, "SELECT 1 + 1 AS two"))
+    assert payload["stats"]["state"] == "FINISHED"
+    assert payload["columns"][0]["name"] == "two"
+    assert payload["data"] == [[2]]
+
+
+def test_statement_over_table(server):
+    payload = _poll(
+        _post(server, "SELECT a, b FROM df_simple ORDER BY a")
+    )
+    assert payload["stats"]["state"] == "FINISHED"
+    assert [c["name"] for c in payload["columns"]] == ["a", "b"]
+    assert [row[0] for row in payload["data"]] == [1, 2, 3]
+
+
+def test_statement_error_reported(server):
+    payload = _poll(_post(server, "SELECT * FROM table_that_is_not_there"))
+    assert payload["stats"]["state"] == "FAILED"
+    assert "error" in payload
+
+
+def test_cancel(server):
+    first = _post(server, "SELECT COUNT(*) AS n FROM df")
+    qid = first["id"]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/cancel/{qid}", method="DELETE"
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 200
+
+
+def test_jdbc_metadata(server):
+    payload = _poll(_post(server, "SELECT * FROM system.jdbc.tables"))
+    assert payload["stats"]["state"] == "FINISHED"
+    names = [row[2] for row in payload["data"]]
+    assert "df_simple" in names
+    payload = _poll(_post(server, "SELECT * FROM system.jdbc.columns"))
+    cols = {(row[2], row[3]) for row in payload["data"]}
+    assert ("df_simple", "a") in cols
+
+
+# ----------------------------- CLI ----------------------------- #
+def test_cli_meta_commands(context):
+    from dask_sql_spark.cmd import run_command
+
+    assert "root" in run_command(context, "\\l")
+    assert "df_simple" in run_command(context, "\\dt")
+    assert "spark" in run_command(context, "\\conninfo")
+    desc = run_command(context, "\\d df_simple")
+    assert "a\tbigint" in desc
+
+
+def test_cli_sql(context):
+    from dask_sql_spark.cmd import run_command
+
+    out = run_command(context, "SELECT 41 + 1 AS answer")
+    assert "42" in out and "answer" in out
+
+
+def test_cli_quit(context):
+    from dask_sql_spark.cmd import run_command
+
+    with pytest.raises(EOFError):
+        run_command(context, "\\q")
