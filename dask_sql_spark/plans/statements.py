@@ -71,6 +71,11 @@ _CREATE_MODEL_HEAD = re.compile(
     r"([\w.\"]+)\s+WITH\s*\(",
     _FLAGS,
 )
+_CREATE_EXPERIMENT_HEAD = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?EXPERIMENT\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"([\w.\"]+)\s+WITH\s*\(",
+    _FLAGS,
+)
 _PREDICT = re.compile(
     r"^\s*SELECT\s+(.*?)\s+FROM\s+PREDICT\s*\(\s*MODEL\s+([\w.\"]+)\s*,\s*(.*)\)\s*$",
     _FLAGS,
@@ -283,6 +288,31 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
             raise RuntimeError(f"Model {name} already exists")
         create_model(context, name, parse_kwargs(body), select)
         return context._empty_result()
+
+    m = _CREATE_EXPERIMENT_HEAD.match(sql)
+    if m:
+        from dask_sql_spark.ml.experiment import create_experiment
+
+        replace, if_not_exists, name = m.groups()
+        split = _split_balanced(sql, m.end() - 1)
+        if split is None:
+            raise ValueError(
+                "CREATE EXPERIMENT: unbalanced parentheses in WITH (...)"
+            )
+        body, rest = split
+        rest_m = re.match(r"\s*AS\s+(.*)$", rest, _FLAGS)
+        if rest_m is None:
+            raise ValueError("CREATE EXPERIMENT requires `AS <select>`")
+        name = _unquote(name)
+        schema = context.schemas[context.schema_name]
+        if name in schema.experiments and if_not_exists:
+            return context._empty_result()
+        if name in schema.experiments and not replace:
+            raise RuntimeError(f"Experiment {name} already exists")
+        results = create_experiment(
+            context, name, parse_kwargs(body), rest_m.group(1)
+        )
+        return context.spark.createDataFrame(results.astype(str))
 
     m = _PREDICT.match(sql)
     if m:

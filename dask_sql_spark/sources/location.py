@@ -119,6 +119,20 @@ def to_spark_dataframe(
     if isinstance(input_table, DataFrame):
         return input_table
     if isinstance(input_table, str):
+        if format == "hive" or input_table.startswith("hive://"):
+            from dask_sql_spark.sources.catalogs import read_hive_table
+
+            name = input_table.removeprefix("hive://")
+            db, _, tbl = name.rpartition(".")
+            return read_hive_table(spark, tbl, db or None)
+        if format == "intake":
+            from dask_sql_spark.sources.catalogs import read_intake_catalog
+
+            return read_intake_catalog(spark, input_table, **kwargs)
+        if format == "memory":
+            # reference: format="memory" reads published datasets; here the
+            # closest native notion is an existing temp view
+            return spark.table(input_table)
         return read_location(spark, input_table, format=format, **kwargs)
     try:
         import pandas as pd

@@ -83,3 +83,25 @@ def test_create_model_predict_export_describe(context, tmp_path):
     with pytest.raises(RuntimeError):
         context.sql("DROP MODEL m1")
     context.sql("DROP MODEL IF EXISTS m1")
+
+
+def test_create_experiment_grid_search(context):
+    res = context.sql(
+        """CREATE OR REPLACE EXPERIMENT exp1 WITH (
+             model_class = 'tests.dummy_estimator.MeanRegressor',
+             target_column = 'b',
+             folds = 2,
+             tune_parameters.shift = (0.0, 1.0, 2.0, 5.0)
+           ) AS SELECT CAST(a AS DOUBLE) AS a, b FROM df_simple"""
+    )
+    rows = res.collect()
+    assert len(rows) == 4  # one row per shift candidate
+    # best model (shift=0 minimizes MSE for a mean predictor) is registered
+    models = [r.Model for r in context.sql("SHOW MODELS").collect()]
+    assert "exp1" in models
+    best = context.schemas["root"].experiments["exp1"]["best_params"]
+    assert best == {"shift": 0.0}
+    pred = context.sql(
+        "SELECT * FROM PREDICT(MODEL exp1, SELECT CAST(a AS DOUBLE) AS a FROM df_simple)"
+    ).collect()
+    assert len(pred) == 3
