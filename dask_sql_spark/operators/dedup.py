@@ -108,7 +108,12 @@ def ngram_jaccard_pairs(
     complexity is Σ bucket² over shingle buckets, not N². At 100 TB,
     drop ultra-frequent shingles first (stopword-gram blowup guard).
     """
-    sh = shingles(df, id_col, text_col, n)
+    # the shingle set feeds the self-join twice plus the size table —
+    # persist once instead of recomputing the explode+md5 subtree 4×
+    # (MEMORY_AND_DISK: spills rather than OOMs at large scale; evicted LRU)
+    from pyspark import StorageLevel
+
+    sh = shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.alias("a")
@@ -202,9 +207,17 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    band_sigs = sig.select(
-        F.col(id_col), F.explode(band_structs).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    from pyspark import StorageLevel
+
+    # one (doc, band) row per band — tiny; persisted because the bucket
+    # self-join reads it twice (else the whole minhash pipeline runs 2×)
+    band_sigs = (
+        sig.select(F.col(id_col), F.explode(band_structs).alias("bb"))
+        .select(
+            id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = band_sigs.alias("a")
     b = band_sigs.alias("b")
     return (
@@ -273,9 +286,12 @@ def simhash_pairs(
     within distance k must agree exactly on ≥1 block (pigeonhole), so the
     self-join runs per (block index, block value) bucket instead of N².
     """
+    from pyspark import StorageLevel
+
     blocks = max_hamming + 1
     block_bits = bits // blocks
-    sh = simhash(df, id_col, text_col, bits)
+    # one row per doc; persisted — the block-bucket self-join reads it twice
+    sh = simhash(df, id_col, text_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
     exploded = sh.select(
         id_col,
         "simhash",
