@@ -701,6 +701,125 @@ FROM orders
 """,
 )
 
+_sqlq(
+    "scalar_string2",
+    """
+SELECT c_custkey,
+  c_name || '|' || c_mktsegment AS cat2,
+  OVERLAY(c_name PLACING 'XX' FROM 2 FOR 3) AS ovl,
+  BTRIM(c_name, 'Cr0') AS btr,
+  SPLIT_PART(c_name, '#', 2) AS numpart,
+  REPEAT(c_mktsegment, 2) AS rep2,
+  LEFT(c_name, 4) AS l4, RIGHT(c_name, 4) AS r4
+FROM customer
+""",
+    """
+SELECT c_custkey,
+  c_name || '|' || c_mktsegment AS cat2,
+  substr(c_name, 1, 1) || 'XX' || substr(c_name, 5) AS ovl,
+  TRIM(c_name, 'Cr0') AS btr,
+  SPLIT_PART(c_name, '#', 2) AS numpart,
+  REPEAT(c_mktsegment, 2) AS rep2,
+  LEFT(c_name, 4) AS l4, RIGHT(c_name, 4) AS r4
+FROM customer
+""",
+)
+
+_sqlq(
+    "scalar_is_bool",
+    """
+SELECT
+  COUNT(CASE WHEN (NULLIF(o_orderstatus, 'O') = 'F') IS TRUE THEN 1 END) AS n_true,
+  COUNT(CASE WHEN (NULLIF(o_orderstatus, 'O') = 'F') IS NOT TRUE THEN 1 END) AS n_not_true,
+  COUNT(CASE WHEN (NULLIF(o_orderstatus, 'O') = 'F') IS FALSE THEN 1 END) AS n_false,
+  COUNT(CASE WHEN (NULLIF(o_orderstatus, 'O') = 'F') IS UNKNOWN THEN 1 END) AS n_unknown
+FROM orders
+""",
+    """
+SELECT
+  COUNT(CASE WHEN (NULLIF(o_orderstatus, 'O') = 'F') IS TRUE THEN 1 END) AS n_true,
+  COUNT(CASE WHEN (NULLIF(o_orderstatus, 'O') = 'F') IS NOT TRUE THEN 1 END) AS n_not_true,
+  COUNT(CASE WHEN (NULLIF(o_orderstatus, 'O') = 'F') IS FALSE THEN 1 END) AS n_false,
+  COUNT(CASE WHEN (NULLIF(o_orderstatus, 'O') = 'F') IS NULL THEN 1 END) AS n_unknown
+FROM orders
+""",
+)
+
+_sqlq(
+    "agg_every",
+    """
+SELECT l_linestatus,
+  EVERY(l_quantity > 0) AS all_pos,
+  BOOL_OR(l_quantity > 49) AS any_max
+FROM lineitem GROUP BY l_linestatus
+""",
+    """
+SELECT l_linestatus,
+  BOOL_AND(l_quantity > 0) AS all_pos,
+  BOOL_OR(l_quantity > 49) AS any_max
+FROM lineitem GROUP BY l_linestatus
+""",
+)
+
+# nested types: additive capability — the reference has NO array/map/struct
+# support at all (SURVEY §1.3)
+_sqlq(
+    "nested_struct_map",
+    """
+SELECT o_orderkey,
+  NAMED_STRUCT('key', o_orderkey, 'price', o_totalprice).key AS skey,
+  MAP('status', o_orderstatus, 'priority', o_orderpriority)['priority'] AS mprio,
+  ELEMENT_AT(ARRAY(o_orderstatus, o_orderpriority), 2) AS arr2,
+  SIZE(ARRAY(1, 2, 3)) AS asz
+FROM orders
+""",
+    """
+SELECT o_orderkey,
+  struct_pack(key := o_orderkey, price := o_totalprice).key AS skey,
+  MAP(['status', 'priority'], [o_orderstatus, o_orderpriority])['priority'][1] AS mprio,
+  list_value(o_orderstatus, o_orderpriority)[2] AS arr2,
+  CAST(len([1, 2, 3]) AS INT) AS asz
+FROM orders
+""",
+)
+
+_sqlq(
+    "json_roundtrip",
+    """
+SELECT o_orderkey,
+  TO_JSON(NAMED_STRUCT('k', o_orderkey, 's', o_orderstatus)) AS js,
+  CAST(FROM_JSON(props, 'k INT').k AS INT) AS pk
+FROM orders JOIN events ON o_orderkey = event_id
+""",
+    """
+SELECT o_orderkey,
+  '{"k":' || CAST(o_orderkey AS VARCHAR) || ',"s":"' || o_orderstatus || '"}' AS js,
+  CAST(props->>'$.k' AS INT) AS pk
+FROM orders JOIN events ON o_orderkey = event_id
+""",
+)
+
+_sqlq(
+    "totimestamp_compat",
+    """
+SELECT o_orderkey,
+  DSQL_TOTIMESTAMP(DATE_FORMAT(o_orderdate, 'yyyy*MM*dd'), '%Y*%m*%d') AS parsed,
+  DSQL_TOTIMESTAMP(CAST(UNIX_TIMESTAMP(o_orderdate) AS BIGINT), '%Y-%m-%d') AS from_epoch,
+  TIMESTAMPFLOOR(o_orderdate, 'MONTH') AS tfloor,
+  TIMESTAMPCEIL(o_orderdate, 'MONTH') AS tceil
+FROM orders
+""",
+    """
+SELECT o_orderkey,
+  strptime(strftime(o_orderdate, '%Y*%m*%d'), '%Y*%m*%d') AS parsed,
+  o_orderdate AS from_epoch,
+  date_trunc('MONTH', o_orderdate) AS tfloor,
+  CASE WHEN date_trunc('MONTH', o_orderdate) = o_orderdate THEN o_orderdate
+       ELSE date_trunc('MONTH', o_orderdate) + INTERVAL 1 MONTH END AS tceil
+FROM orders
+""",
+)
+
 # ==================================================================== #
 # 7. subqueries (SURVEY §2.6 rex ScalarSubquery / §4.1 decorrelation)  #
 # ==================================================================== #

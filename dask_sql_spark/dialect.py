@@ -150,6 +150,55 @@ def _rand_integer_repl(m: re.Match) -> str:
     return f"CAST(FLOOR({rand} * ({high})) AS INT)"
 
 
+# C-style strftime tokens → Java datetime pattern (reference
+# dsql_totimestamp accepts %Y-%m-%d style formats, call.py:628-651)
+_C_TO_JAVA = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
+    "%H": "HH", "%M": "mm", "%S": "ss", "%f": "SSSSSS",
+}
+
+
+def c_format_to_java(fmt: str) -> str:
+    for c, j in _C_TO_JAVA.items():
+        fmt = fmt.replace(c, j)
+    return fmt
+
+
+# first-argument matcher tolerating two levels of nested parens (enough
+# for CAST(fn(col) AS T)-shaped arguments)
+_ARG = r"((?:[^,()']|'(?:[^']|'')*'|\((?:[^()']|'(?:[^']|'')*'|\([^()]*\))*\))+?)"
+
+_DSQL_TOTIMESTAMP_RE = re.compile(
+    r"\bDSQL_TOTIMESTAMP\s*\(\s*" + _ARG + r"\s*,\s*'((?:[^']|'')*)'\s*\)",
+    re.IGNORECASE,
+)
+
+_TIMESTAMP_CEIL_FLOOR_RE = re.compile(
+    r"\bTIMESTAMP(CEIL|FLOOR)\s*\(\s*" + _ARG + r"\s*,\s*'(\w+)'\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _dsql_totimestamp_repl(m: re.Match) -> str:
+    expr, fmt = m.group(1), c_format_to_java(m.group(2))
+    # int epochs go through timestamp_seconds, strings through to_timestamp
+    return (
+        f"COALESCE(try_to_timestamp(CAST({expr} AS STRING), '{fmt}'), "
+        f"timestamp_seconds(try_cast(CAST({expr} AS STRING) AS BIGINT)))"
+    )
+
+
+def _timestamp_ceil_floor_repl(m: re.Match) -> str:
+    which, expr, unit = m.group(1).upper(), m.group(2), m.group(3).upper()
+    trunc = f"date_trunc('{unit}', {expr})"
+    if which == "FLOOR":
+        return trunc
+    return (
+        f"CASE WHEN {trunc} = CAST({expr} AS TIMESTAMP) THEN {trunc} "
+        f"ELSE {trunc} + INTERVAL '1' {unit} END"
+    )
+
+
 def rewrite(sql: str) -> str:
     """Apply all dialect rewrites to a SQL string (string literals are left
     untouched except where they are the SIMILAR TO pattern itself)."""
@@ -158,6 +207,8 @@ def rewrite(sql: str) -> str:
     # one runs on the full text; the pattern is specific enough not to fire
     # inside ordinary strings.
     sql = _CEIL_FLOOR_RE.sub(_ceil_floor_repl, sql)
+    sql = _DSQL_TOTIMESTAMP_RE.sub(_dsql_totimestamp_repl, sql)
+    sql = _TIMESTAMP_CEIL_FLOOR_RE.sub(_timestamp_ceil_floor_repl, sql)
     sql = _rewrite_outside_literals(
         sql, lambda chunk: _RAND_INTEGER_RE.sub(_rand_integer_repl, chunk)
     )

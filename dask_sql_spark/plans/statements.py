@@ -56,6 +56,13 @@ _DROP_SCHEMA = re.compile(
     r"^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?([\w\"]+)\s*$", _FLAGS
 )
 _USE_SCHEMA = re.compile(r"^\s*USE\s+SCHEMA\s+([\w\"]+)\s*$", _FLAGS)
+_ALTER_TABLE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.\"]+)\s+RENAME\s+TO\s+([\w\"]+)\s*$",
+    _FLAGS,
+)
+_ALTER_SCHEMA = re.compile(
+    r"^\s*ALTER\s+SCHEMA\s+([\w\"]+)\s+RENAME\s+TO\s+([\w\"]+)\s*$", _FLAGS
+)
 _SHOW_SCHEMAS = re.compile(r"^\s*SHOW\s+SCHEMAS\s*$", _FLAGS)
 _SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES(?:\s+FROM\s+([\w\"]+))?\s*$", _FLAGS)
 _SHOW_COLUMNS = re.compile(r"^\s*SHOW\s+COLUMNS\s+FROM\s+([\w.\"]+)\s*$", _FLAGS)
@@ -218,6 +225,36 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
         if name not in context.schemas:
             raise RuntimeError(f"Schema {name} does not exist")
         context.schema_name = name
+        return context._empty_result()
+
+    m = _ALTER_TABLE.match(sql)
+    if m:
+        # reference alter.py:14-86: rename = re-register + drop old
+        if_exists, old, new = m.groups()
+        old, new = _unquote(old), _unquote(new)
+        if not context._table_exists(old):
+            if if_exists:
+                return context._empty_result()
+            raise RuntimeError(f"Table {old} does not exist")
+        df = context._get_table(old)
+        context.create_table(new, df)
+        context.drop_table(old)
+        return context._empty_result()
+
+    m = _ALTER_SCHEMA.match(sql)
+    if m:
+        old, new = _unquote(m.group(1)), _unquote(m.group(2))
+        if old not in context.schemas:
+            raise RuntimeError(f"Schema {old} does not exist")
+        schema = context.schemas.pop(old)
+        schema.name = new
+        context.schemas[new] = schema
+        if context.schema_name == old:
+            context.schema_name = new
+        # re-register views under the new mangled names
+        for t, df in schema.tables.items():
+            context.spark.catalog.dropTempView(context._view_name(t, old))
+            df.createOrReplaceTempView(context._view_name(t, new))
         return context._empty_result()
 
     if _SHOW_SCHEMAS.match(sql):

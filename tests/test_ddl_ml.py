@@ -105,3 +105,28 @@ def test_create_experiment_grid_search(context):
         "SELECT * FROM PREDICT(MODEL exp1, SELECT CAST(a AS DOUBLE) AS a FROM df_simple)"
     ).collect()
     assert len(pred) == 3
+
+
+def test_alter_table_rename(context):
+    import pandas as pd
+
+    context.create_table("alter_src", pd.DataFrame({"x": [7]}))
+    context.sql("ALTER TABLE alter_src RENAME TO alter_dst")
+    assert context.sql("SELECT x FROM alter_dst").collect()[0].x == 7
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        context.sql("SELECT x FROM alter_src").collect()
+    context.sql("ALTER TABLE IF EXISTS no_such_t RENAME TO whatever")
+    context.drop_table("alter_dst")
+
+
+def test_alter_schema_rename(context):
+    import pandas as pd
+
+    context.create_schema("old_s")
+    context.create_table("t1", pd.DataFrame({"x": [9]}), schema_name="old_s")
+    context.sql("ALTER SCHEMA old_s RENAME TO new_s")
+    assert "new_s" in context.schemas and "old_s" not in context.schemas
+    assert context.sql("SELECT x FROM new_s.t1").collect()[0].x == 9
+    context.drop_schema("new_s")
