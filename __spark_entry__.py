@@ -912,6 +912,102 @@ GROUP BY CAST(props->>'$.k' AS INT)
 """,
 )
 
+_sqlq(
+    "grouping_function",
+    """
+SELECT r_name, n_name, COUNT(*) AS n,
+  GROUPING(r_name) AS g_r, GROUPING(n_name) AS g_n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    """
+SELECT r_name, n_name, COUNT(*) AS n,
+  CAST(GROUPING(r_name) AS TINYINT) AS g_r, CAST(GROUPING(n_name) AS TINYINT) AS g_n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+
+
+def _approx_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate sketches differ across engines by design → rows-only
+    return _ctx(spark, sf_dir).sql(
+        """
+        SELECT l_returnflag,
+          APPROX_COUNT_DISTINCT(l_partkey) AS approx_parts,
+          APPROX_PERCENTILE(l_quantity, 0.5) AS p50,
+          APPROX_PERCENTILE(l_quantity, ARRAY(0.25, 0.75))[1] AS p75
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+_dfq("approx_aggregates", _approx_fn)
+
+
+# streaming operators in batch mode: the same code path
+# (streaming/core.py) runs on static frames, so the correctness gate can
+# check it — the streaming tests cover incremental execution
+def _tumbling_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.streaming.core import windowed_counts
+
+    ev = _table(spark, sf_dir, "events")
+    out = windowed_counts(ev.drop("props"), window="1 hour", watermark="2 hours")
+    from pyspark.sql import functions as F
+
+    return out.select(
+        "window_start", "event_type", "n",
+        F.round(F.col("total_value"), 4).alias("total_value"),
+    )
+
+
+_dfq(
+    "stream_tumbling_window",
+    _tumbling_fn,
+    """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+  COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+
+
+def _session_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.streaming.core import sessionized
+
+    ev = _table(spark, sf_dir, "events")
+    out = sessionized(ev.drop("props"), gap="30 minutes")
+    from pyspark.sql import functions as F
+
+    return out.select(
+        "session_start", "session_end", "user_id", "n_events",
+        F.round(F.col("total_value"), 4).alias("total_value"),
+    )
+
+
+_dfq(
+    "stream_session_window",
+    _session_window_fn,
+    """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+), sess AS (
+  SELECT user_id, ts, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM marked
+)
+SELECT MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+  user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+FROM sess GROUP BY user_id, session_id
+""",
+)
+
 # ==================================================================== #
 # 9. Spark-specific execution surface (oracle = logical equivalent)    #
 # ==================================================================== #

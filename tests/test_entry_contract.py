@@ -33,7 +33,11 @@ def test_queries_oracles_consistent():
     # every oracle refers to a registered query
     assert set(oracles) <= set(qs)
     # only known-nondeterministic/approximate ops may skip the oracle
-    assert set(qs) - set(oracles) == {"sample_bernoulli", "ann_lsh_topk"}
+    assert set(qs) - set(oracles) == {
+        "sample_bernoulli",
+        "ann_lsh_topk",
+        "approx_aggregates",
+    }
 
 
 @pytest.fixture(scope="module")
