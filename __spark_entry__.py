@@ -913,6 +913,31 @@ GROUP BY CAST(props->>'$.k' AS INT)
 )
 
 _sqlq(
+    "empty_relation",
+    "SELECT o_orderkey, o_orderstatus FROM orders WHERE 1 = 0",
+)
+
+_sqlq(
+    "agg_regr_native",
+    """
+SELECT l_returnflag,
+  REGR_COUNT(l_extendedprice, l_quantity) AS rc,
+  ROUND(COVAR_POP(l_quantity, l_discount), 6) AS cv_pop,
+  ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS cv_samp,
+  ANY_VALUE(l_returnflag) AS av
+FROM lineitem GROUP BY l_returnflag
+""",
+    """
+SELECT l_returnflag,
+  REGR_COUNT(l_extendedprice, l_quantity) AS rc,
+  ROUND(COVAR_POP(l_quantity, l_discount), 6) AS cv_pop,
+  ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS cv_samp,
+  ANY_VALUE(l_returnflag) AS av
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+
+_sqlq(
     "grouping_function",
     """
 SELECT r_name, n_name, COUNT(*) AS n,

@@ -364,7 +364,32 @@ class Context:
             return handled
         rewritten = dialect.rewrite(sql)
         rewritten = self._qualify_schema_tables(rewritten)
-        return self.spark.sql(rewritten)
+        try:
+            return self.spark.sql(rewritten)
+        except Exception as e:
+            # auto-table discovery from the caller's stack (reference
+            # _get_tables_from_stack, context.py:914-931): an unresolved
+            # table whose name matches a DataFrame variable in a calling
+            # frame is registered on the fly and the query retried
+            missing = _missing_table_name(e)
+            if missing and self._register_from_stack(missing):
+                return self.spark.sql(rewritten)
+            raise
+
+    def _register_from_stack(self, name: str) -> bool:
+        import inspect
+
+        frame = inspect.currentframe()
+        try:
+            while frame is not None:
+                candidate = frame.f_locals.get(name)
+                if candidate is not None and _is_frame_like(candidate):
+                    self.create_table(name, candidate)
+                    return True
+                frame = frame.f_back
+        finally:
+            del frame
+        return False
 
     def _qualify_schema_tables(self, sql: str) -> str:
         """Rewrite ``schema.table`` references for non-default schemas into
@@ -419,6 +444,25 @@ class Context:
             return self.sql(query, return_futures=False)
 
         ip.register_magic_function(_sql_magic, "line_cell", "sql")
+
+
+def _missing_table_name(e: Exception) -> str | None:
+    """Extract the table name from a TABLE_OR_VIEW_NOT_FOUND error."""
+    import re
+
+    m = re.search(r"The table or view `?([\w.]+)`? cannot be found", str(e))
+    return m.group(1) if m else None
+
+
+def _is_frame_like(obj: Any) -> bool:
+    if isinstance(obj, DataFrame):
+        return True
+    try:
+        import pandas as _pd
+
+        return isinstance(obj, _pd.DataFrame)
+    except ImportError:  # pragma: no cover
+        return False
 
 
 # dask-sql config keys → spark conf equivalents (reference sql.yaml)

@@ -72,3 +72,24 @@ def test_statement_rejects_multiple(context):
     # one statement per sql() call, like the reference (context.py:846-849)
     df = context.sql("SELECT 1 AS x; ")
     assert df.collect()[0].x == 1
+
+
+def test_auto_table_discovery_from_stack(context):
+    stack_df = pd.DataFrame({"v": [1, 2, 3]})  # noqa: F841 — found via stack
+    out = context.sql("SELECT SUM(v) AS s FROM stack_df").collect()
+    assert out[0].s == 6
+    context.drop_table("stack_df")
+
+
+def test_json_and_orc_sources(context, tmp_path):
+    pdf = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    jp = str(tmp_path / "t.jsonl")
+    pdf.to_json(jp, orient="records", lines=True)
+    context.create_table("json_t", jp)
+    assert context.sql("SELECT COUNT(*) AS n FROM json_t").collect()[0].n == 2
+    op = str(tmp_path / "t.orc")
+    context.sql("SELECT * FROM json_t").write.mode("overwrite").orc(op)
+    context.create_table("orc_t", op, format="orc")
+    assert context.sql("SELECT COUNT(*) AS n FROM orc_t").collect()[0].n == 2
+    context.drop_table("json_t")
+    context.drop_table("orc_t")
