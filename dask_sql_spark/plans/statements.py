@@ -90,6 +90,15 @@ _PREDICT = re.compile(
 _EXPORT_MODEL = re.compile(
     r"^\s*EXPORT\s+MODEL\s+([\w.\"]+)\s+WITH\s*\((.*)\)\s*$", _FLAGS
 )
+# sinks (additive — the reference has NO write path at all, SURVEY §2.8)
+_INSERT_INTO = re.compile(
+    r"^\s*INSERT\s+INTO\s+([\w.\"]+)\s+(SELECT\s+.*|VALUES\s*\(.*)$", _FLAGS
+)
+_COPY_TO = re.compile(
+    r"^\s*COPY\s+(\([\s\S]*\)|[\w.\"]+)\s+TO\s+'([^']+)'"
+    r"(?:\s+WITH\s*\((.*)\))?\s*$",
+    _FLAGS,
+)
 
 
 def _unquote(name: str) -> str:
@@ -324,6 +333,46 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
         if name in schema.models and not replace:
             raise RuntimeError(f"Model {name} already exists")
         create_model(context, name, parse_kwargs(body), select)
+        return context._empty_result()
+
+    m = _INSERT_INTO.match(sql)
+    if m:
+        # append semantics over the registry: union the select result into
+        # the registered frame and re-register (temp views are not
+        # writable targets; real lakehouse tables should use
+        # spark.sql INSERT on catalog tables instead)
+        name, select = _unquote(m.group(1)), m.group(2)
+        if not context._table_exists(name):
+            raise RuntimeError(f"Table {name} does not exist")
+        existing = context._get_table(name)
+        if select.upper().startswith("VALUES"):
+            select = f"SELECT * FROM ({select}) AS __v__"
+        new_rows = context.sql(select)
+        if new_rows.columns != existing.columns and len(new_rows.columns) == len(
+            existing.columns
+        ):
+            # VALUES lists arrive as col1..colN → positional mapping
+            new_rows = new_rows.toDF(*existing.columns)
+        context.create_table(name, existing.unionByName(new_rows))
+        return context._empty_result()
+
+    m = _COPY_TO.match(sql)
+    if m:
+        src, location, body = m.groups()
+        kwargs = parse_kwargs(body) if body else {}
+        fmt = str(kwargs.pop("format", "parquet")).lower()
+        mode = str(kwargs.pop("mode", "overwrite"))
+        if src.startswith("("):
+            df = context.sql(src[1:-1])
+        else:
+            df = context._get_table(_unquote(src))
+        writer = df.write.mode(mode).format(fmt)
+        if kwargs.get("partition_by"):
+            cols = [c.strip() for c in str(kwargs.pop("partition_by")).split(",")]
+            writer = writer.partitionBy(*cols)
+        for k, v in kwargs.items():
+            writer = writer.option(k, str(v))
+        writer.save(location)
         return context._empty_result()
 
     m = _CREATE_EXPERIMENT_HEAD.match(sql)

@@ -130,3 +130,29 @@ def test_alter_schema_rename(context):
     assert "new_s" in context.schemas and "old_s" not in context.schemas
     assert context.sql("SELECT x FROM new_s.t1").collect()[0].x == 9
     context.drop_schema("new_s")
+
+
+def test_insert_into(context):
+    import pandas as pd
+
+    context.create_table("ins_t", pd.DataFrame({"x": [1], "y": ["a"]}))
+    context.sql("INSERT INTO ins_t SELECT 2 AS x, 'b' AS y")
+    context.sql("INSERT INTO ins_t VALUES (3, 'c')")
+    rows = sorted(tuple(r) for r in context.sql("SELECT * FROM ins_t").collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    context.drop_table("ins_t")
+
+
+def test_copy_to(context, tmp_path):
+    out = str(tmp_path / "copied")
+    context.sql(f"COPY df_simple TO '{out}' WITH (format = 'parquet')")
+    back = context.spark.read.parquet(out)
+    assert back.count() == 3
+
+    out2 = str(tmp_path / "copied_sel")
+    context.sql(
+        f"COPY (SELECT a FROM df_simple WHERE a > 1) TO '{out2}' "
+        "WITH (format = 'csv', header = true)"
+    )
+    back2 = context.spark.read.csv(out2, header=True)
+    assert back2.count() == 2
