@@ -1,0 +1,64 @@
+"""Skew- and shuffle-management operators for 100 TB joins.
+
+AQE's skew-join splitting (on by default in this engine) handles most skew
+at runtime; these operators cover the cases AQE cannot:
+
+- :func:`salted_join` — explicit key salting for extreme hot keys (one key
+  = majority of rows). The small side is replicated ``salt`` ways, the big
+  side scatters each hot key across ``salt`` sub-partitions. AQE splits
+  skewed *partitions*, but a single key's rows always hash to one reducer
+  without salting.
+- :func:`create_bucketed_table` — persist a table bucketed by join key so
+  repeated joins on that key are shuffle-free (SortMergeJoin with no
+  Exchange on either side). The classic warehouse co-location strategy;
+  at 100 TB this turns every fact-fact join on the bucket key from a
+  full-network shuffle into a local merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join where ``big``'s join key is extremely hot.
+
+    big gets a random salt in [0, salt); small is exploded ``salt``× so
+    every (key, salt) bucket finds its match. Correct for inner/left joins
+    on a unique-keyed small side. The random salt is per-row and does not
+    affect results — only reducer placement.
+    """
+    salted_big = big.withColumn(
+        "__salt__", (F.rand() * salt).cast("int")
+    )
+    salted_small = small.withColumn(
+        "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = salted_big.join(salted_small, on=[on, "__salt__"], how=how)
+    return out.drop("__salt__")
+
+
+def create_bucketed_table(
+    spark: SparkSession,
+    name: str,
+    df: DataFrame,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Write ``df`` as a bucketed (and optionally sorted) managed table and
+    return it. Two tables bucketed identically on the join key join
+    WITHOUT a shuffle (no Exchange in the plan) — verify with
+    ``df.explain()``."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+    return spark.table(name)
