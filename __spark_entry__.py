@@ -194,6 +194,190 @@ WHERE o_orderkey IN (
 """,
 )
 
+_sqlq(
+    "q7_volume_shipping",
+    f"""
+SELECT supp_nation, cust_nation, l_year,
+  CAST(SUM(CAST(volume AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    YEAR(l_shipdate) AS l_year,
+    l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                       AND TIMESTAMP '1996-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+
+_sqlq(
+    "q9_product_profit",
+    """
+SELECT nation, o_year,
+  CAST(SUM(CAST(amount AS DECIMAL(24,6))) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+    l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1 AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+""",
+)
+
+_sqlq(
+    "q14_promo_effect",
+    """
+SELECT 100.00 * CAST(SUM(CAST(CASE WHEN p_type = 'ECONOMY'
+      THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(24,6))) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+  AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+""",
+)
+
+
+def _q15_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exercises CREATE VIEW + query-over-view through the statement layer
+    ctx = _ctx(spark, sf_dir)
+    ctx.sql(
+        """
+        CREATE OR REPLACE VIEW revenue_v AS
+        SELECT l_suppkey AS supplier_no,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+            AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+        """
+    )
+    return ctx.sql(
+        """
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue_v ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue_v)
+        """
+    )
+
+
+_dfq(
+    "q15_top_supplier",
+    _q15_fn,
+    """
+WITH revenue_v AS (
+  SELECT l_suppkey AS supplier_no,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+      AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue_v ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue_v)
+""",
+)
+
+_sqlq(
+    "q16_part_supplier_cnt",
+    """
+SELECT p_brand, p_type, p_size,
+  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (5, 11, 17, 23, 28, 36, 42, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+
+_sqlq(
+    "q17_small_quantity",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+  AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (
+    SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+""",
+)
+
+_sqlq(
+    "q19_disjunctive",
+    f"""
+SELECT {_REV} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 21)
+   OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 40)
+   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 50)
+""",
+)
+
+_sqlq(
+    "q21_waiting_orders",
+    """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s_name
+""",
+)
+
+_sqlq(
+    "q22_global_sales",
+    """
+SELECT cntrycode, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT SUBSTRING(c_name, 10, 2) AS cntrycode, c_acctbal
+  FROM customer
+  WHERE c_acctbal > (
+      SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.00
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 400000
+    )
+) custsale
+GROUP BY cntrycode
+""",
+)
+
 # ==================================================================== #
 # 2. join matrix (SURVEY §2.2)                                         #
 # ==================================================================== #
