@@ -101,12 +101,18 @@ class Context:
 
     def __init__(self, spark: SparkSession | None = None, **session_conf: str):
         self.spark = spark or default_spark_session(**session_conf)
-        try:
-            # dynamic conf; needed for nano-timestamp parquet inputs even
-            # when the session was built outside default_spark_session
-            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass
+        # dynamic confs the engine depends on even when the session was
+        # built outside default_spark_session: nano-timestamp parquet
+        # inputs, and a pinned UTC session timezone (timestamps must
+        # collect identically regardless of host timezone)
+        for key, value in (
+            ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+            ("spark.sql.session.timeZone", "UTC"),
+        ):
+            try:
+                self.spark.conf.set(key, value)
+            except Exception:
+                pass
         self.schemas: dict[str, SchemaContainer] = {
             DEFAULT_SCHEMA_NAME: SchemaContainer(DEFAULT_SCHEMA_NAME)
         }

@@ -54,7 +54,9 @@ def sql_similar_to_regex(pattern: str, escape: str | None = None) -> str:
         else:
             out.append(ch)
         i += 1
-    return "^" + "".join(out) + "$"
+    # non-capturing group so a top-level alternation stays anchored
+    # (^a|b$ would otherwise match any string containing... the wrong thing)
+    return "^(?:" + "".join(out) + ")$"
 
 
 def sql_like_to_regex(pattern: str, escape: str | None = None) -> str:
@@ -75,7 +77,7 @@ def sql_like_to_regex(pattern: str, escape: str | None = None) -> str:
         else:
             out.append(re.escape(ch))
         i += 1
-    return "^" + "".join(out) + "$"
+    return "^(?:" + "".join(out) + ")$"
 
 
 def _split_literals(sql: str) -> list[tuple[str, bool]]:

@@ -11,25 +11,25 @@ from dask_sql_spark.dialect import (
 
 
 def test_similar_to_basic():
-    assert sql_similar_to_regex("a%") == "^a.*$"
-    assert sql_similar_to_regex("a_c") == "^a.c$"
+    assert sql_similar_to_regex("a%") == "^(?:a.*)$"
+    assert sql_similar_to_regex("a_c") == "^(?:a.c)$"
     # POSIX metachars survive (that's what distinguishes SIMILAR TO from LIKE)
-    assert sql_similar_to_regex("(a|b)%") == "^(a|b).*$"
+    assert sql_similar_to_regex("(a|b)%") == "^(?:(a|b).*)$"
 
 
 def test_similar_to_escape():
-    assert sql_similar_to_regex("!%x", escape="!") == "^%x$"
-    assert sql_similar_to_regex("a!_b", escape="!") == "^a_b$"
+    assert sql_similar_to_regex("!%x", escape="!") == "^(?:%x)$"
+    assert sql_similar_to_regex("a!_b", escape="!") == "^(?:a_b)$"
 
 
 def test_like_to_regex_escapes_metachars():
-    assert sql_like_to_regex("a.b%") == "^a\\.b.*$"
+    assert sql_like_to_regex("a.b%") == "^(?:a\\.b.*)$"
     assert re.match(sql_like_to_regex("100%"), "100three")
 
 
 def test_rewrite_similar_to():
     out = rewrite("SELECT a SIMILAR TO 'x%' FROM t")
-    assert "regexp_like(a, '^x.*$')" in out
+    assert "regexp_like(a, '^(?:x.*)$')" in out
 
 
 def test_rewrite_not_similar_to():
