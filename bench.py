@@ -28,16 +28,24 @@ HEADLINE = [
     "agg_stats",
     "window_running_sum",
     "window_rownum_top3",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q19_disjunctive",
+    "q21_waiting_orders",
     "events_sessionize",
     "events_json_extract",
+    "stream_session_window",
     "text_quality",
     "text_fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "text_langid",
     "ann_brute_topk",
     "embedding_stats",
+    "multimodal_image_meta",
 ]
 
 

@@ -343,25 +343,80 @@ def embedding_near_dupes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    block_size: int = 2048,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold, by brute-force self-join.
+    """Pairs with cosine ≥ threshold — blocked all-pairs with a vectorized
+    numpy kernel.
 
-    Quadratic — correct-but-small-set tool (e.g. verifying LSH candidates).
-    The 100 TB path is LSH bucketing first (operators/similarity.py), then
-    this check within buckets only.
+    Row-at-a-time ``aggregate`` lambdas are interpreted per element and
+    collapse at N² pairs; instead the id space is cut into blocks and every
+    (block_a ≤ block_b) pair is scored by ONE ``applyInPandas`` task doing
+    a BLAS matmul on normalized matrices. Work distributes as
+    nblocks·(nblocks+1)/2 independent tasks; each row is shipped nblocks
+    times (pick ``block_size`` so blocks fit executor memory). Still
+    quadratic by nature — the 100 TB path is LSH bucketing first
+    (operators/similarity.py), then this exact kernel within buckets.
     """
-    a = emb.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("va"),
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
-    b = emb.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("vb"),
+    # block index via dense rank over ids would shuffle; ids are assumed
+    # roughly dense — block on id DIV block_size (fine for any id space,
+    # block sizes just vary)
+    base = base.withColumn("blk", (F.col("id") / block_size).cast("int"))
+    blocks = [r.blk for r in base.select("blk").distinct().collect()]
+    pair_rows = [
+        (i * 100_000 + j, i, j) for i in blocks for j in blocks if i <= j
+    ]
+    pairs = spark.createDataFrame(
+        pair_rows, "pair_id LONG, blk_a INT, blk_b INT"
     )
+
+    side_a = (
+        base.join(F.broadcast(pairs), base.blk == pairs.blk_a)
+        .select("pair_id", F.lit(0).alias("side"), "id", "v")
+    )
+    side_b = (
+        base.join(F.broadcast(pairs), base.blk == pairs.blk_b)
+        .select("pair_id", F.lit(1).alias("side"), "id", "v")
+    )
+    both = side_a.unionByName(side_b)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+        ]
+    )
+
+    def _score(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        ma = np.stack(a["v"].to_numpy())
+        mb = np.stack(b["v"].to_numpy())
+        ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+        mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = ma @ mb.T
+        ia = a["id"].to_numpy()
+        ib = b["id"].to_numpy()
+        hit = (sims >= threshold) & (ia[:, None] < ib[None, :])
+        ra, rb = np.nonzero(hit)
+        return pd.DataFrame({"id_a": ia[ra], "id_b": ib[rb]})
+
     return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
-        .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b")
+        both.groupBy("pair_id")
+        .applyInPandas(_score, out_schema)
+        .select(
+            F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")
+        )
+        .distinct()
     )
