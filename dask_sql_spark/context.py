@@ -304,6 +304,31 @@ class Context:
             name, series_fn, parameters, return_type, aggregation=True
         )
 
+    def register_udtf(
+        self,
+        cls: Any,
+        name: str,
+        return_type: str | None = None,
+        replace: bool = False,
+        schema_name: str | None = None,
+    ) -> None:
+        """Register a Python table function callable from SQL (additive —
+        the reference has no UDTF support, SURVEY §2.7). ``cls`` is a class
+        with an ``eval`` method yielding tuples; ``return_type`` a DDL
+        schema string like ``"word string, n int"``. Uses Spark's native
+        Python UDTF machinery (Arrow-optimized where possible)."""
+        from pyspark.sql.functions import udtf as spark_udtf
+
+        schema_name = schema_name or self.schema_name
+        schema = self.schemas[schema_name]
+        lower = name.lower()
+        if lower in schema.functions and not replace:
+            raise ValueError(f"Function {name} already registered; pass replace=True")
+        wrapped = spark_udtf(cls, returnType=return_type) if return_type else spark_udtf(cls)
+        for variant in {name, name.lower(), name.upper()}:
+            self.spark.udtf.register(variant, wrapped)
+        schema.functions[lower] = UDFInfo(name, cls, [], return_type)
+
     def register_model(
         self,
         model_name: str,

@@ -250,9 +250,14 @@ def simhash(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: t != F.lit(""),
     )
+    # pre-aggregate to (id, tok, cnt) so md5 runs once per DISTINCT token
+    # per doc; the ±1 weight scales by multiplicity — identical simhash,
+    # roughly half the hashing on natural text
     tok_h = (
         ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), F.explode(toks).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", portable_hash64(F.col("tok")))
     )
     # all `bits` bit-sums in ONE groupBy (map-side partial agg; the shuffle
@@ -260,7 +265,9 @@ def simhash(
     # exploded rows)
     aggs = [
         F.sum(
-            F.when(F.expr(f"shiftright(h, {j}) & 1") == 1, 1).otherwise(-1)
+            F.when(F.expr(f"shiftright(h, {j}) & 1") == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
         ).alias(f"s{j}")
         for j in range(bits)
     ]

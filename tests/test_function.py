@@ -100,3 +100,20 @@ def test_aggregation_with_groupby(context):
     ).collect()
     by_user = {r.user_id: r.m for r in rows}
     assert by_user[2] == 2.0 and by_user[1] == 3.0
+
+
+def test_udtf(context):
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split()):
+                yield w, i
+
+    context.register_udtf(
+        SplitWords, "split_words", "word string, pos int", replace=True
+    )
+    rows = context.sql(
+        "SELECT word, pos FROM split_words('alpha beta gamma')"
+    ).collect()
+    assert [(r.word, r.pos) for r in rows] == [
+        ("alpha", 0), ("beta", 1), ("gamma", 2)
+    ]
