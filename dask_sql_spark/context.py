@@ -209,6 +209,9 @@ class Context:
         schema = self.schemas.pop(schema_name)
         for t in list(schema.tables):
             self.spark.catalog.dropTempView(self._view_name(t, schema_name))
+        if DEFAULT_SCHEMA_NAME not in self.schemas:
+            # the default schema always exists (dropping it empties it)
+            self.schemas[DEFAULT_SCHEMA_NAME] = SchemaContainer(DEFAULT_SCHEMA_NAME)
 
     def _view_name(self, table_name: str, schema_name: str) -> str:
         # default schema registers bare names so plain SQL works; other
@@ -380,10 +383,13 @@ class Context:
             result = self._do_sql(sql)
         finally:
             for k, v in restore.items():
-                if v is None:
-                    self.spark.conf.unset(k)
-                else:
-                    self.spark.conf.set(k, v)
+                try:
+                    if v is None:
+                        self.spark.conf.unset(k)
+                    else:
+                        self.spark.conf.set(k, v)
+                except Exception:  # never mask the query's own error
+                    pass
         if not return_futures and isinstance(result, DataFrame):
             return result.toPandas()
         return result

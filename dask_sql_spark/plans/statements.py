@@ -343,7 +343,9 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
         # spark.sql INSERT on catalog tables instead)
         name, select = _unquote(m.group(1)), m.group(2)
         if not context._table_exists(name):
-            raise RuntimeError(f"Table {name} does not exist")
+            # not a registry table — let Spark handle it (real catalog
+            # tables support INSERT natively)
+            return None
         existing = context._get_table(name)
         if select.upper().startswith("VALUES"):
             select = f"SELECT * FROM ({select}) AS __v__"
