@@ -298,6 +298,11 @@ class Context:
         GROUPED_AGG pandas UDF (Arrow-batched)."""
         schema_name = schema_name or self.schema_name
         schema = self.schemas[schema_name]
+        if f_existing := schema.functions.get(name.lower()):
+            if not replace and f_existing.func is not f:
+                raise ValueError(
+                    f"Aggregation {name} already registered; pass replace=True"
+                )
         series_fn = f.as_series_fn() if isinstance(f, Aggregation) else f
         spark_return = python_to_spark_type(return_type)
         agg_udf = F.pandas_udf(series_fn, spark_return, F.PandasUDFType.GROUPED_AGG)

@@ -131,7 +131,10 @@ def create_experiment(
         )
         best_params = max(scored, key=lambda ps: ps[1])[0]
         best_model = ModelClass(**{**kwargs, **best_params})
-        best_model.fit(X, y)
+        if y is not None:
+            best_model.fit(X, y)
+        else:
+            best_model.fit(X)
 
     context.register_model(name, best_model, training_columns=list(X.columns))
     context.schemas[context.schema_name].experiments[name] = {

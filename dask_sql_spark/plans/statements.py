@@ -181,8 +181,11 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
     if m:
         replace, kind, if_not_exists, name, select = m.groups()
         name = _unquote(name)
-        if if_not_exists and context._table_exists(name):
-            return context._empty_result()
+        if context._table_exists(name):
+            if if_not_exists:
+                return context._empty_result()
+            if not replace:
+                raise RuntimeError(f"Table {name} already exists")
         df = context.sql(select)
         # TABLE persists (eager cache), VIEW stays lazy
         # (reference create_memory_table.py:64-66)

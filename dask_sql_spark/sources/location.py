@@ -32,11 +32,13 @@ _EXT_TO_FORMAT = {
 
 
 def _infer_format(path: str) -> str:
-    # strip glob suffixes like /path/*.parquet
-    base = path.rstrip("*").rstrip("/")
-    _, ext = os.path.splitext(base if not base.endswith("*") else base[:-1])
-    if ext.lower() in _EXT_TO_FORMAT:
-        return _EXT_TO_FORMAT[ext.lower()]
+    # dispatch on the real extension, ignoring glob characters anywhere in
+    # the basename (/data/part-*.parquet, /data/*.csv, /data/dir/)
+    base = path.rstrip("/")
+    _, ext = os.path.splitext(base)
+    ext = ext.replace("*", "").replace("?", "").lower()
+    if ext in _EXT_TO_FORMAT:
+        return _EXT_TO_FORMAT[ext]
     # directory of parquet files is the common lake layout
     return "parquet"
 
