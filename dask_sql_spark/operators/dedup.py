@@ -107,13 +107,22 @@ def ngram_jaccard_pairs(
     The shingle join only pairs documents sharing ≥1 shingle, so the
     complexity is Σ bucket² over shingle buckets, not N². At 100 TB,
     drop ultra-frequent shingles first (stopword-gram blowup guard).
+
+    The join key is the 60-bit hash of the shingle, not the string —
+    ~3× smaller shuffle. A cross-document hash collision would inflate
+    `common` by 1; at 2^60 key space that is negligible against corpus
+    sizes up to ~2^25 distinct shingles per bucketed join.
     """
     # the shingle set feeds the self-join twice plus the size table —
     # persist once instead of recomputing the explode+md5 subtree 4×
     # (MEMORY_AND_DISK: spills rather than OOMs at large scale; evicted LRU)
     from pyspark import StorageLevel
 
-    sh = shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = (
+        shingles(df, id_col, text_col, n)
+        .select(F.col(id_col), portable_hash64(F.col("shingle")).alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.alias("a")
