@@ -1552,6 +1552,20 @@ def _ann_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _dfq("ann_lsh_topk", _ann_lsh_fn)
 
 
+def _ann_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.similarity import ivf_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    # KMeans cell assignment is engine-specific → rows-only check;
+    # recall vs brute force is pinned in tests/test_pipeline_ops.py
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_cells=16, n_probe=4)
+
+
+_dfq("ann_ivf_topk", _ann_ivf_fn)
+
+
 def _emb_stats_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 

@@ -88,6 +88,70 @@ def signature_col(vec: Column, planes: np.ndarray) -> Column:
     return out
 
 
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans partitions the corpus
+    into cells; each query probes its ``n_probe`` nearest cells and does
+    exact cosine rerank within them only.
+
+    The 100 TB shape: centroids are trained on the corpus (spark.ml
+    distributed KMeans), the corpus is written partitioned by cell, and a
+    query touches n_probe/n_cells of the data. Recall rises with n_probe;
+    n_probe = n_cells degenerates to exact search.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    ).withColumn("features", array_to_vector(F.col("vb")))
+
+    kmeans = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = kmeans.fit(c)
+    corpus = model.transform(c).select("id_b", "vb", "cell")
+
+    centroids = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+    ]
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(centroids, "cell INT, centroid ARRAY<DOUBLE>")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("vq"),
+    )
+    # rank the query's cells by centroid cosine; keep the top n_probe
+    q_cells = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("ccos", cosine(F.col("vq"), F.col("centroid")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("ccos").desc(), F.col("cell")
+                )
+            ),
+        )
+        .where(F.col("crank") <= n_probe)
+        .select("query_id", "vq", "cell")
+    )
+    scored = (
+        corpus.join(F.broadcast(q_cells), on="cell")
+        .where(F.col("query_id") != F.col("id_b"))
+        .withColumn("cos", cosine(F.col("vq"), F.col("vb")))
+    )
+    return _rank_topk(scored, k)
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -36,6 +36,7 @@ def test_queries_oracles_consistent():
     assert set(qs) - set(oracles) == {
         "sample_bernoulli",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "approx_aggregates",
     }
 

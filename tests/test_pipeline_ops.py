@@ -181,3 +181,33 @@ def test_decode_without_fake_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"bytes", fake=False)
+
+
+def test_ivf_topk_recall(spark):
+    import numpy as np
+
+    from dask_sql_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(0)
+    # 10 clusters of 20 vectors each in 8-d
+    centers = rng.standard_normal((10, 8)) * 5
+    rows = []
+    for i in range(200):
+        v = centers[i % 10] + rng.standard_normal(8) * 0.1
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    from pyspark.sql import functions as F
+
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=5, n_cells=10, n_probe=3).collect()
+    }
+    # clustered data: probing 3/10 cells should recover nearly all true
+    # neighbors (same-cluster vectors dominate top-5)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9
