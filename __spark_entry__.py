@@ -1506,6 +1506,79 @@ WHERE {_COS} >= 0.6
 """,
 )
 
+def _pipeline_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.pipeline import clean_corpus
+
+    return clean_corpus(_table(spark, sf_dir, "documents"))
+
+
+def _pipeline_oracle() -> str:
+    from dask_sql_spark.operators.hashing import MINHASH_PERMS, MINHASH_PRIME
+    from dask_sql_spark.operators.text import STOPWORDS
+
+    s = {lang: _lang_in(ws) for lang, ws in STOPWORDS.items()}
+    g = f"greatest({s['en']}, {s['de']}, {s['fr']}, {s['es']})"
+    en_list = ",".join(f"'{w}'" for w in STOPWORDS["en"])
+    perm_values = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS[:16])
+    )
+    return f"""
+WITH t AS (SELECT doc_id, text, {_DOC_TOKS} AS tk FROM documents),
+scored AS (
+  SELECT doc_id, text, len(tk) AS n_tokens,
+    CASE WHEN len(tk) > 0
+         THEN ROUND(len(list_filter(tk, w -> w IN ({en_list}))) / CAST(len(tk) AS DOUBLE), 4)
+         ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN {g} = 0 THEN 'und'
+         WHEN {s['en']} = {g} THEN 'en'
+         WHEN {s['de']} = {g} THEN 'de'
+         WHEN {s['fr']} = {g} THEN 'fr'
+         WHEN {s['es']} = {g} THEN 'es'
+    END AS lang_guess
+  FROM t
+),
+kept0 AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= 10 AND stopword_ratio <= 0.6 AND lang_guess = 'en'
+),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM kept0 GROUP BY md5(text)),
+kept AS (SELECT k0.* FROM kept0 k0 JOIN keepers USING (doc_id)),
+docs2 AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+  FROM kept
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM docs2, UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(i)
+  WHERE array_to_string(toks[i:i+2], ' ') <> ''
+),
+hashes AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {MINHASH_PRIME} AS h
+  FROM sh
+),
+perms(perm, a, b) AS (VALUES {perm_values}),
+sig AS (
+  SELECT doc_id, perm, MIN((a * h + b) % {MINHASH_PRIME}) AS minhash
+  FROM hashes, perms GROUP BY doc_id, perm
+),
+bands AS (
+  SELECT doc_id, perm // 2 AS band,
+    string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY perm) AS bucket
+  FROM sig GROUP BY doc_id, perm // 2
+),
+losers AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, lang_guess
+FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+_dfq("pipeline_clean_corpus", _pipeline_fn, _pipeline_oracle())
+
 # ==================================================================== #
 # 12. similarity search (SURVEY §7 M6)                                 #
 # ==================================================================== #

@@ -1,0 +1,58 @@
+"""End-to-end training-corpus cleaning pipeline.
+
+Composes the §7 M6 operators into the canonical LLM-data-prep flow:
+
+    quality filter → language filter → exact dedup → MinHash near-dedup
+
+Everything is one lazy DataFrame program — Catalyst fuses the quality and
+language column work into the scan projection, the dedups are the two
+bucket-join shuffles, and nothing touches the driver. At 100 TB this runs
+exactly as written (each stage's shuffle keys: content-hash, then LSH
+bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_sql_spark.operators.dedup import minhash_lsh_pairs
+from dask_sql_spark.operators.text import add_langid, add_quality_score, add_token_stats
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_stopword_ratio: float = 0.6,
+    lang: str | None = "en",
+    num_perm: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Return the cleaned corpus: (id, n_tokens, lang_guess) of documents
+    that survive all four stages. Near-dup resolution keeps the lower id of
+    every LSH candidate pair (greedy keeper rule)."""
+    scored = add_langid(
+        add_quality_score(add_token_stats(docs, text_col), text_col), text_col
+    )
+    kept = scored.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+    )
+    if lang is not None:
+        kept = kept.where(F.col("lang_guess") == lang)
+
+    # exact dedup: keep min id per content hash
+    keepers = (
+        kept.groupBy(F.md5(F.col(text_col)).alias("__h__"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    kept = kept.join(keepers, on=id_col, how="left_semi")
+
+    # near-dup: drop the higher id of every LSH candidate pair
+    pairs = minhash_lsh_pairs(kept, id_col, text_col, num_perm, bands)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    cleaned = kept.join(losers, on=id_col, how="left_anti")
+    return cleaned.select(id_col, "n_tokens", "lang_guess")

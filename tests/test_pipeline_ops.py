@@ -211,3 +211,18 @@ def test_ivf_topk_recall(spark):
     # neighbors (same-cluster vectors dominate top-5)
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9
+
+
+def test_clean_corpus_pipeline(docs):
+    from dask_sql_spark.operators.pipeline import clean_corpus
+
+    out = clean_corpus(
+        docs, min_tokens=5, max_stopword_ratio=0.9, lang=None,
+        num_perm=16, bands=8,
+    )
+    rows = {r.doc_id for r in out.collect()}
+    # exact dup 2 and near-dups 1/7 of doc 0 drop; 'short' fails the token
+    # minimum; the distinct en/de/fr docs survive
+    assert {0, 3, 4, 5} <= rows
+    assert 2 not in rows and 1 not in rows and 7 not in rows
+    assert 6 not in rows
