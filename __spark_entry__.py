@@ -910,6 +910,32 @@ FROM customer
 )
 
 _sqlq(
+    "scalar_misc",
+    """
+SELECT p_partkey,
+  GREATEST(p_size, 25) AS gr, LEAST(p_size, 25) AS le,
+  p_size NOT BETWEEN 10 AND 40 AS outside,
+  CHAR_LENGTH(p_name) AS clen,
+  ASCII(p_brand) AS asc1,
+  CHR(65 + MOD(p_size, 26)) AS ch,
+  INSTR(p_name, 'e') AS inpos,
+  LTRIM('rs', p_name) AS lt, RTRIM('gt', p_name) AS rt
+FROM part
+""",
+    """
+SELECT p_partkey,
+  GREATEST(p_size, 25) AS gr, LEAST(p_size, 25) AS le,
+  p_size NOT BETWEEN 10 AND 40 AS outside,
+  CAST(LENGTH(p_name) AS INT) AS clen,
+  CAST(ASCII(p_brand) AS INT) AS asc1,
+  CHR(65 + (p_size % 26)) AS ch,
+  CAST(INSTR(p_name, 'e') AS INT) AS inpos,
+  LTRIM(p_name, 'rs') AS lt, RTRIM(p_name, 'gt') AS rt
+FROM part
+""",
+)
+
+_sqlq(
     "scalar_is_bool",
     """
 SELECT

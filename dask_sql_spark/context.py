@@ -435,20 +435,27 @@ class Context:
 
     def _qualify_schema_tables(self, sql: str) -> str:
         """Rewrite ``schema.table`` references for non-default schemas into
-        their mangled temp-view names."""
+        their mangled temp-view names (string literals left untouched)."""
         import re
 
-        for schema_name in self.schemas:
-            if schema_name == DEFAULT_SCHEMA_NAME:
-                continue
-            for table in self.schemas[schema_name].tables:
-                sql = re.sub(
-                    rf"\b{re.escape(schema_name)}\.{re.escape(table)}\b",
-                    self._view_name(table, schema_name),
-                    sql,
-                    flags=re.IGNORECASE,
-                )
-        return sql
+        from dask_sql_spark.dialect import _rewrite_outside_literals
+
+        def _rewrite_chunk(chunk: str) -> str:
+            for schema_name in self.schemas:
+                if schema_name == DEFAULT_SCHEMA_NAME:
+                    continue
+                for table in self.schemas[schema_name].tables:
+                    chunk = re.sub(
+                        rf"\b{re.escape(schema_name)}\.{re.escape(table)}\b",
+                        self._view_name(table, schema_name),
+                        chunk,
+                        flags=re.IGNORECASE,
+                    )
+            return chunk
+
+        if all(s == DEFAULT_SCHEMA_NAME for s in self.schemas):
+            return sql
+        return _rewrite_outside_literals(sql, _rewrite_chunk)
 
     # ------------------------------------------------------------------ #
     # introspection                                                      #
