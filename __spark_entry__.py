@@ -815,6 +815,23 @@ FROM orders
 )
 
 _sqlq(
+    "datetime_month_diff",
+    """
+SELECT o_orderkey,
+  (2002 - YEAR(o_orderdate)) * 12 + (1 - MONTH(o_orderdate)) AS months_to_2002,
+  CAST(MONTHS_BETWEEN(TIMESTAMP '2002-01-01 00:00:00', DATE_TRUNC('MONTH', o_orderdate)) AS INT) AS full_months
+FROM orders
+""",
+    """
+SELECT o_orderkey,
+  (2002 - YEAR(o_orderdate)) * 12 + (1 - MONTH(o_orderdate)) AS months_to_2002,
+  CAST(DATE_DIFF('month', DATE_TRUNC('MONTH', o_orderdate),
+                 TIMESTAMP '2002-01-01 00:00:00') AS INT) AS full_months
+FROM orders
+""",
+)
+
+_sqlq(
     "string_like",
     """
 SELECT c_custkey,

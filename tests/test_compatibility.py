@@ -122,3 +122,45 @@ def test_random_query_matches_duckdb(compat_ctx, compat_duck, idx):
     sdf = compat_ctx.sql(q).toPandas()
     odf = compat_duck.execute(q).df()
     assert compare(sdf, odf) is None, q
+
+
+# extra templates appended after the initial 40 (kept separate so the
+# original indices stay stable)
+def _gen_queries_extra() -> list[str]:
+    r = random.Random(SEED + 100)
+    out = []
+    for _ in range(4):
+        a, b = r.randint(1, 9), r.randint(1, 9)
+        out.append(
+            f"SELECT user_id, b + {a} AS bp, b * {b} AS bt, -b AS bn, "
+            f"ABS(b) AS ba, b % {a} AS bm FROM df1"
+        )
+    for _ in range(3):
+        out.append(
+            f"SELECT DISTINCT user_id FROM df1 WHERE b > {r.randint(-8, 8)}"
+        )
+    for _ in range(3):
+        out.append(
+            f"""SELECT u, COUNT(*) AS n FROM (
+                  SELECT user_id AS u FROM df1 WHERE b > {r.randint(-5, 5)}
+                  UNION ALL
+                  SELECT user_id AS u FROM df2 WHERE c < {r.randint(21, 29)}
+                ) t GROUP BY u"""
+        )
+    return out
+
+
+EXTRA = _gen_queries_extra()
+
+
+@pytest.mark.parametrize("idx", range(len(EXTRA)))
+def test_random_query_extra(compat_ctx, compat_duck, idx):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    q = EXTRA[idx]
+    sdf = compat_ctx.sql(q).toPandas()
+    odf = compat_duck.execute(q).df()
+    assert compare(sdf, odf) is None, q

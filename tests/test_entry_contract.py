@@ -61,3 +61,11 @@ def test_query_matches_oracle(spark, duck, name):
     sdf = entrymod.queries()[name](spark, SF_DIR).toPandas()
     odf = duck.execute(entrymod.oracle_sql()[name]).df()
     assert compare(sdf, odf) is None
+
+
+def test_bench_headline_subset_of_queries():
+    import bench
+
+    qs = entrymod.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"bench names not in queries(): {missing}"
