@@ -833,13 +833,31 @@ FROM orders
 
 _sqlq(
     "string_like",
+    # SIMILAR TO uses the reference's SQL-regex dialect (call.py:491-500):
+    # '%'/'_' wildcards, '(a|b)' alternation and '[..]' ranges live, but
+    # '. # $ ^ ~ -' are literals — hence the LIKE-decomposed DuckDB oracle.
     """
 SELECT c_custkey,
   c_name LIKE '%00%' AS has00,
   c_name LIKE 'Customer%' AS pre,
   c_mktsegment LIKE '%MOB%' AS mid,
   c_mktsegment ILIKE 'auto%' AS il,
-  c_mktsegment SIMILAR TO '(AUTO|BUIL).*' AS sim
+  c_mktsegment SIMILAR TO '(AUTO|BUIL)%' AS sim,
+  c_name SIMILAR TO 'Customer#%' AS hashlit,
+  c_mktsegment SIMILAR TO '[AB]%' AS rng,
+  c_mktsegment SIMILAR TO 'A.TO%' AS dotlit
+FROM customer
+""",
+    """
+SELECT c_custkey,
+  c_name LIKE '%00%' AS has00,
+  c_name LIKE 'Customer%' AS pre,
+  c_mktsegment LIKE '%MOB%' AS mid,
+  c_mktsegment ILIKE 'auto%' AS il,
+  (c_mktsegment LIKE 'AUTO%' OR c_mktsegment LIKE 'BUIL%') AS sim,
+  c_name LIKE 'Customer#%' AS hashlit,
+  (c_mktsegment LIKE 'A%' OR c_mktsegment LIKE 'B%') AS rng,
+  c_mktsegment LIKE 'A.TO%' AS dotlit
 FROM customer
 """,
 )
@@ -1418,8 +1436,11 @@ sh AS (
 def _jaccard_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_sql_spark.operators.dedup import ngram_jaccard_pairs
 
+    # max_df: the stopword-shingle blowup guard (a shingle in d docs is d²
+    # join rows). 1000 is far above this corpus's max df (25 at sf0.1) so
+    # results are unchanged, but the guard path runs under the oracle gate.
     return ngram_jaccard_pairs(
-        _table(spark, sf_dir, "documents"), threshold=0.12
+        _table(spark, sf_dir, "documents"), threshold=0.12, max_df=1000
     )
 
 
@@ -1428,10 +1449,12 @@ _dfq(
     _jaccard_fn,
     f"""
 WITH {_SHINGLE_CTE},
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b,

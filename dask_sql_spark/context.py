@@ -204,6 +204,8 @@ class Context:
             self.schemas[schema_name] = SchemaContainer(schema_name)
 
     def drop_schema(self, schema_name: str) -> None:
+        if schema_name not in self.schemas:
+            raise RuntimeError(f"Schema {schema_name} does not exist")
         if schema_name == self.schema_name:
             self.schema_name = DEFAULT_SCHEMA_NAME
         schema = self.schemas.pop(schema_name)
@@ -435,7 +437,9 @@ class Context:
 
     def _qualify_schema_tables(self, sql: str) -> str:
         """Rewrite ``schema.table`` references for non-default schemas into
-        their mangled temp-view names (string literals left untouched)."""
+        their mangled temp-view names. String literals are left untouched;
+        each identifier part may be bare, double-quoted, or backticked
+        (``s2.t``, ``"s2"."t"``, `` `s2`.`t` ``)."""
         import re
 
         from dask_sql_spark.dialect import _rewrite_outside_literals
@@ -445,8 +449,10 @@ class Context:
                 if schema_name == DEFAULT_SCHEMA_NAME:
                     continue
                 for table in self.schemas[schema_name].tables:
+                    s, t = re.escape(schema_name), re.escape(table)
                     chunk = re.sub(
-                        rf"\b{re.escape(schema_name)}\.{re.escape(table)}\b",
+                        rf"(?<![\w.])(?:{s}|\"{s}\"|`{s}`)\s*\.\s*"
+                        rf"(?:{t}|\"{t}\"|`{t}`)(?![\w.])",
                         self._view_name(table, schema_name),
                         chunk,
                         flags=re.IGNORECASE,

@@ -30,33 +30,53 @@ _UNITS = (
 )
 
 
+# Characters that are regex metacharacters but plain literals in SQL's
+# SIMILAR TO dialect (reference SimilarOperation.replacement_chars,
+# call.py:491-500). '|', '*', '+', '?', '()', '{}' keep their regex meaning.
+_SIMILAR_LITERAL_CHARS = frozenset("#$^.~-")
+
+
 def sql_similar_to_regex(pattern: str, escape: str | None = None) -> str:
     """Translate a SQL SIMILAR TO pattern into an anchored Java regex.
 
     SIMILAR TO is SQL-regex: ``%`` = ``.*``, ``_`` = ``.``, while retaining
-    POSIX-regex metacharacters (``|``, ``*``, ``+``, ``()``, ``[]``, ``{}``).
-    Mirrors the reference's transpiler semantics (call.py:401-504) without
-    copying its implementation.
+    a subset of POSIX-regex metacharacters (``|``, ``*``, ``+``, ``()``,
+    ``[]``, ``{}``); ``# $ ^ . ~ -`` are literals and get escaped. The escape
+    character defaults to backslash. ``[...]`` character ranges pass through
+    untouched. Mirrors the reference's transpiler semantics
+    (call.py:401-504, SimilarOperation) without copying its implementation.
     """
+    if not escape:
+        escape = "\\"
     out = []
+    in_char_range = False
     i = 0
     while i < len(pattern):
         ch = pattern[i]
-        if escape and ch == escape and i + 1 < len(pattern):
-            nxt = pattern[i + 1]
-            out.append(re.escape(nxt))
+        if in_char_range:
+            out.append(ch)
+            if ch == "]":
+                in_char_range = False
+        elif ch == escape and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
             i += 2
             continue
-        if ch == "%":
+        elif ch in _SIMILAR_LITERAL_CHARS:
+            out.append("\\" + ch)
+        elif ch == "[":
+            out.append(ch)
+            in_char_range = True
+        elif ch == "%":
             out.append(".*")
         elif ch == "_":
             out.append(".")
         else:
             out.append(ch)
         i += 1
-    # non-capturing group so a top-level alternation stays anchored
-    # (^a|b$ would otherwise match any string containing... the wrong thing)
-    return "^(?:" + "".join(out) + ")$"
+    # (?s): reference matches with re.DOTALL; non-capturing group so a
+    # top-level alternation stays anchored (^a|b$ would otherwise match any
+    # string containing the wrong thing)
+    return "(?s)^(?:" + "".join(out) + ")$"
 
 
 def sql_like_to_regex(pattern: str, escape: str | None = None) -> str:

@@ -99,14 +99,21 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All document pairs with shingle-set Jaccard ≥ threshold.
 
     Plan: explode shingles → self-join on shingle (co-shingle pairs) →
     count common → join per-doc sizes → |A∩B| / (|A|+|B|−|A∩B|).
     The shingle join only pairs documents sharing ≥1 shingle, so the
-    complexity is Σ bucket² over shingle buckets, not N². At 100 TB,
-    drop ultra-frequent shingles first (stopword-gram blowup guard).
+    complexity is Σ bucket² over shingle buckets, not N².
+
+    ``max_df`` is the stopword-gram blowup guard: shingles appearing in
+    more than max_df documents are dropped BEFORE the self-join (a shingle
+    in d docs contributes d² join rows — one stopword 3-gram in 1M docs is
+    10¹² rows). Per-doc sizes are computed on the filtered shingle set so
+    Jaccard stays internally consistent (the oracle CTE applies the same
+    filter). At 100 TB always set max_df; None keeps exact semantics.
 
     The join key is the 60-bit hash of the shingle, not the string —
     ~3× smaller shuffle. A cross-document hash collision would inflate
@@ -118,11 +125,21 @@ def ngram_jaccard_pairs(
     # (MEMORY_AND_DISK: spills rather than OOMs at large scale; evicted LRU)
     from pyspark import StorageLevel
 
-    sh = (
-        shingles(df, id_col, text_col, n)
-        .select(F.col(id_col), portable_hash64(F.col("shingle")).alias("shingle"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingles(df, id_col, text_col, n).select(
+        F.col(id_col), portable_hash64(F.col("shingle")).alias("shingle")
     )
+    if max_df is not None:
+        # one extra groupBy (map-side partial agg) — tiny next to the d²
+        # join rows it prevents; rows in `sh` are distinct per (doc,
+        # shingle) so count(*) == document frequency
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_cnt"))
+            .where(F.col("df_cnt") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, on="shingle", how="left_semi")
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.alias("a")
@@ -376,7 +393,6 @@ def embedding_near_dupes(
     import pandas as pd
     from pyspark.sql import types as T
 
-    spark = emb.sparkSession
     base = emb.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -385,12 +401,21 @@ def embedding_near_dupes(
     # roughly dense — block on id DIV block_size (fine for any id space,
     # block sizes just vary)
     base = base.withColumn("blk", (F.col("id") / block_size).cast("int"))
-    blocks = [r.blk for r in base.select("blk").distinct().collect()]
-    pair_rows = [
-        (i * 100_000 + j, i, j) for i in blocks for j in blocks if i <= j
-    ]
-    pairs = spark.createDataFrame(
-        pair_rows, "pair_id LONG, blk_a INT, blk_b INT"
+    # block-pair grid built as a DataFrame cross-join so it stays on the
+    # executors — at N=10⁹ rows there are ~500k blocks → 1.2×10¹¹ pairs,
+    # which must never be driver-side Python objects
+    blk_df = base.select("blk").distinct()
+    pairs = (
+        blk_df.select(F.col("blk").alias("blk_a"))
+        .crossJoin(blk_df.select(F.col("blk").alias("blk_b")))
+        .where(F.col("blk_a") <= F.col("blk_b"))
+        .select(
+            (F.col("blk_a").cast("long") * 100_000 + F.col("blk_b")).alias(
+                "pair_id"
+            ),
+            "blk_a",
+            "blk_b",
+        )
     )
 
     side_a = (

@@ -35,74 +35,101 @@ _FLAGS = re.IGNORECASE | re.DOTALL
 
 _CREATE_TABLE_WITH = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
-    r"([\w.\"]+)\s+WITH\s*\((.*)\)\s*$",
+    r"([\w.\"`]+)\s+WITH\s*\((.*)\)\s*$",
     _FLAGS,
 )
 _CREATE_TABLE_AS = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TABLE|VIEW)\s+(IF\s+NOT\s+EXISTS\s+)?"
-    r"([\w.\"]+)\s+AS\s+(.*)$",
+    r"([\w.\"`]+)\s+AS\s+(.*)$",
     _FLAGS,
 )
 _DROP_TABLE = re.compile(
-    r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.\"]+)\s*$", _FLAGS
+    r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.\"`]+)\s*$", _FLAGS
 )
 _DROP_MODEL = re.compile(
-    r"^\s*DROP\s+MODEL\s+(IF\s+EXISTS\s+)?([\w.\"]+)\s*$", _FLAGS
+    r"^\s*DROP\s+MODEL\s+(IF\s+EXISTS\s+)?([\w.\"`]+)\s*$", _FLAGS
 )
 _CREATE_SCHEMA = re.compile(
-    r"^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?([\w\"]+)\s*$", _FLAGS
+    r"^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?([\w\"`]+)\s*$", _FLAGS
 )
 _DROP_SCHEMA = re.compile(
-    r"^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?([\w\"]+)\s*$", _FLAGS
+    r"^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?([\w\"`]+)\s*$", _FLAGS
 )
-_USE_SCHEMA = re.compile(r"^\s*USE\s+SCHEMA\s+([\w\"]+)\s*$", _FLAGS)
+_USE_SCHEMA = re.compile(r"^\s*USE\s+SCHEMA\s+([\w\"`]+)\s*$", _FLAGS)
 _ALTER_TABLE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.\"]+)\s+RENAME\s+TO\s+([\w\"]+)\s*$",
+    r"^\s*ALTER\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.\"`]+)\s+RENAME\s+TO\s+([\w.\"`]+)\s*$",
     _FLAGS,
 )
 _ALTER_SCHEMA = re.compile(
-    r"^\s*ALTER\s+SCHEMA\s+([\w\"]+)\s+RENAME\s+TO\s+([\w\"]+)\s*$", _FLAGS
+    r"^\s*ALTER\s+SCHEMA\s+([\w\"`]+)\s+RENAME\s+TO\s+([\w\"`]+)\s*$", _FLAGS
 )
 _SHOW_SCHEMAS = re.compile(r"^\s*SHOW\s+SCHEMAS\s*$", _FLAGS)
-_SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES(?:\s+FROM\s+([\w\"]+))?\s*$", _FLAGS)
-_SHOW_COLUMNS = re.compile(r"^\s*SHOW\s+COLUMNS\s+FROM\s+([\w.\"]+)\s*$", _FLAGS)
+_SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES(?:\s+FROM\s+([\w\"`]+))?\s*$", _FLAGS)
+_SHOW_COLUMNS = re.compile(r"^\s*SHOW\s+COLUMNS\s+FROM\s+([\w.\"`]+)\s*$", _FLAGS)
 _SHOW_MODELS = re.compile(r"^\s*SHOW\s+MODELS\s*$", _FLAGS)
-_DESCRIBE_MODEL = re.compile(r"^\s*DESCRIBE\s+MODEL\s+([\w.\"]+)\s*$", _FLAGS)
+_DESCRIBE_MODEL = re.compile(r"^\s*DESCRIBE\s+MODEL\s+([\w.\"`]+)\s*$", _FLAGS)
 _ANALYZE_TABLE = re.compile(
-    r"^\s*ANALYZE\s+TABLE\s+([\w.\"]+)\s+COMPUTE\s+STATISTICS\s+FOR\s+"
+    r"^\s*ANALYZE\s+TABLE\s+([\w.\"`]+)\s+COMPUTE\s+STATISTICS\s+FOR\s+"
     r"(ALL\s+COLUMNS|COLUMNS\s+(.*))\s*$",
     _FLAGS,
 )
 _CREATE_MODEL_HEAD = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MODEL\s+(IF\s+NOT\s+EXISTS\s+)?"
-    r"([\w.\"]+)\s+WITH\s*\(",
+    r"([\w.\"`]+)\s+WITH\s*\(",
     _FLAGS,
 )
 _CREATE_EXPERIMENT_HEAD = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?EXPERIMENT\s+(IF\s+NOT\s+EXISTS\s+)?"
-    r"([\w.\"]+)\s+WITH\s*\(",
+    r"([\w.\"`]+)\s+WITH\s*\(",
     _FLAGS,
 )
 _PREDICT = re.compile(
-    r"^\s*SELECT\s+(.*?)\s+FROM\s+PREDICT\s*\(\s*MODEL\s+([\w.\"]+)\s*,\s*(.*)\)\s*$",
+    r"^\s*SELECT\s+(.*?)\s+FROM\s+PREDICT\s*\(\s*MODEL\s+([\w.\"`]+)\s*,\s*(.*)\)\s*$",
     _FLAGS,
 )
 _EXPORT_MODEL = re.compile(
-    r"^\s*EXPORT\s+MODEL\s+([\w.\"]+)\s+WITH\s*\((.*)\)\s*$", _FLAGS
+    r"^\s*EXPORT\s+MODEL\s+([\w.\"`]+)\s+WITH\s*\((.*)\)\s*$", _FLAGS
 )
 # sinks (additive — the reference has NO write path at all, SURVEY §2.8)
 _INSERT_INTO = re.compile(
-    r"^\s*INSERT\s+INTO\s+([\w.\"]+)\s+(SELECT\s+.*|VALUES\s*\(.*)$", _FLAGS
+    r"^\s*INSERT\s+INTO\s+([\w.\"`]+)\s+(SELECT\s+.*|VALUES\s*\(.*)$", _FLAGS
 )
 _COPY_TO = re.compile(
-    r"^\s*COPY\s+(\([\s\S]*\)|[\w.\"]+)\s+TO\s+'([^']+)'"
+    r"^\s*COPY\s+(\([\s\S]*\)|[\w.\"`]+)\s+TO\s+'([^']+)'"
     r"(?:\s+WITH\s*\((.*)\))?\s*$",
     _FLAGS,
 )
 
 
 def _unquote(name: str) -> str:
-    return name.strip().strip('"')
+    """Normalize a possibly-quoted, possibly-qualified name: strip double
+    quotes / backticks per dotted part (``"s2"."t"`` → ``s2.t``). Dots
+    inside quoted parts are not supported (documented limitation)."""
+    parts: list[str] = []
+    buf: list[str] = []
+    quote: str | None = None
+    for ch in name.strip():
+        if quote:
+            if ch == quote:
+                quote = None
+            else:
+                buf.append(ch)
+        elif ch in ('"', "`"):
+            quote = ch
+        elif ch == ".":
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return ".".join(parts)
+
+
+def _resolve(context: "Context", name: str) -> tuple[str, str]:
+    """Split a statement's table target into (schema_name, table) so every
+    handler routes schema-qualified names to the right registry (the
+    reference resolves via plugin context; here Context._split_qualified)."""
+    return context._split_qualified(_unquote(name))
 
 
 def _split_balanced(sql: str, open_idx: int) -> tuple[str, str] | None:
@@ -128,30 +155,64 @@ def _split_balanced(sql: str, open_idx: int) -> tuple[str, str] | None:
     return None
 
 
+_KWARG_KEY_RE = re.compile(r"\s*,?\s*([\w.]+)\s*=\s*", re.DOTALL)
+
+
+def _coerce_kwarg(raw: str):
+    raw = raw.strip()
+    if raw.startswith("'") and raw.endswith("'"):
+        return raw[1:-1].replace("''", "'")
+    if raw.lower() in ("true", "false"):
+        return raw.lower() == "true"
+    try:
+        return int(raw)
+    except ValueError:
+        try:
+            return float(raw)
+        except ValueError:
+            return raw
+
+
 def parse_kwargs(body: str) -> dict:
     """Parse the ``key = value`` list inside ``WITH ( ... )``.
 
-    Values may be quoted strings, numbers, booleans, or bare words
-    (reference parser.rs key-value grammar)."""
+    Values may be quoted strings, numbers, booleans, bare words, or
+    parenthesized expressions with arbitrary nesting (reference parser.rs
+    key-value grammar). Parenthesized values are scanned with paren-depth
+    balancing (_split_balanced), not a non-greedy regex, so nested calls
+    like ``steps = (List(a(1), b(2)))`` parse whole."""
     out: dict = {}
-    for m in re.finditer(
-        r"([\w.]+)\s*=\s*('(?:[^']|'')*'|\(.*?\)|[^,()]+)", body, re.DOTALL
-    ):
-        key = m.group(1).strip().lower()
-        raw = m.group(2).strip()
-        if raw.startswith("'") and raw.endswith("'"):
-            val = raw[1:-1].replace("''", "'")
-        elif raw.lower() in ("true", "false"):
-            val = raw.lower() == "true"
+    i, n = 0, len(body)
+    while i < n:
+        m = _KWARG_KEY_RE.match(body, i)
+        if not m:
+            break
+        key = m.group(1).lower()
+        i = m.end()
+        if i < n and body[i] == "(":
+            split = _split_balanced(body, i)
+            if split is None:
+                raw, i = body[i:], n
+            else:
+                inner, rest = split
+                raw = f"({inner})"
+                i = n - len(rest)
+        elif i < n and body[i] == "'":
+            j = i + 1
+            while j < n:
+                if body[j] == "'":
+                    if j + 1 < n and body[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            raw, i = body[i : j + 1], j + 1
         else:
-            try:
-                val = int(raw)
-            except ValueError:
-                try:
-                    val = float(raw)
-                except ValueError:
-                    val = raw
-        out[key] = val
+            j = i
+            while j < n and body[j] != ",":
+                j += 1
+            raw, i = body[i:j], j
+        out[key] = _coerce_kwarg(raw)
     return out
 
 
@@ -164,6 +225,7 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
     if m:
         replace, if_not_exists, name, body = m.groups()
         name = _unquote(name)
+        schema_name, table = _resolve(context, name)
         if not replace and not if_not_exists and context._table_exists(name):
             raise RuntimeError(f"Table {name} already exists")
         if if_not_exists and context._table_exists(name):
@@ -174,13 +236,21 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
         persist = bool(kwargs.pop("persist", False))
         if location is None:
             raise ValueError("CREATE TABLE ... WITH requires location=...")
-        context.create_table(name, location, format=fmt, persist=persist, **kwargs)
+        context.create_table(
+            table,
+            location,
+            format=fmt,
+            persist=persist,
+            schema_name=schema_name,
+            **kwargs,
+        )
         return context._empty_result()
 
     m = _CREATE_TABLE_AS.match(sql)
     if m:
         replace, kind, if_not_exists, name, select = m.groups()
         name = _unquote(name)
+        schema_name, table = _resolve(context, name)
         if context._table_exists(name):
             if if_not_exists:
                 return context._empty_result()
@@ -189,7 +259,9 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
         df = context.sql(select)
         # TABLE persists (eager cache), VIEW stays lazy
         # (reference create_memory_table.py:64-66)
-        context.create_table(name, df, persist=kind.upper() == "TABLE")
+        context.create_table(
+            table, df, persist=kind.upper() == "TABLE", schema_name=schema_name
+        )
         return context._empty_result()
 
     m = _DROP_TABLE.match(sql)
@@ -200,7 +272,8 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
             if if_exists:
                 return context._empty_result()
             raise RuntimeError(f"Table {name} does not exist")
-        context.drop_table(name)
+        schema_name, table = _resolve(context, name)
+        context.drop_table(table, schema_name=schema_name)
         return context._empty_result()
 
     m = _DROP_MODEL.match(sql)
@@ -248,9 +321,15 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
             if if_exists:
                 return context._empty_result()
             raise RuntimeError(f"Table {old} does not exist")
+        old_schema, old_table = _resolve(context, old)
+        # unqualified new name stays in the old table's schema
+        if "." in new:
+            new_schema, new_table = _resolve(context, new)
+        else:
+            new_schema, new_table = old_schema, new
         df = context._get_table(old)
-        context.create_table(new, df)
-        context.drop_table(old)
+        context.create_table(new_table, df, schema_name=new_schema)
+        context.drop_table(old_table, schema_name=old_schema)
         return context._empty_result()
 
     m = _ALTER_SCHEMA.match(sql)
@@ -358,7 +437,10 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
         ):
             # VALUES lists arrive as col1..colN → positional mapping
             new_rows = new_rows.toDF(*existing.columns)
-        context.create_table(name, existing.unionByName(new_rows))
+        schema_name, table = _resolve(context, name)
+        context.create_table(
+            table, existing.unionByName(new_rows), schema_name=schema_name
+        )
         return context._empty_result()
 
     m = _COPY_TO.match(sql)

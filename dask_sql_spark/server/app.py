@@ -8,16 +8,23 @@ and cancel via ``DELETE /v1/cancel/{uuid}``; a JDBC shim answers the
 
 FastAPI is not available in this environment, so the app is built on the
 stdlib ``ThreadingHTTPServer`` — same endpoints, same response shapes, no
-third-party dependency. Queries execute on a thread pool; results are
-collected once and buffered (the Presto protocol is a paging protocol; we
-return a single page, which is what the reference does for computed
-results too).
+third-party dependency. Queries execute on a thread pool. Results are
+PAGED (reference behavior: server/app.py:40-66 + responses.py): each
+``GET /v1/status/{uuid}`` returns up to ``page_size`` rows plus a
+``nextUri`` while more remain, streaming via ``toLocalIterator`` so the
+driver never materializes the full result set. Every Spark job a query
+triggers runs under a job group named by the query id, so DELETE
+/v1/cancel/{uuid} interrupts running stages via ``cancelJobGroup`` (not
+just a flag). Finished/failed/canceled query states are evicted after
+their final status poll (plus a TTL sweep), so ``queries`` stays bounded.
 """
 
 from __future__ import annotations
 
+import itertools
 import json
 import threading
+import time
 import uuid as uuidlib
 from concurrent.futures import Future, ThreadPoolExecutor
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -80,38 +87,96 @@ def _json_value(v: Any) -> Any:
 
 
 class _QueryState:
-    def __init__(self, future: Future):
+    def __init__(self, future: Future | None = None):
         self.future = future
         self.cancelled = False
+        self.columns: list[dict] | None = None
+        self.row_iter: Any = None  # toLocalIterator over the result
+        self.page: list | None = None  # next page, pre-pulled
+        self.created = time.monotonic()
+        self.finished_at: float | None = None  # set once terminal state polled
+        self.lock = threading.Lock()  # serializes page pulls per query
 
 
 class SQLServer:
     """HTTP server speaking the Presto protocol over a Context."""
 
-    def __init__(self, context: "Context", host: str = "localhost", port: int = 8080):
+    # finished states evicted after final poll; this TTL sweeps states the
+    # client abandoned without polling to completion
+    STATE_TTL_SECONDS = 300.0
+    MAX_QUERY_STATES = 256
+
+    def __init__(
+        self,
+        context: "Context",
+        host: str = "localhost",
+        port: int = 8080,
+        page_size: int = 1000,
+    ):
         self.context = context
         self.host = host
         self.port = port
+        self.page_size = page_size
         self.pool = ThreadPoolExecutor(max_workers=8)
         self.queries: dict[str, _QueryState] = {}
+        self._queries_lock = threading.Lock()
         self._httpd: ThreadingHTTPServer | None = None
 
     # ------------------------------------------------------------ #
-    def _execute(self, sql: str) -> dict[str, Any]:
+    def _pull_page(self, qid: str, it: Any) -> list:
+        """Pull up to page_size rows; runs on a pool thread with the query's
+        job group set so any Spark jobs the pull triggers are cancellable."""
+        sc = self.context.spark.sparkContext
+        sc.setJobGroup(qid, "presto page pull", interruptOnCancel=True)
+        try:
+            return list(itertools.islice(it, self.page_size))
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+
+    def _execute(self, qid: str, sql: str) -> None:
+        """Plan the query, pre-pull the first page (the heavy compute) under
+        the query's job group; the result streams via toLocalIterator so the
+        driver holds at most one page plus Spark's partition buffer."""
         from dask_sql_spark.server.presto_jdbc import maybe_jdbc_query
 
-        jdbc = maybe_jdbc_query(self.context, sql)
-        df = jdbc if jdbc is not None else self.context.sql(sql)
-        rows = df.collect()
-        return {
-            "columns": _columns_payload(df.schema),
-            "data": [[_json_value(v) for v in row] for row in rows],
-        }
+        state = self.queries[qid]
+        sc = self.context.spark.sparkContext
+        sc.setJobGroup(qid, sql[:200], interruptOnCancel=True)
+        try:
+            jdbc = maybe_jdbc_query(self.context, sql)
+            df = jdbc if jdbc is not None else self.context.sql(sql)
+            state.columns = _columns_payload(df.schema)
+            state.row_iter = iter(df.toLocalIterator())
+            state.page = list(itertools.islice(state.row_iter, self.page_size))
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
 
     def submit(self, sql: str) -> str:
+        self._sweep()
         qid = str(uuidlib.uuid4())
-        self.queries[qid] = _QueryState(self.pool.submit(self._execute, sql))
+        state = _QueryState()
+        with self._queries_lock:
+            self.queries[qid] = state
+        state.future = self.pool.submit(self._execute, qid, sql)
         return qid
+
+    def _sweep(self) -> None:
+        """Evict abandoned states (TTL) and cap the registry size (oldest
+        finished first, then oldest overall)."""
+        now = time.monotonic()
+        with self._queries_lock:
+            for qid, st in list(self.queries.items()):
+                if st.finished_at is not None:
+                    if now - st.finished_at >= 1.0:  # grace for in-flight poll
+                        self.queries.pop(qid, None)
+                elif now - st.created > self.STATE_TTL_SECONDS:
+                    self.queries.pop(qid, None)
+            while len(self.queries) > self.MAX_QUERY_STATES:
+                self.queries.pop(next(iter(self.queries)), None)
+
+    def _evict(self, qid: str) -> None:
+        with self._queries_lock:
+            self.queries.pop(qid, None)
 
     def status_payload(self, qid: str, base_url: str) -> tuple[int, dict]:
         state = self.queries.get(qid)
@@ -123,6 +188,8 @@ class SQLServer:
         }
         if state.cancelled:
             payload["stats"] = {"state": "CANCELED"}
+            state.finished_at = time.monotonic()
+            self._evict(qid)
             return 200, payload
         if not state.future.done():
             payload["nextUri"] = f"{base_url}/v1/status/{qid}"
@@ -135,10 +202,37 @@ class SQLServer:
                 "errorType": type(exc).__name__,
             }
             payload["stats"] = {"state": "FAILED"}
+            state.finished_at = time.monotonic()
+            self._evict(qid)
             return 200, payload
-        result = state.future.result()
-        payload.update(result)
-        payload["stats"] = {"state": "FINISHED"}
+        with state.lock:
+            page = state.page if state.page is not None else []
+            # pre-pull the NEXT page (on a pool thread, under the job
+            # group) to learn whether this one is the last
+            try:
+                state.page = self.pool.submit(
+                    self._pull_page, qid, state.row_iter
+                ).result()
+            except Exception as e:  # cancelled mid-iteration
+                if state.cancelled:
+                    payload["stats"] = {"state": "CANCELED"}
+                    state.finished_at = time.monotonic()
+                    self._evict(qid)
+                    return 200, payload
+                payload["error"] = {"message": str(e), "errorType": type(e).__name__}
+                payload["stats"] = {"state": "FAILED"}
+                state.finished_at = time.monotonic()
+                self._evict(qid)
+                return 200, payload
+            payload["columns"] = state.columns
+            payload["data"] = [[_json_value(v) for v in row] for row in page]
+            if state.page:
+                payload["nextUri"] = f"{base_url}/v1/status/{qid}"
+                payload["stats"] = {"state": "RUNNING"}
+            else:
+                payload["stats"] = {"state": "FINISHED"}
+                state.finished_at = time.monotonic()
+                self._evict(qid)
         return 200, payload
 
     def cancel(self, qid: str) -> bool:
@@ -147,6 +241,12 @@ class SQLServer:
             return False
         state.cancelled = True
         state.future.cancel()
+        # interrupt running stages — future.cancel() cannot stop a task
+        # that already started; the job group can
+        try:
+            self.context.spark.sparkContext.cancelJobGroup(qid)
+        except Exception:
+            pass
         return True
 
     # ------------------------------------------------------------ #
@@ -226,6 +326,7 @@ def run_server(
     host: str = "localhost",
     port: int = 8080,
     blocking: bool = True,
+    page_size: int = 1000,
 ) -> SQLServer:
     """Start the Presto-protocol server (reference run_server,
     server/app.py). With ``blocking=False`` returns the running server."""
@@ -233,7 +334,7 @@ def run_server(
         from dask_sql_spark.context import Context
 
         context = Context()
-    server = SQLServer(context, host, port)
+    server = SQLServer(context, host, port, page_size=page_size)
     server.start()
     if blocking:  # pragma: no cover
         try:

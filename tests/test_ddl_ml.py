@@ -156,3 +156,62 @@ def test_copy_to(context, tmp_path):
     )
     back2 = context.spark.read.csv(out2, header=True)
     assert back2.count() == 2
+
+
+def test_qualified_ddl_routes_to_schema(context):
+    """Schema-qualified CREATE/INSERT/ALTER/DROP land in the named schema,
+    not the current one (ADVICE: statements handlers must _split_qualified)."""
+    context.sql("CREATE SCHEMA IF NOT EXISTS s2")
+    context.sql("CREATE OR REPLACE TABLE s2.qt AS SELECT 1 AS x")
+    assert "qt" in context.schemas["s2"].tables
+    assert "qt" not in context.schemas["root"].tables
+    assert context.sql("SELECT x FROM s2.qt").collect()[0].x == 1
+
+    context.sql("INSERT INTO s2.qt VALUES (2)")
+    assert context.sql("SELECT COUNT(*) AS n FROM s2.qt").collect()[0].n == 2
+
+    context.sql("ALTER TABLE s2.qt RENAME TO qt2")
+    assert "qt2" in context.schemas["s2"].tables
+    assert "qt" not in context.schemas["s2"].tables
+    assert "qt2" not in context.schemas["root"].tables
+
+    context.sql("DROP TABLE s2.qt2")
+    assert "qt2" not in context.schemas["s2"].tables
+    with pytest.raises(Exception):
+        context.sql("SELECT * FROM s2.qt2").collect()
+    context.sql("DROP SCHEMA s2")
+
+
+def test_quoted_qualified_names(context):
+    """Double-quoted and backticked identifiers resolve like bare ones."""
+    context.sql("CREATE SCHEMA IF NOT EXISTS s3")
+    context.sql('CREATE OR REPLACE TABLE "s3"."qq" AS SELECT 7 AS y')
+    assert "qq" in context.schemas["s3"].tables
+    assert context.sql('SELECT y FROM "s3"."qq"').collect()[0].y == 7
+    assert context.sql("SELECT y FROM `s3`.`qq`").collect()[0].y == 7
+    context.sql("DROP TABLE `s3`.`qq`")
+    assert "qq" not in context.schemas["s3"].tables
+    context.sql("DROP SCHEMA s3")
+
+
+def test_drop_schema_unknown_raises(context):
+    with pytest.raises(RuntimeError):
+        context.drop_schema("no_such_schema")
+
+
+def test_parse_kwargs_nested_parens():
+    from dask_sql_spark.plans.statements import parse_kwargs
+
+    out = parse_kwargs(
+        "model_class = 'X', steps = (List(a(1), b(2)), c(3)), n = 4, flag = True"
+    )
+    assert out["model_class"] == "X"
+    assert out["steps"] == "(List(a(1), b(2)), c(3))"
+    assert out["n"] == 4 and out["flag"] is True
+
+
+def test_parse_kwargs_quoted_commas_and_floats():
+    from dask_sql_spark.plans.statements import parse_kwargs
+
+    out = parse_kwargs("a = 'x,y((z', b = 1.5, c = bare_word")
+    assert out == {"a": "x,y((z", "b": 1.5, "c": "bare_word"}

@@ -11,15 +11,38 @@ from dask_sql_spark.dialect import (
 
 
 def test_similar_to_basic():
-    assert sql_similar_to_regex("a%") == "^(?:a.*)$"
-    assert sql_similar_to_regex("a_c") == "^(?:a.c)$"
+    assert sql_similar_to_regex("a%") == "(?s)^(?:a.*)$"
+    assert sql_similar_to_regex("a_c") == "(?s)^(?:a.c)$"
     # POSIX metachars survive (that's what distinguishes SIMILAR TO from LIKE)
-    assert sql_similar_to_regex("(a|b)%") == "^(?:(a|b).*)$"
+    assert sql_similar_to_regex("(a|b)%") == "(?s)^(?:(a|b).*)$"
 
 
 def test_similar_to_escape():
-    assert sql_similar_to_regex("!%x", escape="!") == "^(?:%x)$"
-    assert sql_similar_to_regex("a!_b", escape="!") == "^(?:a_b)$"
+    assert sql_similar_to_regex("!%x", escape="!") == "(?s)^(?:%x)$"
+    assert sql_similar_to_regex("a!_b", escape="!") == "(?s)^(?:a_b)$"
+
+
+def test_similar_to_literal_metachars():
+    # reference SimilarOperation (call.py:491-500): '#', '$', '^', '.', '~',
+    # '-' are SQL literals, so 'a.c' must NOT match 'abc'
+    assert not re.match(sql_similar_to_regex("a.c"), "abc")
+    assert re.match(sql_similar_to_regex("a.c"), "a.c")
+    assert re.match(sql_similar_to_regex("x#_%"), "x#1y")
+    assert not re.match(sql_similar_to_regex("$%"), "dollar")
+
+
+def test_similar_to_default_backslash_escape():
+    # no ESCAPE clause → backslash escapes, matching the reference default
+    assert re.match(sql_similar_to_regex("a\\%c"), "a%c")
+    assert not re.match(sql_similar_to_regex("a\\%c"), "abc")
+
+
+def test_similar_to_char_range_passthrough():
+    # [...] ranges keep their regex meaning, including '-' and '^' inside
+    rgx = sql_similar_to_regex("[a-c]%")
+    assert re.match(rgx, "banana") and not re.match(rgx, "zebra")
+    rgx = sql_similar_to_regex("[^x]%")
+    assert re.match(rgx, "yes") and not re.match(rgx, "xeno")
 
 
 def test_like_to_regex_escapes_metachars():
@@ -29,7 +52,7 @@ def test_like_to_regex_escapes_metachars():
 
 def test_rewrite_similar_to():
     out = rewrite("SELECT a SIMILAR TO 'x%' FROM t")
-    assert "regexp_like(a, '^(?:x.*)$')" in out
+    assert "regexp_like(a, '(?s)^(?:x.*)$')" in out
 
 
 def test_rewrite_not_similar_to():

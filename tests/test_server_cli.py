@@ -28,13 +28,26 @@ def _post(server, sql: str) -> dict:
 
 
 def _poll(payload: dict, timeout: float = 30.0) -> dict:
+    """Presto client loop: follow nextUri until absent, accumulating data
+    pages; returns the final payload with all rows merged."""
     deadline = time.time() + timeout
+    data: list = list(payload.get("data", []))
+    columns = payload.get("columns")
+    pages = 1 if payload.get("data") else 0
     while "nextUri" in payload and time.time() < deadline:
         with urllib.request.urlopen(payload["nextUri"]) as resp:
             payload = json.load(resp)
+        if payload.get("data"):
+            data.extend(payload["data"])
+            pages += 1
+        columns = payload.get("columns") or columns
         if payload.get("stats", {}).get("state") in ("FINISHED", "FAILED"):
             break
-        time.sleep(0.05)
+        time.sleep(0.02)
+    payload["data"] = data
+    if columns is not None:
+        payload["columns"] = columns
+    payload["pages"] = pages
     return payload
 
 
@@ -78,6 +91,35 @@ def test_jdbc_metadata(server):
     payload = _poll(_post(server, "SELECT * FROM system.jdbc.columns"))
     cols = {(row[2], row[3]) for row in payload["data"]}
     assert ("df_simple", "a") in cols
+
+
+def test_multi_page_fetch(context):
+    """A result larger than page_size streams across several nextUri pages
+    (reference pages via server/app.py:40-66 + responses.py)."""
+    from dask_sql_spark.server.app import run_server
+
+    s = run_server(context, host="127.0.0.1", port=0, blocking=False, page_size=7)
+    try:
+        payload = _poll(
+            _post(s, "SELECT id FROM RANGE(25) ORDER BY id"), timeout=60.0
+        )
+        assert payload["stats"]["state"] == "FINISHED"
+        assert payload["pages"] >= 3  # 25 rows / 7 per page
+        assert [r[0] for r in payload["data"]] == list(range(25))
+    finally:
+        s.stop()
+
+
+def test_finished_state_evicted(server):
+    first = _post(server, "SELECT 5 AS five")
+    qid = first["id"]
+    payload = _poll(first)
+    assert payload["stats"]["state"] == "FINISHED"
+    # final poll served → state evicted; the registry must not grow forever
+    deadline = time.time() + 5
+    while qid in server.queries and time.time() < deadline:
+        time.sleep(0.05)
+    assert qid not in server.queries
 
 
 # ----------------------------- CLI ----------------------------- #
