@@ -69,3 +69,20 @@ def test_bench_headline_subset_of_queries():
     qs = entrymod.queries()
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert not missing, f"bench names not in queries(): {missing}"
+
+
+def test_driver_window_covers_unverified_first():
+    """The correctness driver checks a bounded prefix of queries(); the
+    registry must schedule never-yet-verified names before ones that
+    already have a green CORRECTNESS row (round-robin verification)."""
+    import __spark_entry__ as e
+
+    verified = e._driver_verified_names()
+    names = list(e.queries())
+    assert set(names) == set(e._QUERIES)
+    seen_verified = False
+    for n in names:
+        if n in verified:
+            seen_verified = True
+        else:
+            assert not seen_verified, f"unverified {n} scheduled after verified"
