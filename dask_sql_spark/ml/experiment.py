@@ -92,7 +92,18 @@ def create_experiment(
                 _coerce(x) for x in v.strip("()[]").split(",") if x.strip()
             ]
 
-    training_df = context.sql(select).toPandas()
+    from dask_sql_spark.ml.model import (
+        DEFAULT_MAX_FIT_ROWS,
+        collect_training_frame,
+    )
+
+    max_fit_rows = int(kwargs.pop("max_fit_rows", DEFAULT_MAX_FIT_ROWS))
+    sample = kwargs.pop("sample", None)
+    training_df = collect_training_frame(
+        context.sql(select),
+        max_fit_rows,
+        float(sample) if sample is not None else None,
+    )
     if target_column:
         X = training_df.drop(columns=[target_column])
         y = training_df[target_column]

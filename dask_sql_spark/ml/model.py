@@ -35,6 +35,37 @@ def _import_class(path: str) -> Any:
     return getattr(importlib.import_module(module_name), cls_name)
 
 
+# driver-side fit ceiling: sklearn-style estimators need local data, but an
+# unguarded collect of `SELECT * FROM 100TB_table` would hang the driver
+DEFAULT_MAX_FIT_ROWS = 1_000_000
+
+
+def collect_training_frame(
+    df: DataFrame, max_fit_rows: int, sample: float | None = None
+) -> pd.DataFrame:
+    """Collect a training select to the driver with a row-count guard.
+
+    ``sample`` (0 < f ≤ 1) subsamples executor-side first. The guard fetches
+    ``max_fit_rows + 1`` rows via limit() — one extra row instead of a full
+    count pass — and raises with remediation hints rather than OOMing the
+    driver (the reference fits driver-side with no guard at all).
+    """
+    if sample is not None:
+        if not 0 < sample <= 1:
+            raise ValueError(f"sample must be in (0, 1], got {sample}")
+        if sample < 1:
+            df = df.sample(fraction=sample, seed=42)
+    pdf = df.limit(max_fit_rows + 1).toPandas()
+    if len(pdf) > max_fit_rows:
+        raise RuntimeError(
+            f"training select returned more than {max_fit_rows} rows; "
+            "driver-side fit would exhaust driver memory. Reduce the select "
+            "(TABLESAMPLE / WHERE), pass sample = <fraction>, or raise "
+            "max_fit_rows = <n> explicitly."
+        )
+    return pdf
+
+
 def create_model(context: "Context", name: str, kwargs: dict, select: str) -> None:
     model_class = kwargs.pop("model_class", None)
     if model_class is None:
@@ -51,10 +82,16 @@ def create_model(context: "Context", name: str, kwargs: dict, select: str) -> No
         if k.startswith("fit_kwargs."):
             del kwargs[k]
 
+    max_fit_rows = int(kwargs.pop("max_fit_rows", DEFAULT_MAX_FIT_ROWS))
+    sample = kwargs.pop("sample", None)
+    sample = float(sample) if sample is not None else None
+
     ModelClass = _import_class(str(model_class))
     model = ModelClass(**kwargs)
 
-    training_df = context.sql(select).toPandas()
+    training_df = collect_training_frame(
+        context.sql(select), max_fit_rows, sample
+    )
     if target_column:
         X = training_df.drop(columns=[target_column])
         y = training_df[target_column]

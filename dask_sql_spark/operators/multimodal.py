@@ -54,15 +54,74 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     return width, height, channels, mean_byte
 
 
+def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
+    """(width, height, channels) from PNG / JPEG / GIF header bytes — no
+    codec dependency, pure byte parsing. Returns None for unknown formats.
+
+    PNG: IHDR at offset 16 (big-endian W, H; color type → channels).
+    JPEG: walk markers to the first SOFn frame header (C0-C3, C5-C7, C9-CB,
+    CD-CF). GIF87a/89a: little-endian W, H in the logical screen descriptor.
+    """
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        color_type = payload[25] if len(payload) > 25 else 6
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 3)
+        return w, h, channels
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        n = len(payload)
+        while i + 9 < n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                channels = payload[i + 9]
+                return w, h, channels
+            i += 2 + seg_len
+        return None
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return w, h, 3
+    return None
+
+
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, int, float]:
-    """Decode one image payload. Real codecs are unavailable in this
-    environment — set ``fake=True`` for the deterministic stub."""
-    if not fake:
+    """Decode one image payload → (width, height, channels, mean_byte).
+
+    Real payload path: header-parse PNG/JPEG/GIF dimensions from bytes (no
+    dependencies); if PIL happens to be installed, fall back to a full
+    decode for formats the header parser doesn't know. ``fake=True`` uses
+    the deterministic md5-derived stub (cross-engine reproducible — the
+    DuckDB oracle can mirror it, which real decoding cannot).
+    """
+    if fake:
+        return _fake_decode(payload)
+    meta = parse_image_header(payload)
+    if meta is not None:
+        w, h, c = meta
+        mean_byte = round(sum(payload) / len(payload), 4) if payload else 0.0
+        return w, h, c, mean_byte
+    try:  # PIL-gated full decode (not installed in this container)
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, len(im.getbands()), 0.0
+    except ImportError:
         raise NotImplementedError(
-            "Image codecs (PIL/cv2) are not installed in this environment; "
+            "unrecognized image format and PIL is not installed; "
             "pass fake=True for the deterministic stub decoder"
-        )
-    return _fake_decode(payload)
+        ) from None
 
 
 def extract_image_meta(

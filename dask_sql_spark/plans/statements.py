@@ -387,9 +387,28 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
     if m:
         name = _unquote(m.group(1))
         cols_spec = m.group(2)
-        df = context._get_table(name)
+        # catalog-backed tables additionally get Spark's native ANALYZE so
+        # the CBO sees real rowCount/column stats at scale (join reorder,
+        # stats-driven broadcast selection); registry temp views cannot
+        # carry catalog stats, so for them the summary below is the result
+        try:
+            is_catalog = context.spark.catalog.tableExists(
+                name
+            ) and not context.spark.catalog.getTable(name).isTemporary
+        except Exception:
+            is_catalog = False
+        if is_catalog:
+            if cols_spec.upper().startswith("COLUMNS"):
+                native_suffix = f"FOR COLUMNS {m.group(3)}"
+            else:
+                native_suffix = "FOR ALL COLUMNS"
+            spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+            spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS {native_suffix}")
+            df = spark.table(name)
+        else:
+            df = context._get_table(name)
         if cols_spec.upper().startswith("COLUMNS"):
-            cols = [c.strip().strip('"') for c in m.group(3).split(",")]
+            cols = [c.strip().strip('"').strip("`") for c in m.group(3).split(",")]
             df = df.select(*cols)
         # describe()-style stats table (reference analyze_table.py:15-70);
         # distributed: summary() aggregates executor-side.

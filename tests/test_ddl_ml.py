@@ -215,3 +215,47 @@ def test_parse_kwargs_quoted_commas_and_floats():
 
     out = parse_kwargs("a = 'x,y((z', b = 1.5, c = bare_word")
     assert out == {"a": "x,y((z", "b": 1.5, "c": "bare_word"}
+
+
+def test_create_model_size_guard(context):
+    """Oversized training selects raise instead of hanging the driver;
+    sample= and max_fit_rows= are the escape hatches."""
+    with pytest.raises(RuntimeError, match="more than 2 rows"):
+        context.sql(
+            """CREATE OR REPLACE MODEL m_guard WITH (
+                 model_class = 'tests.dummy_estimator.MeanRegressor',
+                 target_column = 'b',
+                 max_fit_rows = 2
+               ) AS SELECT CAST(a AS DOUBLE) AS a, b FROM df_simple"""
+        )
+    # raising the cap (or sampling) fits fine
+    context.sql(
+        """CREATE OR REPLACE MODEL m_guard WITH (
+             model_class = 'tests.dummy_estimator.MeanRegressor',
+             target_column = 'b',
+             max_fit_rows = 10,
+             sample = 1.0
+           ) AS SELECT CAST(a AS DOUBLE) AS a, b FROM df_simple"""
+    )
+    context.sql("DROP MODEL m_guard")
+
+
+def test_analyze_catalog_table_native_stats(context):
+    """ANALYZE on a catalog-backed table also runs Spark's native COMPUTE
+    STATISTICS so the CBO sees real rowCount/column stats."""
+    spark = context.spark
+    spark.sql("DROP TABLE IF EXISTS cat_stats_t")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(100)], "k INT, v INT"
+    ).write.mode("overwrite").saveAsTable("cat_stats_t")
+    try:
+        context.sql(
+            "ANALYZE TABLE cat_stats_t COMPUTE STATISTICS FOR ALL COLUMNS"
+        ).collect()
+        detail = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE EXTENDED cat_stats_t").collect()
+        }
+        assert "Statistics" in detail and "100 rows" in detail["Statistics"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cat_stats_t")

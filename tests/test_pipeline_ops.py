@@ -176,11 +176,61 @@ def test_multimodal_plumbing(docs):
     assert resized.collect()[0].resized_to == 224
 
 
-def test_decode_without_fake_raises():
+def test_decode_unknown_format_raises():
     from dask_sql_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"bytes", fake=False)
+        decode_image(b"not an image", fake=False)
+
+
+def _png_bytes(w: int, h: int, color_type: int = 6) -> bytes:
+    import struct
+
+    ihdr = struct.pack(">II", w, h) + bytes([8, color_type, 0, 0, 0])
+    return b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+
+
+def _jpeg_bytes(w: int, h: int, channels: int = 3) -> bytes:
+    import struct
+
+    # SOI + APP0 (JFIF) + SOF0
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * channels, 8, h, w, channels)
+    return b"\xff\xd8" + app0 + sof0 + bytes(3 * channels)
+
+
+def test_decode_real_headers():
+    """Header parsing decodes real PNG/JPEG/GIF payload bytes without any
+    codec dependency (no fake= needed)."""
+    from dask_sql_spark.operators.multimodal import decode_image
+
+    w, h, c, _ = decode_image(_png_bytes(640, 480, color_type=2), fake=False)
+    assert (w, h, c) == (640, 480, 3)
+    w, h, c, _ = decode_image(_png_bytes(31, 7, color_type=0), fake=False)
+    assert (w, h, c) == (31, 7, 1)
+    w, h, c, _ = decode_image(_jpeg_bytes(1920, 1080), fake=False)
+    assert (w, h, c) == (1920, 1080, 3)
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    w, h, c, _ = decode_image(gif, fake=False)
+    assert (w, h, c) == (320, 200, 3)
+
+
+def test_extract_image_meta_real_payloads(spark):
+    """The mapInPandas pipeline runs on genuine image bytes end-to-end."""
+    import pandas as pd
+
+    from dask_sql_spark.operators.multimodal import extract_image_meta
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "payload": [_png_bytes(100, 50, 2), _jpeg_bytes(64, 32)],
+        }
+    )
+    meta = extract_image_meta(spark.createDataFrame(pdf), fake=False)
+    rows = {r.doc_id: r for r in meta.collect()}
+    assert (rows[0].width, rows[0].height, rows[0].channels) == (100, 50, 3)
+    assert (rows[1].width, rows[1].height, rows[1].channels) == (64, 32, 3)
 
 
 def test_ivf_topk_recall(spark):
