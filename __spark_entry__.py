@@ -1787,6 +1787,264 @@ FROM documents
 
 
 # ==================================================================== #
+# 13. TPC-DS xfail-construct probes (see QUERIES99.md)                 #
+#                                                                      #
+# The reference cannot run 38 of the 99 TPC-DS queries                 #
+# (tests/unit/test_queries.py:5-39 XFAIL list). Those failures cluster #
+# on identifiable SQL constructs; each probe below re-expresses one    #
+# failing construct over this repo's schema, oracle-gated, so the      #
+# capability claim is executable rather than asserted.                 #
+# ==================================================================== #
+_sqlq(
+    "ds_rollup_channel_union",
+    # q5/q77-style: UNION ALL of channels → ROLLUP report
+    """
+WITH sales AS (
+  SELECT 'even' AS channel, o_custkey % 10 AS bucket, o_totalprice AS amt
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT 'odd' AS channel, o_custkey % 10 AS bucket, o_totalprice AS amt
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT channel, bucket,
+  CAST(SUM(CAST(amt AS DECIMAL(18,2))) AS DOUBLE) AS total, COUNT(*) AS n
+FROM sales GROUP BY ROLLUP (channel, bucket)
+""",
+)
+
+_sqlq(
+    "ds_grouping_rank",
+    # q36/q70-style: RANK partitioned by the ROLLUP grouping level
+    """
+WITH agg AS (
+  SELECT r_name, n_name,
+    CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+    CAST(GROUPING(r_name) + GROUPING(n_name) AS INT) AS lochierarchy
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY ROLLUP (r_name, n_name)
+)
+SELECT r_name, n_name, bal, lochierarchy,
+  RANK() OVER (
+    PARTITION BY lochierarchy
+    ORDER BY bal DESC, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+  ) AS rnk
+FROM agg
+""",
+)
+
+_sqlq(
+    "ds_deviation_from_avg",
+    # q47/q57/q89-style: monthly series vs window average + LAG/LEAD
+    """
+WITH monthly AS (
+  SELECT n_name, YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sales_dec
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, YEAR(o_orderdate), MONTH(o_orderdate)
+), win AS (
+  -- window aggregate over DECIMAL (exact, order-independent) then one
+  -- double division: identical across engines, unlike AVG over doubles
+  SELECT n_name, yr, mo, CAST(sales_dec AS DOUBLE) AS sales,
+    CAST(SUM(sales_dec) OVER (PARTITION BY n_name, yr) AS DOUBLE)
+      / COUNT(*) OVER (PARTITION BY n_name, yr) AS avg_monthly,
+    CAST(LAG(sales_dec) OVER (PARTITION BY n_name ORDER BY yr, mo) AS DOUBLE) AS prev_sales,
+    CAST(LEAD(sales_dec) OVER (PARTITION BY n_name ORDER BY yr, mo) AS DOUBLE) AS next_sales
+  FROM monthly
+)
+SELECT n_name, yr, mo, sales, avg_monthly, prev_sales, next_sales
+FROM win
+WHERE avg_monthly > 0 AND ABS(sales - avg_monthly) / avg_monthly > 0.1
+""",
+)
+
+_sqlq(
+    "ds_cumulative_full_join",
+    # q51-style: two cumulative window series FULL OUTER JOINed
+    """
+WITH a AS (
+  SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)
+), b AS (
+  SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+  FROM orders WHERE o_orderpriority = '2-HIGH'
+  GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)
+), ac AS (
+  SELECT yr, mo, ROUND(SUM(s) OVER (ORDER BY yr, mo), 4) AS cum_a FROM a
+), bc AS (
+  SELECT yr, mo, ROUND(SUM(s) OVER (ORDER BY yr, mo), 4) AS cum_b FROM b
+)
+SELECT COALESCE(ac.yr, bc.yr) AS yr, COALESCE(ac.mo, bc.mo) AS mo, cum_a, cum_b
+FROM ac FULL OUTER JOIN bc ON ac.yr = bc.yr AND ac.mo = bc.mo
+WHERE COALESCE(cum_a, 0) > COALESCE(cum_b, 0)
+""",
+)
+
+_sqlq(
+    "ds_bidirectional_rank",
+    # q44-style: best and worst ranked lists joined on rank position
+    """
+WITH perf AS (
+  SELECT l_suppkey AS sk,
+    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc
+  FROM lineitem GROUP BY l_suppkey
+), best AS (
+  SELECT sk, avg_disc, RANK() OVER (ORDER BY avg_disc ASC, sk) AS rnk FROM perf
+), worst AS (
+  SELECT sk, avg_disc, RANK() OVER (ORDER BY avg_disc DESC, sk) AS rnk FROM perf
+)
+SELECT b.rnk AS rnk, b.sk AS best_sk, w.sk AS worst_sk
+FROM best b JOIN worst w ON b.rnk = w.rnk
+WHERE b.rnk <= 10
+""",
+)
+
+_sqlq(
+    "ds_scalar_subquery_grid",
+    # q88-style: a grid of independent scalar subqueries in one row
+    """
+SELECT
+  (SELECT COUNT(*) FROM orders WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+  (SELECT COUNT(*) FROM orders WHERE o_orderpriority = '5-LOW') AS n_low,
+  (SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R') AS n_returned,
+  (SELECT COUNT(*) FROM customer WHERE c_acctbal < 0) AS n_overdrawn,
+  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem WHERE l_quantity >= 49) AS n_bulk_parts
+""",
+)
+
+_sqlq(
+    "ds_correlated_count",
+    # q41-style: correlated COUNT(*) subquery as a filter predicate
+    """
+SELECT DISTINCT p_name FROM part p
+WHERE p_size <= 10 AND (
+  SELECT COUNT(*) FROM part p2
+  WHERE p2.p_brand = p.p_brand AND p2.p_type = p.p_type
+    AND p2.p_partkey <> p.p_partkey
+) > 2
+ORDER BY p_name
+LIMIT 50
+""",
+)
+
+_sqlq(
+    "ds_max_fraction_filter",
+    # q23-style: rows above a fraction of a global MAX scalar subquery
+    """
+WITH cust AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, total FROM cust
+WHERE total > 0.9 * (SELECT MAX(total) FROM cust)
+""",
+)
+
+_sqlq(
+    "ds_intersect_channels",
+    # q14/q38-style: INTERSECT of entity sets across channels
+    """
+WITH common_parts AS (
+  SELECT l_partkey FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT l_partkey FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey WHERE o_orderpriority = '5-LOW'
+)
+SELECT COUNT(*) AS n_common FROM common_parts
+""",
+)
+
+_sqlq(
+    "ds_topk_per_rollup_group",
+    # q67-style: ROW_NUMBER top-k within each ROLLUP output partition
+    """
+WITH agg AS (
+  SELECT r_name, n_name,
+    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY ROLLUP (r_name, n_name)
+), ranked AS (
+  SELECT r_name, n_name, bal,
+    ROW_NUMBER() OVER (
+      PARTITION BY r_name ORDER BY bal DESC, n_name ASC NULLS FIRST
+    ) AS rk
+  FROM agg
+)
+SELECT r_name, n_name, bal, rk FROM ranked WHERE rk <= 3
+""",
+)
+
+_sqlq(
+    "ds_day_buckets",
+    # q62/q99-style: fulfillment-interval CASE buckets (order → ship lag)
+    """
+SELECT l_returnflag,
+  SUM(CASE WHEN DATEDIFF(l_shipdate, o_orderdate) <= 30 THEN 1 ELSE 0 END) AS d30,
+  SUM(CASE WHEN DATEDIFF(l_shipdate, o_orderdate) > 30
+            AND DATEDIFF(l_shipdate, o_orderdate) <= 60 THEN 1 ELSE 0 END) AS d60,
+  SUM(CASE WHEN DATEDIFF(l_shipdate, o_orderdate) > 60
+            AND DATEDIFF(l_shipdate, o_orderdate) <= 90 THEN 1 ELSE 0 END) AS d90,
+  SUM(CASE WHEN DATEDIFF(l_shipdate, o_orderdate) > 90 THEN 1 ELSE 0 END) AS dmore
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+""",
+    """
+SELECT l_returnflag,
+  SUM(CASE WHEN DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30 THEN 1 ELSE 0 END) AS d30,
+  SUM(CASE WHEN DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30
+            AND DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 60 THEN 1 ELSE 0 END) AS d60,
+  SUM(CASE WHEN DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60
+            AND DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 90 THEN 1 ELSE 0 END) AS d90,
+  SUM(CASE WHEN DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90 THEN 1 ELSE 0 END) AS dmore
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+""",
+)
+
+_sqlq(
+    "ds_exists_chain",
+    # q8/q10/q35-style: EXISTS AND NOT EXISTS over the same dimension
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o2
+    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+  )
+ORDER BY c_custkey
+LIMIT 100
+""",
+)
+
+_sqlq(
+    "ds_count_distinct_having",
+    # q16/q94-style: COUNT(DISTINCT) with HAVING over a filtered join
+    """
+SELECT o_orderpriority,
+  COUNT(DISTINCT o_custkey) AS n_cust,
+  COUNT(*) AS n_orders
+FROM orders
+WHERE o_totalprice > 100000
+GROUP BY o_orderpriority
+HAVING COUNT(DISTINCT o_custkey) > 10
+""",
+)
+
+
+# ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #
 def _driver_verified_names() -> set[str]:
