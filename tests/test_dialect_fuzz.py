@@ -48,3 +48,63 @@ def test_similar_to_matches_duckdb(pattern, target):
     assert actual == expected, (
         f"pattern={pattern!r} target={target!r} regex={regex!r}"
     )
+
+
+# ------------------- quoted-identifier fuzz (VERDICT #8) ------------------- #
+_IDENT_START = st.sampled_from(list("abcxyz_"))
+_IDENT_CHARS = st.text(st.sampled_from(list("abcxyz_019")), min_size=0, max_size=6)
+
+
+@st.composite
+def _identifier(draw):
+    return draw(_IDENT_START) + draw(_IDENT_CHARS)
+
+
+class _FakeCtx:
+    """Just enough Context surface to drive _qualify_schema_tables."""
+
+    from dask_sql_spark.context import Context as _C
+
+    _qualify_schema_tables = _C._qualify_schema_tables
+    _view_name = _C._view_name
+
+    def __init__(self, schema, table):
+        import types
+
+        self.schemas = {
+            "root": types.SimpleNamespace(tables={}),
+            schema: types.SimpleNamespace(tables={table: None}),
+        }
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    schema=_identifier(),
+    table=_identifier(),
+    quote=st.sampled_from(['', '"', '`']),
+)
+def test_qualifier_rewrite_quoted_forms(schema, table, quote):
+    """schema.table resolves identically bare, double-quoted or backticked,
+    and never inside string literals."""
+    if schema == "root" or schema == table:
+        return
+    ctx = _FakeCtx(schema, table)
+    q = f"{quote}{schema}{quote}.{quote}{table}{quote}"
+    out = ctx._qualify_schema_tables(f"SELECT * FROM {q} WHERE x > 0")
+    assert f"{schema}__{table}" in out
+    assert quote + "." not in out.replace(f"{schema}__{table}", "")
+    # string literals keep the dotted form verbatim
+    lit = ctx._qualify_schema_tables(f"SELECT '{schema}.{table}' AS s")
+    assert f"'{schema}.{table}'" in lit
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    parts=st.lists(_identifier(), min_size=1, max_size=3),
+    quote=st.sampled_from(['', '"', '`']),
+)
+def test_unquote_normalizes_quoted_parts(parts, quote):
+    from dask_sql_spark.plans.statements import _unquote
+
+    quoted = ".".join(f"{quote}{p}{quote}" for p in parts)
+    assert _unquote(quoted) == ".".join(parts)
