@@ -73,6 +73,62 @@ def dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicates(id_cols)
 
 
+def stateful_running_totals(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running event count + value total carried across micro-batches, with an
+    optional threshold-crossing flag.
+
+    This is the shape no native operator expresses (session_window and
+    dropDuplicates cover their cases above): arbitrary user state per key,
+    updated per batch, emitted as one row per key per trigger. State is a
+    two-field struct, so the state store stays O(distinct keys); at 100 TB
+    of stream history the state size is bounded by cardinality, not volume.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            stream.schema[key_col],
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("crossed", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "crossed": [threshold is not None and total >= threshold],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def memory_sink_query(df: DataFrame, name: str, output_mode: str = "complete"):
     """Run a streaming DataFrame into an in-memory table (testing sink)."""
     return (

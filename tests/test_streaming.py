@@ -74,3 +74,60 @@ def test_stream_dedup(spark, stream_dir):
     dd = dedup_stream(src, ["user_id", "event_type"])
     rows = _run_stream(spark, dd, "dedup_out", mode="append")
     assert len(rows) == 4  # 2 users × 2 event types
+
+
+def test_stateful_running_totals(spark, stream_dir):
+    from dask_sql_spark.streaming.core import stateful_running_totals
+
+    src = spark.readStream.schema(
+        "ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+    ).parquet(stream_dir)
+    totals = stateful_running_totals(src, threshold=10.0)
+    rows = _run_stream(spark, totals, "running_totals", mode="update")
+    # last emission per key carries the final running state
+    last = {}
+    for r in rows:
+        last[r.user_id] = r
+    assert last[1].n_events == 4 and last[1].total_value == 10.0
+    assert last[1].crossed is True
+    assert last[2].n_events == 2 and last[2].total_value == 11.0
+    assert last[2].crossed is True
+
+
+def test_stateful_running_totals_multi_batch(spark, tmp_path):
+    """State persists across micro-batches: a second file arriving later
+    continues the running totals instead of restarting them."""
+    import pandas as pd
+
+    from dask_sql_spark.streaming.core import memory_sink_query, stateful_running_totals
+
+    d = tmp_path / "src2"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01 00:00"]).astype("datetime64[us]"),
+            "user_id": [7],
+            "value": [2.0],
+        }
+    ).to_parquet(d / "a.parquet")
+    src = spark.readStream.schema("ts TIMESTAMP, user_id BIGINT, value DOUBLE").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(d))
+    q = memory_sink_query(
+        stateful_running_totals(src, threshold=5.0), "running2", output_mode="update"
+    )
+    q.processAllAvailable()
+    pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01 00:10"]).astype("datetime64[us]"),
+            "user_id": [7],
+            "value": [4.0],
+        }
+    ).to_parquet(d / "b.parquet")
+    q.processAllAvailable()
+    rows = spark.sql("SELECT * FROM running2 ORDER BY n_events").collect()
+    q.stop()
+    assert [(r.n_events, r.total_value, r.crossed) for r in rows] == [
+        (1, 2.0, False),
+        (2, 6.0, True),
+    ]
