@@ -1,0 +1,94 @@
+"""Physical-plan audits: the properties that matter at 100 TB must be
+visible in the plan, not assumed — filters reach the parquet scan, scans
+prune columns, small dimensions broadcast, hot paths stay inside
+whole-stage codegen (SURVEY §0 scale goals)."""
+
+
+def _formatted(context, sql: str) -> str:
+    return context.explain(sql)
+
+
+def _executed(context, sql: str) -> str:
+    """AQE-final physical plan: collect() finalizes the df's own
+    QueryExecution (a write would build a separate one)."""
+    df = context.sql(sql)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(sf_tables):
+    plan = _formatted(
+        sf_tables,
+        """
+        SELECT SUM(l_extendedprice * l_discount) AS revenue FROM lineitem
+        WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+    )
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, f"no PushedFilters in plan:\n{plan}"
+    assert "l_discount" in pushed[0] and "l_quantity" in pushed[0]
+
+
+def test_column_pruning_reaches_parquet(sf_tables):
+    plan = _formatted(
+        sf_tables,
+        "SELECT l_returnflag, SUM(l_quantity) AS s FROM lineitem GROUP BY l_returnflag",
+    )
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines, plan
+    read = schema_lines[0]
+    assert "l_returnflag" in read and "l_quantity" in read
+    # a 2-column projection must not scan the wide columns
+    for unused in ("l_extendedprice", "l_partkey", "l_shipdate"):
+        assert unused not in read, f"{unused} not pruned: {read}"
+
+
+def test_small_dimension_broadcasts(sf_tables):
+    plan = _executed(
+        sf_tables,
+        """
+        SELECT n_name, COUNT(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """,
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_aggregate_is_partial_before_shuffle(sf_tables):
+    """Map-side partial aggregation must appear under the exchange."""
+    plan = _formatted(
+        sf_tables,
+        "SELECT l_returnflag, SUM(l_quantity) AS s FROM lineitem GROUP BY l_returnflag",
+    )
+    assert "HashAggregate" in plan and "Exchange" in plan
+    # formatted plan lists partial_sum in the pre-shuffle aggregate node
+    assert "partial_sum" in plan, plan
+
+
+def test_hot_path_stays_in_codegen(sf_tables):
+    """In the executed (AQE-final) plan, '*(n)' prefixes mark operators
+    fused into WholeStageCodegen — the scan→filter→partial-agg hot path
+    must carry them."""
+    plan = _executed(
+        sf_tables,
+        """
+        SELECT l_returnflag, SUM(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag
+        """,
+    )
+    assert "*(" in plan, plan
+    assert "HashAggregate" in plan
+
+
+def test_semi_join_for_in_subquery(sf_tables):
+    """IN subqueries must plan as joins, never driver-side loops (the
+    reference's call.py:996-1026 anti-pattern)."""
+    plan = _executed(
+        sf_tables,
+        """
+        SELECT COUNT(*) AS n FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+        """,
+    )
+    assert "SemiJoin" in plan or "LeftSemi" in plan, plan
