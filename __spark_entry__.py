@@ -2045,6 +2045,116 @@ HAVING COUNT(DISTINCT o_custkey) > 10
 
 
 # ==================================================================== #
+# 14. registered UDF / UDAF under the oracle gate (SURVEY §2.7)        #
+#                                                                      #
+# The UDF registry (reference context.py:324-480) was previously       #
+# pytest-only; these queries run REGISTERED functions through          #
+# Context.sql with a plain-SQL DuckDB twin, so the registration path   #
+# itself sits under the driver's value-hash gate. Functions use exact  #
+# FP arithmetic (x/(1+|x|), integer-valued doubles) so results are     #
+# bit-identical across engines regardless of evaluation order.         #
+# ==================================================================== #
+def _udf_column_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ctx = _ctx(spark, sf_dir)
+
+    def squash(x):
+        # pandas UDF: receives a pd.Series per Arrow batch
+        return x / (1.0 + x.abs())
+
+    ctx.register_function(
+        squash, "squash", [("x", float)], float, replace=True
+    )
+    return ctx.sql(
+        """
+        SELECT o_orderkey,
+          squash(o_totalprice / 100000.0) AS sq,
+          squash(CAST(o_orderkey % 7 AS DOUBLE) - 3.0) AS sq2
+        FROM orders
+        """
+    )
+
+
+_dfq(
+    "udf_column_squash",
+    _udf_column_fn,
+    """
+SELECT o_orderkey,
+  (o_totalprice / 100000.0) / (1.0 + ABS(o_totalprice / 100000.0)) AS sq,
+  (CAST(o_orderkey % 7 AS DOUBLE) - 3.0)
+    / (1.0 + ABS(CAST(o_orderkey % 7 AS DOUBLE) - 3.0)) AS sq2
+FROM orders
+""",
+)
+
+
+def _udf_row_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ctx = _ctx(spark, sf_dir)
+    buckets = {"1-URGENT": 0, "2-HIGH": 1, "3-MEDIUM": 2}
+
+    def classify(p):
+        # row UDF: one scalar per call (reference's df.apply(axis=1) path)
+        return buckets.get(p, 9)
+
+    ctx.register_function(
+        classify, "classify_prio", [("p", str)], int, replace=True, row_udf=True
+    )
+    return ctx.sql(
+        """
+        SELECT classify_prio(o_orderpriority) AS bucket, COUNT(*) AS n
+        FROM orders GROUP BY classify_prio(o_orderpriority)
+        """
+    )
+
+
+_dfq(
+    "udf_row_classify",
+    _udf_row_fn,
+    """
+SELECT CASE o_orderpriority WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+            WHEN '3-MEDIUM' THEN 2 ELSE 9 END AS bucket,
+  COUNT(*) AS n
+FROM orders
+GROUP BY CASE o_orderpriority WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+              WHEN '3-MEDIUM' THEN 2 ELSE 9 END
+""",
+)
+
+
+def _udaf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ctx = _ctx(spark, sf_dir)
+
+    def sum_of_squares(s):
+        # GROUPED_AGG pandas UDF: Series -> scalar; operands are
+        # integer-valued doubles < 2^53, so addition is exact and
+        # order-independent across engines
+        return float((s * s).sum())
+
+    ctx.register_aggregation(
+        sum_of_squares, "sumsq", [("x", float)], float, replace=True
+    )
+    # NB: Spark cannot mix GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one GROUP BY (INVALID_PANDAS_UDF_PLACEMENT)
+    return ctx.sql(
+        """
+        SELECT o_orderpriority,
+          sumsq(CAST(o_orderkey % 100 AS DOUBLE)) AS ss
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+
+
+_dfq(
+    "udaf_sum_of_squares",
+    _udaf_fn,
+    """
+SELECT o_orderpriority,
+  SUM(CAST(o_orderkey % 100 AS DOUBLE) * CAST(o_orderkey % 100 AS DOUBLE)) AS ss
+FROM orders GROUP BY o_orderpriority
+""",
+)
+
+
+# ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #
 def _driver_verified_names() -> set[str]:
