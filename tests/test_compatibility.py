@@ -164,3 +164,78 @@ def test_random_query_extra(compat_ctx, compat_duck, idx):
     sdf = compat_ctx.sql(q).toPandas()
     odf = compat_duck.execute(q).df()
     assert compare(sdf, odf) is None, q
+
+
+# third batch: the TPC-DS xfail-construct families (QUERIES99.md) as
+# randomized differential templates — integer arithmetic only, so results
+# are exact in both engines
+def _gen_queries_ds() -> list[str]:
+    r = random.Random(SEED + 200)
+    out = []
+    for _ in range(3):
+        k = r.randint(2, 5)
+        out.append(
+            f"""SELECT user_id, g, COUNT(*) AS n, SUM(b) AS sb FROM (
+                  SELECT user_id, b % {k} AS g, b FROM df1
+                ) t GROUP BY ROLLUP (user_id, g)"""
+        )
+    for _ in range(3):
+        # RANGE frame (the ORDER BY default) is tie-inclusive → the
+        # running sum is deterministic even with duplicate order keys
+        out.append(
+            f"""SELECT user_id, b,
+                  SUM(b) OVER (PARTITION BY user_id ORDER BY b) AS run,
+                  RANK() OVER (PARTITION BY user_id ORDER BY b) AS rnk
+                FROM df1 WHERE b > {r.randint(-8, 0)}"""
+        )
+    for _ in range(2):
+        k = r.randint(21, 28)
+        out.append(
+            f"""SELECT user_id, b FROM df1
+                WHERE EXISTS (SELECT 1 FROM df2
+                              WHERE df2.user_id = df1.user_id AND c > {k})"""
+        )
+        out.append(
+            f"""SELECT user_id, b FROM df1
+                WHERE NOT EXISTS (SELECT 1 FROM df2
+                                  WHERE df2.user_id = df1.user_id AND c > {k})"""
+        )
+    out.append(
+        """SELECT user_id,
+             (SELECT COUNT(*) FROM df2 WHERE df2.user_id = df1.user_id) AS n2
+           FROM df1"""
+    )
+    out.append("SELECT user_id FROM df1 INTERSECT SELECT user_id FROM df2")
+    out.append("SELECT user_id FROM df1 EXCEPT SELECT user_id FROM df2")
+    for _ in range(2):
+        k1, k2 = r.randint(-5, 5), r.randint(21, 28)
+        out.append(
+            f"""SELECT
+                 (SELECT COUNT(*) FROM df1 WHERE b > {k1}) AS n1,
+                 (SELECT COUNT(*) FROM df2 WHERE c < {k2}) AS n2,
+                 (SELECT COUNT(DISTINCT user_id) FROM df1) AS du"""
+        )
+    for _ in range(2):
+        out.append(
+            f"""SELECT user_id,
+                  SUM(CASE WHEN b > {r.randint(-3, 3)} THEN 1 ELSE 0 END) AS hi,
+                  SUM(CASE WHEN b < {r.randint(-3, 3)} THEN 1 ELSE 0 END) AS lo
+                FROM df1 GROUP BY user_id"""
+        )
+    return out
+
+
+DS_EXTRA = _gen_queries_ds()
+
+
+@pytest.mark.parametrize("idx", range(len(DS_EXTRA)))
+def test_random_query_ds_constructs(compat_ctx, compat_duck, idx):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import compare
+
+    q = DS_EXTRA[idx]
+    sdf = compat_ctx.sql(q).toPandas()
+    odf = compat_duck.execute(q).df()
+    assert compare(sdf, odf) is None, q
