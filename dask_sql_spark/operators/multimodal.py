@@ -159,6 +159,114 @@ def extract_image_meta(
     return df.select(id_col, payload_col).mapInPandas(_extract, out_schema)
 
 
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def parse_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, channels, bits_per_sample, duration_ms) from RIFF/WAVE
+    header bytes — no codec dependency. Returns None for non-WAV payloads.
+
+    Walks RIFF chunks to the ``fmt `` chunk (PCM layout) and sizes the
+    ``data`` chunk for duration.
+    """
+    if len(payload) < 36 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    sample_rate = channels = bits = 0
+    data_size = None
+    i = 12
+    n = len(payload)
+    while i + 8 <= n:
+        chunk_id = payload[i : i + 4]
+        chunk_size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if chunk_id == b"fmt " and i + 24 <= n:
+            channels = int.from_bytes(payload[i + 10 : i + 12], "little")
+            sample_rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+            bits = int.from_bytes(payload[i + 22 : i + 24], "little")
+        elif chunk_id == b"data":
+            data_size = chunk_size
+        i += 8 + chunk_size + (chunk_size % 2)  # chunks are word-aligned
+    if not sample_rate or not channels or not bits:
+        return None
+    if data_size is None:
+        data_size = max(0, n - 44)
+    bytes_per_second = sample_rate * channels * (bits // 8)
+    duration_ms = (data_size * 1000) // bytes_per_second if bytes_per_second else 0
+    return sample_rate, channels, bits, duration_ms
+
+
+def extract_audio_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, byte_len, sample_rate, channels, bits_per_sample, duration_ms)
+    via mapInPandas — same Arrow-batched narrow-transform shape as
+    extract_image_meta. Non-WAV payloads yield NULL metadata columns."""
+    out_schema = T.StructType([df.schema[id_col]] + list(AUDIO_META_SCHEMA.fields))
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            metas = [parse_wav_header(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "byte_len": [len(p) for p in payloads],
+                    "sample_rate": [m[0] if m else None for m in metas],
+                    "channels": [m[1] if m else None for m in metas],
+                    "bits_per_sample": [m[2] if m else None for m in metas],
+                    "duration_ms": [m[3] if m else None for m in metas],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_extract, out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_ms: int = 1000,
+    fake_duration_ms: int | None = None,
+) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame timestamp
+    per video — the explode shape a real decoder (av/ffmpeg, not in this
+    container) drops into. With no codec, duration comes from
+    ``fake_duration_ms`` or a deterministic md5-derived stand-in; the
+    frame extraction itself is STUBBED as a payload-offset slice."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("frame_ts_ms", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, ts, idxs = [], [], []
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                payload = row[payload_col]
+                if fake_duration_ms is not None:
+                    duration = fake_duration_ms
+                else:
+                    digest = hashlib.md5(payload).digest()
+                    duration = 1000 + int.from_bytes(digest[:2], "big") % 9000
+                for k, t in enumerate(range(0, duration, every_ms)):
+                    ids.append(row[id_col])
+                    ts.append(t)
+                    idxs.append(k)
+        yield pd.DataFrame({id_col: ids, "frame_ts_ms": ts, "frame_idx": idxs})
+
+    return df.select(id_col, payload_col).mapInPandas(_sample, out_schema)
+
+
 def resize_stub(df: DataFrame, payload_col: str = "payload", size: int = 224) -> DataFrame:
     """Resize plumbing: passes payloads through mapInPandas with the target
     size recorded — the real resize drops into `_resize_batch`."""

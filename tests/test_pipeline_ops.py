@@ -276,3 +276,46 @@ def test_clean_corpus_pipeline(docs):
     assert {0, 3, 4, 5} <= rows
     assert 2 not in rows and 1 not in rows and 7 not in rows
     assert 6 not in rows
+
+
+def _wav_bytes(rate=16000, channels=1, bits=16, seconds=2) -> bytes:
+    import struct
+
+    data_size = rate * channels * (bits // 8) * seconds
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+                      channels * bits // 8, bits)
+    return (b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", data_size) + bytes(16))  # truncated body
+
+
+def test_audio_meta_real_wav_header(spark):
+    import pandas as pd
+
+    from dask_sql_spark.operators.multimodal import extract_audio_meta, parse_wav_header
+
+    assert parse_wav_header(b"not audio") is None
+    assert parse_wav_header(_wav_bytes(44100, 2, 16, 3)) == (44100, 2, 16, 3000)
+
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1], "payload": [_wav_bytes(8000, 1, 8, 1), b"junk"]}
+    )
+    rows = {r.doc_id: r for r in extract_audio_meta(spark.createDataFrame(pdf)).collect()}
+    assert (rows[0].sample_rate, rows[0].channels, rows[0].bits_per_sample,
+            rows[0].duration_ms) == (8000, 1, 8, 1000)
+    assert rows[1].sample_rate is None and rows[1].byte_len == 4
+
+
+def test_video_frame_sampling_plumbing(spark):
+    import pandas as pd
+
+    from dask_sql_spark.operators.multimodal import sample_video_frames
+
+    pdf = pd.DataFrame({"doc_id": [5], "payload": [b"fake video bytes"]})
+    frames = sample_video_frames(
+        spark.createDataFrame(pdf), every_ms=500, fake_duration_ms=2200
+    ).collect()
+    assert [(r.frame_idx, r.frame_ts_ms) for r in sorted(frames, key=lambda r: r.frame_idx)] == [
+        (0, 0), (1, 500), (2, 1000), (3, 1500), (4, 2000)
+    ]
+    assert all(r.doc_id == 5 for r in frames)
