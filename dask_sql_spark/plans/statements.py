@@ -94,6 +94,21 @@ _EXPORT_MODEL = re.compile(
 _INSERT_INTO = re.compile(
     r"^\s*INSERT\s+INTO\s+([\w.\"`]+)\s+(SELECT\s+.*|VALUES\s*\(.*)$", _FLAGS
 )
+# MERGE INTO (additive upsert; Spark supports it natively only for v2/Delta
+# tables, so over registry tables it is composed from joins)
+_MERGE_INTO = re.compile(
+    r"^\s*MERGE\s+INTO\s+([\w.\"`]+)(?:\s+AS\s+(\w+))?\s+"
+    r"USING\s+(\([\s\S]+?\)|[\w.\"`]+)(?:\s+AS\s+(\w+))?\s+"
+    r"ON\s+([\s\S]+?)\s+"
+    r"(WHEN\s+[\s\S]+)$",
+    _FLAGS,
+)
+_WHEN_CLAUSE = re.compile(
+    r"WHEN\s+(NOT\s+)?MATCHED\s+THEN\s+"
+    r"(UPDATE\s+SET\s+[\s\S]+?|DELETE|INSERT\s*(?:\([^)]*\))?\s*VALUES\s*\([\s\S]+?\))"
+    r"(?=\s*WHEN\s|\s*$)",
+    _FLAGS,
+)
 _COPY_TO = re.compile(
     r"^\s*COPY\s+(\([\s\S]*\)|[\w.\"`]+)\s+TO\s+'([^']+)'"
     r"(?:\s+WITH\s*\((.*)\))?\s*$",
@@ -214,6 +229,140 @@ def parse_kwargs(body: str) -> dict:
             raw, i = body[i:j], j
         out[key] = _coerce_kwarg(raw)
     return out
+
+
+def _split_top_commas(s: str) -> list[str]:
+    """Split on commas at paren depth 0, skipping string literals."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    in_str = False
+    for ch in s:
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _execute_merge(context: "Context", m: re.Match) -> DataFrame:
+    """MERGE INTO over a registry table, composed from joins (Spark's
+    native MERGE needs a v2/Delta table).
+
+    Supported: WHEN MATCHED THEN UPDATE SET ... | DELETE (one of the two),
+    WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (...). Assumes at most one
+    source match per target row (ANSI MERGE raises on fan-out; here the
+    fan-out would duplicate — keep merge keys unique, as a lakehouse does).
+    Plan shape: one left join (update/delete) + one anti join (insert),
+    both on the merge condition — shuffle-on-key, no driver materialization.
+    """
+    from pyspark.sql import functions as F
+
+    target_raw, t_alias, source_raw, s_alias, cond, whens = m.groups()
+    schema_name, table = _resolve(context, target_raw)
+    # unaliased names are referenced by their bare table name in ON/SET
+    t_alias = t_alias or table
+    if not s_alias:
+        s_alias = (
+            "__merge_src__"
+            if source_raw.startswith("(")
+            else _resolve(context, source_raw)[1]
+        )
+    target = context._get_table(_unquote(target_raw))
+    if source_raw.startswith("("):
+        source = context.sql(source_raw[1:-1])
+    else:
+        source = context._get_table(_unquote(source_raw))
+
+    update_set: str | None = None
+    do_delete = False
+    insert_cols: list[str] | None = None
+    insert_vals: list[str] | None = None
+    for wm in _WHEN_CLAUSE.finditer(whens):
+        neg, action = wm.group(1), wm.group(2).strip()
+        upper = action.upper()
+        if not neg and upper.startswith("UPDATE"):
+            update_set = re.sub(r"^UPDATE\s+SET\s+", "", action, flags=_FLAGS)
+        elif not neg and upper == "DELETE":
+            do_delete = True
+        elif neg and upper.startswith("INSERT"):
+            im = re.match(
+                r"INSERT\s*(?:\(([^)]*)\))?\s*VALUES\s*\(([\s\S]*)\)\s*$",
+                action,
+                _FLAGS,
+            )
+            if im is None:
+                raise ValueError(f"MERGE: cannot parse INSERT clause {action!r}")
+            insert_cols = (
+                [c.strip().strip('"`') for c in im.group(1).split(",")]
+                if im.group(1)
+                else list(target.columns)
+            )
+            insert_vals = _split_top_commas(im.group(2))
+    if update_set and do_delete:
+        raise ValueError(
+            "MERGE: WHEN MATCHED supports UPDATE or DELETE, not both"
+        )
+
+    marker = "__merge_matched__"
+    t = target.alias(t_alias)
+    s = source.withColumn(marker, F.lit(True)).alias(s_alias)
+    joined = t.join(s, F.expr(cond), "left")
+    matched = F.col(marker).isNotNull()
+
+    assignments: dict[str, str] = {}
+    if update_set:
+        for part in _split_top_commas(update_set):
+            k, v = part.split("=", 1)
+            k = k.strip().strip('"`')
+            if "." in k:  # tolerate `t.col = ...`
+                k = k.split(".", 1)[1].strip().strip('"`')
+            assignments[k.lower()] = v.strip()
+
+    cols = []
+    for c in target.columns:
+        base = F.col(f"{t_alias}.{c}")
+        if c.lower() in assignments:
+            cols.append(
+                F.when(matched, F.expr(assignments[c.lower()]))
+                .otherwise(base)
+                .alias(c)
+            )
+        else:
+            cols.append(base.alias(c))
+    kept = joined.where(~matched) if do_delete else joined
+    updated = kept.select(*cols)
+
+    if insert_vals is not None:
+        anti = source.alias(s_alias).join(t, F.expr(cond), "left_anti")
+        by_col = dict(zip([c.lower() for c in insert_cols], insert_vals))
+        ins_cols = []
+        for f in target.schema.fields:
+            v = by_col.get(f.name.lower())
+            if v is None:
+                ins_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                ins_cols.append(F.expr(v).cast(f.dataType).alias(f.name))
+        updated = updated.unionByName(anti.select(*ins_cols))
+
+    context.create_table(table, updated, schema_name=schema_name)
+    return context._empty_result()
 
 
 def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | None:
@@ -435,6 +584,10 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
             raise RuntimeError(f"Model {name} already exists")
         create_model(context, name, parse_kwargs(body), select)
         return context._empty_result()
+
+    m = _MERGE_INTO.match(sql)
+    if m:
+        return _execute_merge(context, m)
 
     m = _INSERT_INTO.match(sql)
     if m:

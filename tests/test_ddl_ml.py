@@ -259,3 +259,42 @@ def test_analyze_catalog_table_native_stats(context):
         assert "Statistics" in detail and "100 rows" in detail["Statistics"]
     finally:
         spark.sql("DROP TABLE IF EXISTS cat_stats_t")
+
+
+def test_merge_into_upsert(context):
+    """MERGE upsert: matched rows update, unmatched source rows insert."""
+    context.sql("CREATE OR REPLACE TABLE m_tgt AS SELECT * FROM (VALUES (1, 10.0), (2, 20.0)) AS v(k, val)")
+    context.sql("CREATE OR REPLACE TABLE m_src AS SELECT * FROM (VALUES (2, 99.0), (3, 30.0)) AS v(k, val)")
+    context.sql(
+        """MERGE INTO m_tgt AS t USING m_src AS s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET val = s.val + 0.5
+           WHEN NOT MATCHED THEN INSERT (k, val) VALUES (s.k, s.val)"""
+    )
+    rows = {r.k: r.val for r in context.sql("SELECT k, val FROM m_tgt").collect()}
+    assert rows == {1: 10.0, 2: 99.5, 3: 30.0}
+    context.sql("DROP TABLE m_tgt")
+    context.sql("DROP TABLE m_src")
+
+
+def test_merge_into_delete(context):
+    context.sql("CREATE OR REPLACE TABLE m_tgt2 AS SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS v(k, s)")
+    context.sql(
+        """MERGE INTO m_tgt2 USING (SELECT 2 AS k) AS src ON m_tgt2.k = src.k
+           WHEN MATCHED THEN DELETE"""
+    )
+    assert sorted(r.k for r in context.sql("SELECT k FROM m_tgt2").collect()) == [1, 3]
+    context.sql("DROP TABLE m_tgt2")
+
+
+def test_merge_into_subquery_source_and_defaults(context):
+    """Unlisted insert columns fill with NULL; source can be a subquery."""
+    context.sql("CREATE OR REPLACE TABLE m_tgt3 AS SELECT * FROM (VALUES (1, 10.0, 'x')) AS v(k, val, tag)")
+    context.sql(
+        """MERGE INTO m_tgt3 AS t
+           USING (SELECT 5 AS k, 50.0 AS val) AS s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET val = s.val
+           WHEN NOT MATCHED THEN INSERT (k, val) VALUES (s.k, s.val)"""
+    )
+    rows = {r.k: (r.val, r.tag) for r in context.sql("SELECT * FROM m_tgt3").collect()}
+    assert rows == {1: (10.0, "x"), 5: (50.0, None)}
+    context.sql("DROP TABLE m_tgt3")
