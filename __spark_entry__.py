@@ -2155,6 +2155,74 @@ FROM orders GROUP BY o_orderpriority
 
 
 # ==================================================================== #
+# 15. GROUPS window frames (SQL:2011) via dense_rank + RANGE           #
+# ==================================================================== #
+def _groups_frame_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS frames are unsupported by Spark's window exec; the
+    operators/window_ext.py composition (dense_rank → integer RANGE) is
+    exact. The order key (quarter) has ties across monthly rows, so peer-
+    group semantics genuinely differ from ROWS here; DuckDB's native
+    GROUPS frame is the oracle."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.window_ext import groups_frame
+
+    monthly = _ctx(spark, sf_dir).sql(
+        """
+        SELECT o_orderpriority AS prio,
+          YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS ym,
+          YEAR(o_orderdate) * 10 + (MONTH(o_orderdate) - 1) DIV 3 AS q,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sales_dec
+        FROM orders
+        GROUP BY o_orderpriority, YEAR(o_orderdate) * 100 + MONTH(o_orderdate),
+                 YEAR(o_orderdate) * 10 + (MONTH(o_orderdate) - 1) DIV 3
+        """
+    )
+    out = groups_frame(
+        monthly,
+        ["prio"],
+        "q",
+        F.sum("sales_dec"),
+        preceding=1,
+        following=0,
+        out_col="run_dec",
+    )
+    return out.select(
+        "prio",
+        "ym",
+        F.col("sales_dec").cast("double").alias("sales"),
+        F.col("run_dec").cast("double").alias("two_quarter_sum"),
+    )
+
+
+# NB: DuckDB has no GROUPS mode either ("not implemented yet"), so the
+# oracle expresses the same dense_rank→RANGE identity in SQL; the GROUPS
+# semantics themselves are pinned by test_groups_frame_peer_semantics.
+_dfq(
+    "window_groups_frame",
+    _groups_frame_fn,
+    """
+WITH monthly AS (
+  SELECT o_orderpriority AS prio,
+    YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS ym,
+    YEAR(o_orderdate) * 10 + (MONTH(o_orderdate) - 1) // 3 AS q,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sales_dec
+  FROM orders
+  GROUP BY 1, 2, 3
+), g AS (
+  SELECT *, DENSE_RANK() OVER (PARTITION BY prio ORDER BY q) AS pg FROM monthly
+)
+SELECT prio, ym, CAST(sales_dec AS DOUBLE) AS sales,
+  CAST(SUM(sales_dec) OVER (
+    PARTITION BY prio ORDER BY pg
+    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS two_quarter_sum
+FROM g
+""",
+)
+
+
+# ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #
 def _driver_verified_names() -> set[str]:

@@ -225,3 +225,38 @@ def test_timestamps_utc_normalized(context):
     ).collect()
     # session tz pinned to UTC: both columns agree (reference mappings.py:83-85)
     assert all(r.no_timezone == r.utc_timezone for r in rows)
+
+
+def test_groups_frame_peer_semantics(spark):
+    """GROUPS semantics pinned on a handcrafted case: bounds count DISTINCT
+    order values (peer groups), not rows and not numeric ranges. Order keys
+    10, 20, 20, 50: for the row at 50, GROUPS 1 PRECEDING covers {20, 50}
+    (5+7+100=112) — a ROWS frame would cut the 20-peer in half (107) and a
+    numeric RANGE frame would cover only {50} (100)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.window_ext import groups_frame
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"p": ["a"] * 4, "k": [10, 20, 20, 50], "x": [1, 5, 7, 100]})
+    )
+    out = groups_frame(df, ["p"], "k", F.sum("x"), preceding=1, following=0)
+    got = {(r.k, r.x): r.groups_agg for r in out.collect()}
+    assert got[(10, 1)] == 1          # first peer group alone
+    assert got[(20, 5)] == 13         # {10} + {20,20} — whole peer group
+    assert got[(20, 7)] == 13
+    assert got[(50, 100)] == 112      # {20,20} + {50}, NOT 107, NOT 100
+
+
+def test_groups_frame_unbounded(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.window_ext import groups_frame
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"p": ["a", "a", "b"], "k": [1, 1, 2], "x": [3, 4, 9]})
+    )
+    out = groups_frame(df, ["p"], "k", F.count(F.lit(1)), out_col="n")
+    assert {(r.p, r.n) for r in out.collect()} == {("a", 2), ("b", 1)}
