@@ -103,17 +103,17 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All document pairs with shingle-set Jaccard ≥ threshold.
 
-    Plan: explode shingles → self-join on shingle (co-shingle pairs) →
-    count common → join per-doc sizes → |A∩B| / (|A|+|B|−|A∩B|).
-    The shingle join only pairs documents sharing ≥1 shingle, so the
-    complexity is Σ bucket² over shingle buckets, not N².
+    Plan: explode shingles → groupBy(shingle) doc lists → in-row pair
+    explode (co-shingle pairs) → count common → join per-doc sizes →
+    |A∩B| / (|A|+|B|−|A∩B|). Only documents sharing ≥1 shingle ever
+    pair, so the complexity is Σ bucket²/2 over shingle buckets, not N².
 
     ``max_df`` is the stopword-gram blowup guard: shingles appearing in
-    more than max_df documents are dropped BEFORE the self-join (a shingle
-    in d docs contributes d² join rows — one stopword 3-gram in 1M docs is
-    10¹² rows). Per-doc sizes are computed on the filtered shingle set so
-    Jaccard stays internally consistent (the oracle CTE applies the same
-    filter). At 100 TB always set max_df; None keeps exact semantics.
+    more than max_df documents are dropped BEFORE pairing (a shingle in
+    d docs contributes d²/2 pairs — one stopword 3-gram in 1M docs is
+    5×10¹¹ rows). Per-doc sizes are computed on the filtered shingle set
+    so Jaccard stays internally consistent (the oracle CTE applies the
+    same filter). At 100 TB always set max_df; None keeps exact semantics.
 
     The join key is the 60-bit hash of the shingle, not the string —
     ~3× smaller shuffle. A cross-document hash collision would inflate
