@@ -2222,6 +2222,22 @@ FROM g
 )
 
 
+def _embedding_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: hyperplane buckets + exact
+    in-bucket matmul. Rows-only gate (plane math is seed-deterministic in
+    Spark but not expressible as a DuckDB oracle without replicating the
+    whole plane table); recall vs the exact kernel is pinned in
+    tests/test_pipeline_ops.py."""
+    from dask_sql_spark.operators.similarity import embedding_near_dupes_lsh
+
+    return embedding_near_dupes_lsh(
+        _table(spark, sf_dir, "embeddings"), threshold=0.95, n_planes=8
+    ).select("id_a", "id_b")
+
+
+_dfq("dedup_embedding_lsh", _embedding_lsh_fn)
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #

@@ -152,6 +152,70 @@ def ivf_topk(
     return _rank_topk(scored, k)
 
 
+def embedding_near_dupes_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """All-pairs cosine near-dup at scale: hyperplane LSH bucketing, exact
+    numpy-matmul kernel WITHIN buckets only (the scale path that
+    dedup.embedding_near_dupes's documented-quadratic kernel defers to).
+
+    Multiprobe: every vector lands in its own bucket plus all 1-bit-flip
+    buckets, so a pair whose signatures differ on ≤1 plane still meets
+    ((n_planes+1)× row duplication, deduped at the end). At cos ≥ 0.95 and
+    8 planes that lifts pair recall from ~0.43 to ~0.81; raise recall
+    further with fewer planes or 2-bit probes. Work is Σ bucket²— never
+    N² — and each bucket's scoring is one BLAS matmul task.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    dim = len(emb.select(vec_col).first()[0])  # metadata-scale probe
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    c = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("sig", signature_col(F.col("v"), planes))
+    probes = F.array(
+        F.col("sig"),
+        *[F.col("sig").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+    )
+    buckets = c.withColumn("bucket", F.explode(probes))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def _pairs(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        m = np.stack(pdf["v"].to_numpy())
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ids = pdf["id"].to_numpy()
+        sims = m @ m.T
+        ia, ib = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "cos": np.round(sims[ia, ib], 6)}
+        )
+
+    return (
+        buckets.groupBy("bucket").applyInPandas(_pairs, out_schema).distinct()
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

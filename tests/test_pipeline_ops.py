@@ -319,3 +319,36 @@ def test_video_frame_sampling_plumbing(spark):
         (0, 0), (1, 500), (2, 1000), (3, 1500), (4, 2000)
     ]
     assert all(r.doc_id == 5 for r in frames)
+
+
+def test_embedding_lsh_near_dupes_recall(spark):
+    """The LSH-bucketed scale path recovers the pairs the exact kernel
+    finds on clustered vectors (multiprobe: >=80% recall by construction;
+    on this tight-cluster fixture it should be complete)."""
+    import numpy as np
+
+    from dask_sql_spark.operators.dedup import embedding_near_dupes
+    from dask_sql_spark.operators.similarity import embedding_near_dupes_lsh
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for c in range(6):
+        center = rng.standard_normal(16) * 3
+        for _ in range(5):  # 5 near-identical vectors per cluster
+            rows.append((vid, [float(x) for x in center + rng.standard_normal(16) * 0.01]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dupes(emb, threshold=0.99, block_size=16).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dupes_lsh(emb, threshold=0.99, n_planes=6).collect()
+    }
+    assert exact, "fixture must produce near-dup pairs"
+    assert lsh <= exact or all(p in exact for p in lsh)  # no false positives vs exact
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8, f"recall {recall} below multiprobe bound"
