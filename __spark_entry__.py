@@ -2238,6 +2238,44 @@ def _embedding_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _dfq("dedup_embedding_lsh", _embedding_lsh_fn)
 
 
+def _components_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup apply step: minhash near-dup pairs → connected components →
+    per-cluster keeper. Iterative min-label propagation in Spark; the
+    DuckDB oracle computes the same fixpoint with a recursive CTE."""
+    from dask_sql_spark.operators.dedup import minhash_lsh_pairs
+    from dask_sql_spark.operators.graph import dedup_clusters
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_perm=16, bands=8)
+    return dedup_clusters(pairs, docs)
+
+
+_dfq(
+    "dedup_components_minhash",
+    _components_fn,
+    f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT d.doc_id AS id,
+    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS keeper_id
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT id, keeper_id, id = keeper_id AS is_keeper FROM comp
+""",
+)
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #

@@ -1,0 +1,96 @@
+"""Graph operators for dedup clustering.
+
+Near-dup detection (dedup.py / similarity.py) emits PAIRS; turning pairs
+into duplicate CLUSTERS — so one keeper survives per cluster — is a
+connected-components problem. Spark has no native CC (GraphFrames is an
+external package), so this is the classic iterative min-label propagation
+expressed as DataFrame ops:
+
+    label(v) ← min(label(v), min over neighbors' labels)   until fixpoint
+
+Each iteration is ONE shuffle (join + groupBy-min); convergence takes
+O(graph diameter) iterations — near-dup graphs are shallow (clusters are
+cliques or near-cliques from banding), so 3-5 iterations typically
+suffice. Lineage is cut with localCheckpoint every few rounds so plans
+don't grow unboundedly — the standard Spark iterative-algorithm shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(id, component) for every vertex in ``edges``; component = the
+    minimum vertex id reachable through undirected edges.
+
+    Converges early when an iteration changes no label (an action per
+    iteration — the documented driver-side loop of distributed steps, like
+    spark.ml's own iterative fitters; no vertex data ever hits the
+    driver).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    e = e.persist()
+
+    labels = (
+        e.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).persist()
+
+    for i in range(max_iterations):
+        neighbor_min = (
+            e.join(labels.withColumnRenamed("id", "b_id"), e.b == F.col("b_id"))
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels.select("id", "comp")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """The dedup *apply* step over near-dup pairs: every document mapped to
+    its duplicate-cluster keeper (min id in the component; singletons keep
+    themselves). Output: (id, keeper_id, is_keeper)."""
+    comps = connected_components(pairs, src=src, dst=dst)
+    all_ids = docs.select(F.col(id_col).alias("id"))
+    labeled = all_ids.join(comps, "id", "left").select(
+        "id", F.coalesce(F.col("comp"), F.col("id")).alias("keeper_id")
+    )
+    return labeled.withColumn("is_keeper", F.col("id") == F.col("keeper_id"))

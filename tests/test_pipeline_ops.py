@@ -352,3 +352,28 @@ def test_embedding_lsh_near_dupes_recall(spark):
     assert lsh <= exact or all(p in exact for p in lsh)  # no false positives vs exact
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.8, f"recall {recall} below multiprobe bound"
+
+
+def test_connected_components_handcrafted(spark):
+    """Chain 1-2-3, triangle 10-11-12 (+cross edge), isolated pair 20-21:
+    every vertex labels with its component's min id."""
+    from dask_sql_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a LONG, id_b LONG",
+    )
+    comp = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_keepers(spark, docs):
+    from dask_sql_spark.operators.dedup import minhash_lsh_pairs
+    from dask_sql_spark.operators.graph import dedup_clusters
+
+    pairs = minhash_lsh_pairs(docs, num_perm=16, bands=8)
+    out = {r.id: (r.keeper_id, r.is_keeper) for r in dedup_clusters(pairs, docs).collect()}
+    assert out[2] == (0, False)   # exact dup of doc 0 → keeper 0
+    assert out[0] == (0, True)
+    assert out[3] == (3, True)    # unrelated doc keeps itself
+    assert len(out) == 8          # every document labeled
