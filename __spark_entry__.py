@@ -2277,6 +2277,76 @@ SELECT id, keeper_id, id = keeper_id AS is_keeper FROM comp
 
 
 # ==================================================================== #
+# 16. LLM prep: sequence packing + context-window chunking             #
+# ==================================================================== #
+def _pack_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.llmprep import pack_documents
+
+    return pack_documents(
+        _table(spark, sf_dir, "documents"), max_tokens=512
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "pack_id",
+        "pack_offset",
+    )
+
+
+_dfq(
+    "llm_pack_sequences",
+    _pack_fn,
+    f"""
+WITH counted AS (
+  SELECT doc_id, CAST(len({_DOC_TOKS}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens,
+  CAST(FLOOR(CAST(SUM(n_tokens) OVER w - n_tokens AS DOUBLE) / 512) AS BIGINT) AS pack_id,
+  SUM(n_tokens) OVER w - n_tokens AS pack_offset
+FROM counted
+WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+""",
+)
+
+
+def _chunk_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.llmprep import chunk_documents
+
+    return chunk_documents(
+        _table(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk_text",
+        F.col("chunk_len").cast("int").alias("chunk_len"),
+    )
+
+
+_dfq(
+    "llm_chunk_documents",
+    _chunk_fn,
+    # stride = 32 - 8 = 24; starts i*24 while i*24 <= len-1; 1-based
+    # inclusive list slice toks[s+1 : s+32]
+    f"""
+WITH docs AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+idx AS (
+  SELECT doc_id, toks,
+    UNNEST(range(0, CAST(FLOOR(CAST(len(toks) - 1 AS DOUBLE) / 24) AS BIGINT) + 1)) AS i
+  FROM docs WHERE len(toks) > 0
+)
+SELECT doc_id,
+  CAST(i AS INT) AS chunk_idx,
+  array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
+  CAST(LEAST(len(toks) - i * 24, 32) AS INT) AS chunk_len
+FROM idx
+""",
+)
+
+
+# ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #
 def _driver_verified_names() -> set[str]:

@@ -1,0 +1,123 @@
+"""LLM training-data preparation: sequence packing and document chunking.
+
+Two operations every pretraining pipeline runs between "clean corpus" and
+"training batches":
+
+- :func:`pack_documents` — assign documents to fixed-token-budget packs
+  (sequence packing). Exact bin packing is NP-hard and inherently
+  sequential; the standard streaming form — walk documents in a
+  deterministic order, cut a new pack when the running total crosses the
+  budget — is expressible as ONE window cumulative sum, so it scales as a
+  single sort-shuffle. A pack may overflow by at most one document (the
+  straddler goes into the pack its first token lands in), matching the
+  common "first-fit in stream order" semantics.
+
+- :func:`chunk_documents` — split each document into ``chunk_tokens``-token
+  windows advancing by ``chunk_tokens - overlap`` (sliding context
+  windows). Pure array ops: tokenize once, slice per window, explode —
+  narrow transform except the tokenize, no shuffle at all.
+
+Both are deterministic and SQL-expressible, so they sit under the DuckDB
+value-hash oracle like the relational operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str):
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """(id, n_tokens, pack_id, pack_offset) — streaming first-fit packing
+    in ``id_col`` order.
+
+    ``pack_id`` = which budget window the document's FIRST token falls in
+    under a running total; ``pack_offset`` = the document's token offset
+    within the stream. With ``token_count_col`` the caller supplies counts
+    (e.g. real BPE lengths); otherwise whitespace tokens are counted.
+
+    One global window sort — at 100 TB shard first (e.g. by hash bucket)
+    and pack within shards: packs never need to be globally ordered, only
+    internally budgeted.
+    """
+    if token_count_col is None:
+        counted = df.select(
+            F.col(id_col), F.size(_tokens(text_col)).alias("n_tokens")
+        )
+    else:
+        counted = df.select(
+            F.col(id_col), F.col(token_count_col).alias("n_tokens")
+        )
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        counted.withColumn("running", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor((F.col("running") - F.col("n_tokens")) / max_tokens)
+            .cast("long")
+            .alias("pack_id"),
+            (F.col("running") - F.col("n_tokens")).alias("pack_offset"),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, chunk_idx, chunk_text, chunk_len) — sliding token windows.
+
+    Windows start every ``chunk_tokens - overlap`` tokens; the final
+    partial window is kept (standard context-window chunking). Tokenize →
+    per-start slice → explode: all array expressions, no Python, no
+    shuffle.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = _tokens(text_col)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            (F.size(toks) - F.lit(1)) / stride, F.lit(0)
+        ).cast("int"),
+    )
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(
+                F.slice(toks, i * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size(toks) - i * stride, F.lit(chunk_tokens)
+            ).alias("chunk_len"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.chunk_len").alias("chunk_len"),
+        )
+        .where(F.col("chunk_len") > 0)
+    )

@@ -377,3 +377,48 @@ def test_dedup_clusters_keepers(spark, docs):
     assert out[0] == (0, True)
     assert out[3] == (3, True)    # unrelated doc keeps itself
     assert len(out) == 8          # every document labeled
+
+
+def test_pack_documents_budget_semantics(spark):
+    """Streaming first-fit: pack = window the doc's FIRST token falls in;
+    a straddler may overflow its pack by less than one doc."""
+    import pandas as pd
+
+    from dask_sql_spark.operators.llmprep import pack_documents
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": ["a b c", "d e", "f g h i", "j"]}
+    )  # token counts 3, 2, 4, 1; budget 4 → offsets 0,3,5,9 → packs 0,0,1,2
+    out = {r.doc_id: (r.pack_id, r.pack_offset)
+           for r in pack_documents(spark.createDataFrame(pdf), max_tokens=4).collect()}
+    assert out == {1: (0, 0), 2: (0, 3), 3: (1, 5), 4: (2, 9)}
+
+
+def test_chunk_documents_overlap(spark):
+    import pandas as pd
+
+    from dask_sql_spark.operators.llmprep import chunk_documents
+
+    pdf = pd.DataFrame({"doc_id": [1], "text": ["t0 t1 t2 t3 t4 t5 t6"]})
+    rows = sorted(
+        (r.chunk_idx, r.chunk_text, r.chunk_len)
+        for r in chunk_documents(
+            spark.createDataFrame(pdf), chunk_tokens=4, overlap=2
+        ).collect()
+    )
+    # stride 2: starts 0,2,4,6 → windows of ≤4 tokens each
+    assert rows == [
+        (0, "t0 t1 t2 t3", 4),
+        (1, "t2 t3 t4 t5", 4),
+        (2, "t4 t5 t6", 3),
+        (3, "t6", 1),
+    ]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from dask_sql_spark.operators.llmprep import chunk_documents
+
+    with _pytest.raises(ValueError):
+        chunk_documents(None, chunk_tokens=4, overlap=4)
