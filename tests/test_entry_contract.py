@@ -38,6 +38,7 @@ def test_queries_oracles_consistent():
         "ann_lsh_topk",
         "ann_ivf_topk",
         "approx_aggregates",
+        "dedup_embedding_lsh",
     }
 
 
