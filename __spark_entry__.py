@@ -2347,6 +2347,83 @@ FROM idx
 
 
 # ==================================================================== #
+# 17. curation: PII redaction + benchmark decontamination              #
+# ==================================================================== #
+def _pii_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.text import redact_pii
+
+    return redact_pii(_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_pii", "text_redacted"
+    )
+
+
+_dfq(
+    "curate_redact_pii",
+    _pii_fn,
+    # same RE2-safe patterns, same order; DuckDB needs the 'g' flag where
+    # Spark's regexp_replace is global by default
+    r"""
+WITH r1 AS (
+  SELECT doc_id,
+    COALESCE(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)), 0) AS h1,
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g') AS t1
+  FROM documents
+), r2 AS (
+  SELECT doc_id,
+    h1 + COALESCE(len(regexp_extract_all(t1, '\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}', 0)), 0) AS h2,
+    regexp_replace(t1, '\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}', '[PII]', 'g') AS t2
+  FROM r1
+)
+SELECT doc_id,
+  CAST(h2 + COALESCE(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', 0)), 0) AS INT) AS n_pii,
+  regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII]', 'g') AS text_redacted
+FROM r2
+""",
+)
+
+
+def _decontaminate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus docs sharing 3-grams with a held-out 'benchmark' slice
+    (doc_id % 97 == 0 stands in for an eval set)."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.text import contaminated_docs
+
+    docs = _table(spark, sf_dir, "documents")
+    return contaminated_docs(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        n=3,
+        min_hits=2,
+    )
+
+
+_dfq(
+    "curate_decontaminate",
+    _decontaminate_fn,
+    f"""
+WITH corpus AS (
+  SELECT doc_id, {_DOC_TOKS} AS toks FROM documents WHERE doc_id % 97 <> 0
+), bench AS (
+  SELECT doc_id, {_DOC_TOKS} AS toks FROM documents WHERE doc_id % 97 = 0
+), dsh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM corpus, UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS t(i)
+  WHERE array_to_string(toks[i:i+2], ' ') <> ''
+), bsh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM bench, UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS t(i)
+  WHERE array_to_string(toks[i:i+2], ' ') <> ''
+)
+SELECT d.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+FROM dsh d JOIN bsh b ON d.shingle = b.shingle
+GROUP BY d.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+""",
+)
+
+
+# ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #
 def _driver_verified_names() -> set[str]:

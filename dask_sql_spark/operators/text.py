@@ -135,3 +135,69 @@ def fingerprint(text: Column) -> Column:
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     df = ensure_parallelism(df)
     return df.withColumn("fp", fingerprint(F.col(text_col)))
+
+
+# --------------------------------------------------------------------- #
+# curation: decontamination + PII redaction                             #
+# --------------------------------------------------------------------- #
+# PII patterns shared with the DuckDB oracle (RE2-safe: no lookaround)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", replacement: str = "[PII]"
+) -> DataFrame:
+    """Replace email / phone / IPv4 literals with ``replacement`` and count
+    the hits per document. Pure regexp_replace chain — whole-stage codegen,
+    no Python; the patterns avoid lookaround so Spark (Java regex) and the
+    DuckDB oracle (RE2) agree."""
+    out = F.col(text_col)
+    hits = F.lit(0)
+    for pat in PII_PATTERNS.values():
+        hits = hits + F.coalesce(
+            F.size(F.regexp_extract_all(out, F.lit(pat), 0)), F.lit(0)
+        )
+        out = F.regexp_replace(out, pat, replacement)
+    return df.withColumn("n_pii", hits.cast("int")).withColumn(
+        f"{text_col}_redacted", out
+    )
+
+
+def contaminated_docs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ≥ ``min_hits``
+    word n-grams with any benchmark/eval document.
+
+    The same shingle machinery as dedup — explode both sides to 60-bit
+    shingle hashes, join on the hash, count per (doc, benchmark) pair.
+    The benchmark side is tiny relative to a 100 TB corpus, so Catalyst
+    broadcasts it and the corpus is scanned exactly once, no corpus
+    shuffle. Output: (doc_id, bench_id, n_shared)."""
+    from dask_sql_spark.operators.dedup import shingles
+    from dask_sql_spark.operators.hashing import portable_hash64
+
+    d = shingles(docs, id_col, text_col, n).select(
+        F.col(id_col), portable_hash64(F.col("shingle")).alias("h")
+    )
+    b = shingles(benchmark, bench_id_col, bench_text_col, n).select(
+        F.col(bench_id_col).alias("bench_id"),
+        portable_hash64(F.col("shingle")).alias("h"),
+    )
+    return (
+        d.join(F.broadcast(b), on="h")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_hits)
+    )

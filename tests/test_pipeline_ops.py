@@ -422,3 +422,47 @@ def test_chunk_documents_rejects_bad_overlap(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(None, chunk_tokens=4, overlap=4)
+
+
+def test_redact_pii(spark):
+    import pandas as pd
+
+    from dask_sql_spark.operators.text import redact_pii
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "mail me at jane.doe@example.com or call 555-123-4567 from 10.0.0.1",
+                "no sensitive content here",
+            ],
+        }
+    )
+    rows = {r.doc_id: r for r in redact_pii(spark.createDataFrame(pdf)).collect()}
+    assert rows[1].n_pii == 3
+    red = rows[1].text_redacted
+    assert "example.com" not in red and "555" not in red and "10.0.0.1" not in red
+    assert red.count("[PII]") == 3
+    assert rows[2].n_pii == 0 and rows[2].text_redacted == pdf.text[1]
+
+
+def test_contaminated_docs(spark):
+    import pandas as pd
+
+    from dask_sql_spark.operators.text import contaminated_docs
+
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [
+            "the quick brown fox jumps over the lazy dog",
+            "unrelated corpus text entirely",
+        ],
+    }))
+    bench = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100],
+        "text": ["quick brown fox jumps high"],
+    }))
+    hits = {(r.doc_id, r.bench_id): r.n_shared
+            for r in contaminated_docs(corpus, bench, n=3, min_hits=1).collect()}
+    assert (1, 100) in hits and hits[(1, 100)] == 2  # 2 shared 3-grams
+    assert not any(d == 2 for d, _ in hits)
