@@ -2424,6 +2424,73 @@ HAVING COUNT(*) >= 2
 
 
 # ==================================================================== #
+# 18. event analytics: funnel + retention cohorts                      #
+# ==================================================================== #
+def _funnel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.events import funnel_steps
+
+    return funnel_steps(
+        _table(spark, sf_dir, "events"), ["click", "view", "purchase"]
+    )
+
+
+_dfq(
+    "events_funnel",
+    _funnel_fn,
+    """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS step_1_ts FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS step_2_ts FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.step_1_ts GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS step_3_ts FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.step_2_ts GROUP BY e.user_id
+)
+SELECT s1.user_id, step_1_ts, step_2_ts, step_3_ts,
+  CAST(1 + CASE WHEN step_2_ts IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN step_3_ts IS NULL THEN 0 ELSE 1 END AS INT) AS funnel_depth
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+""",
+)
+
+
+def _retention_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.events import retention_cohorts
+
+    return retention_cohorts(_table(spark, sf_dir, "events"), period_days=7).select(
+        F.col("cohort_period").cast("long").alias("cohort_period"),
+        F.col("periods_later").cast("long").alias("periods_later"),
+        "n_users",
+    )
+
+
+_dfq(
+    "events_retention",
+    _retention_fn,
+    """
+WITH firsts AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+), marked AS (
+  SELECT DISTINCT e.user_id,
+    CAST(FLOOR(FLOOR(epoch(f.first_ts) / 86400) / 7) AS BIGINT) AS cohort_period,
+    CAST(FLOOR((FLOOR(epoch(e.ts) / 86400) - FLOOR(epoch(f.first_ts) / 86400)) / 7) AS BIGINT) AS periods_later
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_period, periods_later, COUNT(*) AS n_users
+FROM marked GROUP BY cohort_period, periods_later
+""",
+)
+
+
+# ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #
 def _driver_verified_names() -> set[str]:

@@ -466,3 +466,51 @@ def test_contaminated_docs(spark):
             for r in contaminated_docs(corpus, bench, n=3, min_hits=1).collect()}
     assert (1, 100) in hits and hits[(1, 100)] == 2  # 2 shared 3-grams
     assert not any(d == 2 for d, _ in hits)
+
+
+def test_funnel_steps_ordering(spark):
+    """Funnel requires strict temporal order: view BEFORE click must not
+    count as step 2."""
+    import pandas as pd
+
+    from dask_sql_spark.operators.events import funnel_steps
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "event_type": ["click", "view", "buy", "view", "click", "click"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:05", "2024-01-01 10:10",
+                 "2024-01-01 09:00", "2024-01-01 09:30", "2024-01-01 08:00"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    out = {
+        r.user_id: r.funnel_depth
+        for r in funnel_steps(
+            spark.createDataFrame(pdf), ["click", "view", "buy"]
+        ).collect()
+    }
+    assert out == {1: 3, 2: 1, 3: 1}  # user 2's view precedes the click
+
+
+def test_retention_cohorts_counts(spark):
+    import pandas as pd
+
+    from dask_sql_spark.operators.events import retention_cohorts
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-09", "2024-01-02"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    rows = {
+        (r.cohort_period, r.periods_later): r.n_users
+        for r in retention_cohorts(spark.createDataFrame(pdf), period_days=7).collect()
+    }
+    # both users in the same weekly cohort at offset 0; user 1 returns 1 period later
+    assert rows[(min(k[0] for k in rows), 0)] == 2
+    assert rows[(min(k[0] for k in rows), 1)] == 1
