@@ -2490,6 +2490,38 @@ FROM marked GROUP BY cohort_period, periods_later
 )
 
 
+def _mix_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing: deterministic hash-bucket samples of two corpus
+    slices at different fractions, tagged by source — no RNG, so the
+    DuckDB oracle reproduces the exact row selection."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.llmprep import mix_corpora
+
+    docs = _table(spark, sf_dir, "documents")
+    return mix_corpora(
+        [
+            (docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text"), 0.7),
+            (docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text"), 0.3),
+        ]
+    ).select("doc_id", "source_id")
+
+
+_dfq(
+    "curate_mix_corpora",
+    _mix_fn,
+    """
+SELECT doc_id, 0 AS source_id FROM documents
+WHERE doc_id % 2 = 0
+  AND CAST('0x' || substr(md5('mix0' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 < 700000
+UNION ALL
+SELECT doc_id, 1 AS source_id FROM documents
+WHERE doc_id % 2 = 1
+  AND CAST('0x' || substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 < 300000
+""",
+)
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #

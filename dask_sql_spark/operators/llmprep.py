@@ -121,3 +121,49 @@ def chunk_documents(
         )
         .where(F.col("chunk_len") > 0)
     )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Reproducible Bernoulli-style sample: keep rows whose md5-derived
+    hash bucket of (salt, key) falls under ``fraction``. No RNG — the same
+    rows are selected on every run, on every engine (the DuckDB oracle
+    reproduces the bucket math), and changing ``salt`` draws an independent
+    sample. Pure codegen filter: at 100 TB this is a scan-time predicate,
+    no shuffle."""
+    from dask_sql_spark.operators.hashing import portable_hash64
+
+    if not 0 <= fraction <= 1:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    bucket = portable_hash64(
+        F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    ) % 1_000_000
+    return df.where(bucket < int(round(fraction * 1_000_000)))
+
+
+def mix_corpora(
+    sources: list[tuple[DataFrame, float]],
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Dataset mixing for training runs: union of deterministic samples of
+    each source at its configured fraction, tagged with ``source_id``.
+    Each source keeps its own salt stream (salt + index), so per-source
+    fractions are independent. Schemas must be union-compatible."""
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    parts = []
+    for i, (df, fraction) in enumerate(sources):
+        parts.append(
+            deterministic_sample(
+                df, fraction, key_col=key_col, salt=f"{salt}{i}"
+            ).withColumn("source_id", F.lit(i))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

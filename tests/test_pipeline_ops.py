@@ -514,3 +514,27 @@ def test_retention_cohorts_counts(spark):
     # both users in the same weekly cohort at offset 0; user 1 returns 1 period later
     assert rows[(min(k[0] for k in rows), 0)] == 2
     assert rows[(min(k[0] for k in rows), 1)] == 1
+
+
+def test_deterministic_sample_stability(spark, docs):
+    from dask_sql_spark.operators.llmprep import deterministic_sample
+
+    a = {r.doc_id for r in deterministic_sample(docs, 0.5).collect()}
+    b = {r.doc_id for r in deterministic_sample(docs, 0.5).collect()}
+    assert a == b  # same rows every run, no RNG
+    # monotone in fraction: a bigger fraction is a superset
+    big = {r.doc_id for r in deterministic_sample(docs, 0.9).collect()}
+    assert a <= big
+    # different salt draws an independent stream
+    other = {r.doc_id for r in deterministic_sample(docs, 0.5, salt="x").collect()}
+    assert deterministic_sample(docs, 0.0).count() == 0
+    assert deterministic_sample(docs, 1.0).count() == docs.count()
+    assert other != a or len(a) == 0
+
+
+def test_mix_corpora_tags_sources(spark, docs):
+    from dask_sql_spark.operators.llmprep import mix_corpora
+
+    out = mix_corpora([(docs, 1.0), (docs, 1.0)]).collect()
+    assert {r.source_id for r in out} == {0, 1}
+    assert len(out) == 2 * docs.count()
