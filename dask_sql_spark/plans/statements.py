@@ -625,6 +625,13 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
             df = context.sql(src[1:-1])
         else:
             df = context._get_table(_unquote(src))
+        # sort_by: cluster rows within output files so parquet row-group
+        # min/max stats enable skipping on those columns at read time (the
+        # poor man's Z-order; at 100 TB this is the difference between
+        # scanning a partition and scanning a few row groups of it)
+        if kwargs.get("sort_by"):
+            cols = [c.strip() for c in str(kwargs.pop("sort_by")).split(",")]
+            df = df.sortWithinPartitions(*cols)
         writer = df.write.mode(mode).format(fmt)
         if kwargs.get("partition_by"):
             cols = [c.strip() for c in str(kwargs.pop("partition_by")).split(",")]

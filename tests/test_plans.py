@@ -92,3 +92,38 @@ def test_semi_join_for_in_subquery(sf_tables):
         """,
     )
     assert "SemiJoin" in plan or "LeftSemi" in plan, plan
+
+
+def test_partition_pruning_on_partitioned_dataset(context, tmp_path):
+    """A hive-partitioned dataset registered by location must show
+    PartitionFilters (not data filters) for predicates on the partition
+    column — at 100 TB this is the difference between listing a directory
+    and scanning the lake."""
+    context.sql(
+        f"""COPY (SELECT id, id % 4 AS part FROM RANGE(1000))
+            TO '{tmp_path}/pt' WITH (format = 'parquet', partition_by = 'part')"""
+    )
+    context.create_table("pt_t", f"{tmp_path}/pt")
+    plan = _formatted(context, "SELECT COUNT(*) AS n FROM pt_t WHERE part = 2")
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and "part" in part_lines[0], plan
+    assert context.sql("SELECT COUNT(*) AS n FROM pt_t WHERE part = 2").collect()[0].n == 250
+    context.sql("DROP TABLE pt_t")
+
+
+def test_copy_to_sort_by_clusters_row_groups(context, tmp_path):
+    """sort_by clusters values within output files so parquet min/max
+    stats are tight per row group."""
+    import pyarrow.parquet as pq
+    import glob
+
+    context.sql(
+        f"""COPY (SELECT CAST(id % 10 AS INT) AS k, id AS v FROM RANGE(1000))
+            TO '{tmp_path}/srt' WITH (format = 'parquet', sort_by = 'k')"""
+    )
+    files = glob.glob(f"{tmp_path}/srt/*.parquet")
+    assert files
+    # within every file, k must be non-decreasing (clustered)
+    for f in files:
+        ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks), f"not clustered in {f}"
