@@ -1,0 +1,101 @@
+"""Property-based differential fuzz of the scalar expression layer.
+
+Hypothesis composes random expressions from a grammar with known
+Spark/DuckDB parity (integer arithmetic, comparisons, CASE, LEAST/
+GREATEST, ABS, string concat/case/substr/length) and evaluates
+``SELECT <expr> AS v`` on both engines. Integer-only arithmetic keeps
+results bit-exact; division uses Spark's DIV (truncating) against
+DuckDB's ``//`` which matches (truncation toward zero, pinned in
+round-1 memory and int_division's oracle).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def int_expr(draw, depth=0):
+    """Returns (spark_sql, duck_sql) for an integer-valued expression."""
+    if depth >= 3 or draw(st.booleans()):
+        n = draw(st.integers(min_value=-99, max_value=99))
+        return str(n), str(n)
+    kind = draw(
+        st.sampled_from(["add", "sub", "mul", "div", "abs", "least", "greatest", "case"])
+    )
+    a_s, a_d = draw(int_expr(depth=depth + 1))
+    b_s, b_d = draw(int_expr(depth=depth + 1))
+    if kind == "add":
+        return f"({a_s} + {b_s})", f"({a_d} + {b_d})"
+    if kind == "sub":
+        return f"({a_s} - {b_s})", f"({a_d} - {b_d})"
+    if kind == "mul":
+        return f"({a_s} * {b_s})", f"({a_d} * {b_d})"
+    if kind == "div":
+        # truncating integer division; both engines raise on /0 so guard
+        return (
+            f"({a_s} DIV CASE WHEN {b_s} = 0 THEN 1 ELSE {b_s} END)",
+            f"({a_d} // CASE WHEN {b_d} = 0 THEN 1 ELSE {b_d} END)",
+        )
+    if kind == "abs":
+        return f"ABS({a_s})", f"ABS({a_d})"
+    if kind == "least":
+        return f"LEAST({a_s}, {b_s})", f"LEAST({a_d}, {b_d})"
+    if kind == "greatest":
+        return f"GREATEST({a_s}, {b_s})", f"GREATEST({a_d}, {b_d})"
+    return (
+        f"(CASE WHEN {a_s} > {b_s} THEN {a_s} ELSE {b_s} END)",
+        f"(CASE WHEN {a_d} > {b_d} THEN {a_d} ELSE {b_d} END)",
+    )
+
+
+@st.composite
+def str_expr(draw, depth=0):
+    """Returns (spark_sql, duck_sql) for a string-valued expression."""
+    if depth >= 2 or draw(st.booleans()):
+        s = draw(st.text(st.sampled_from(list("abcXYZ 09_")), min_size=0, max_size=6))
+        lit = "'" + s.replace("'", "''") + "'"
+        return lit, lit
+    kind = draw(st.sampled_from(["concat", "upper", "lower", "substr", "trim"]))
+    a_s, a_d = draw(str_expr(depth=depth + 1))
+    if kind == "concat":
+        b_s, b_d = draw(str_expr(depth=depth + 1))
+        return f"({a_s} || {b_s})", f"({a_d} || {b_d})"
+    if kind == "upper":
+        return f"UPPER({a_s})", f"UPPER({a_d})"
+    if kind == "lower":
+        return f"LOWER({a_s})", f"LOWER({a_d})"
+    if kind == "substr":
+        start = draw(st.integers(min_value=1, max_value=4))
+        ln = draw(st.integers(min_value=0, max_value=4))
+        return (
+            f"SUBSTR({a_s}, {start}, {ln})",
+            f"SUBSTR({a_d}, {start}, {ln})",
+        )
+    return f"TRIM({a_s})", f"TRIM({a_d})"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+@settings(max_examples=60, deadline=None)
+@given(expr=int_expr())
+def test_int_expr_matches_duckdb(context, duck, expr):
+    spark_sql, duck_sql = expr
+    got = context.sql(f"SELECT {spark_sql} AS v").collect()[0].v
+    want = duck.execute(f"SELECT {duck_sql} AS v").fetchone()[0]
+    assert got == want, f"{spark_sql!r} -> {got} vs {duck_sql!r} -> {want}"
+
+
+@settings(max_examples=60, deadline=None)
+@given(expr=str_expr())
+def test_str_expr_matches_duckdb(context, duck, expr):
+    spark_sql, duck_sql = expr
+    got = context.sql(f"SELECT {spark_sql} AS v").collect()[0].v
+    want = duck.execute(f"SELECT {duck_sql} AS v").fetchone()[0]
+    assert got == want, f"{spark_sql!r} -> {got} vs {duck_sql!r} -> {want}"
