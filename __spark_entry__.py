@@ -2522,6 +2522,36 @@ WHERE doc_id % 2 = 1
 )
 
 
+def _winnow_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _table(spark, sf_dir, "documents"), k=8, window=4
+    )
+
+
+_dfq(
+    "text_winnow_fingerprints",
+    _winnow_fn,
+    r"""
+WITH base AS (
+  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos,
+    CAST('0x' || substr(md5(substr(t, CAST(i AS INT), 8)), 1, 15) AS BIGINT) AS h
+  FROM base, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+  WHERE len(t) >= 8
+), wm AS (
+  SELECT doc_id, pos,
+    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+  FROM grams
+)
+SELECT DISTINCT doc_id, wmin AS fingerprint FROM wm WHERE pos >= 4
+""",
+)
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #

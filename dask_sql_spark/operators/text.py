@@ -201,3 +201,52 @@ def contaminated_docs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_hits)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
+    k-char gram of the canonicalized text, slide a window of ``window``
+    consecutive gram hashes, keep each window's minimum — the selected
+    minima are the document's fingerprints.
+
+    Guarantees: any shared substring of length ≥ k + window - 1 between
+    two documents yields at least one shared fingerprint, while only
+    ~2/(window+1) of grams are kept. All Spark-side: position explode →
+    substr + md5 hash → window min → distinct. The explode amplifies rows
+    ~len(text)×, so partitions are rebalanced first; output is (id,
+    fingerprint) ready for the same bucket-join dedup shape as shingles.
+    """
+    from pyspark.sql import Window as W
+
+    from dask_sql_spark.operators.hashing import portable_hash64
+
+    canon = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    base = ensure_parallelism(df.select(F.col(id_col), canon.alias("t")))
+    grams = (
+        base.where(F.length("t") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.length("t") - k + 1)
+            ).alias("pos"),
+            "t",
+        )
+        .select(
+            id_col,
+            "pos",
+            portable_hash64(F.expr(f"substr(t, pos, {k})")).alias("h"),
+        )
+    )
+    win = W.partitionBy(id_col).orderBy("pos").rowsBetween(-(window - 1), 0)
+    return (
+        grams.withColumn("wmin", F.min("h").over(win))
+        .where(F.col("pos") >= window)  # only full windows select
+        .select(id_col, F.col("wmin").alias("fingerprint"))
+        .distinct()
+    )

@@ -538,3 +538,31 @@ def test_mix_corpora_tags_sources(spark, docs):
     out = mix_corpora([(docs, 1.0), (docs, 1.0)]).collect()
     assert {r.source_id for r in out} == {0, 1}
     assert len(out) == 2 * docs.count()
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee: a shared substring of length >= k + window - 1
+    produces at least one shared fingerprint; unrelated docs share none."""
+    import pandas as pd
+
+    from dask_sql_spark.operators.text import winnow_fingerprints
+
+    shared = "the identical stolen passage appears here"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "intro words before " + shared + " and a tail",
+                "completely other opening " + shared,
+                "nothing in common with either document at all zzz",
+            ],
+        }
+    )
+    fps = winnow_fingerprints(spark.createDataFrame(pdf), k=8, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared passage must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3] & by_doc[2])
+    # selectivity: far fewer fingerprints than k-grams
+    assert len(by_doc[1]) < len(pdf.text[0]) - 8
