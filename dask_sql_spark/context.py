@@ -149,6 +149,21 @@ class Context:
         it on for iterative workloads that rescan small tables many times.
         """
         schema_name = schema_name or self.schema_name
+        # reference API parity: create_table(..., gpu=True) selects cudf
+        # there; in Spark, GPU execution is a session-level concern (the
+        # RAPIDS plugin rewrites plans for ALL tables), so the flag is
+        # accepted and surfaced rather than silently forwarded as a bogus
+        # reader option
+        if kwargs.pop("gpu", False):
+            import warnings
+
+            warnings.warn(
+                "gpu=True: per-table GPU selection does not exist on Spark; "
+                "enable the RAPIDS Accelerator on the session "
+                "(spark.plugins=com.nvidia.spark.SQLPlugin) to run plans on "
+                "GPU. Registering the table for CPU execution.",
+                stacklevel=2,
+            )
         df = to_spark_dataframe(self.spark, input_table, format=format, **kwargs)
         if persist:
             df = df.cache()

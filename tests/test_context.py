@@ -93,3 +93,23 @@ def test_json_and_orc_sources(context, tmp_path):
     assert context.sql("SELECT COUNT(*) AS n FROM orc_t").collect()[0].n == 2
     context.drop_table("json_t")
     context.drop_table("orc_t")
+
+
+def test_gpu_kwarg_accepted_with_warning(context):
+    """Reference API parity: create_table(gpu=True) is accepted (GPU is a
+    session-level concern on Spark) and must not leak into reader options."""
+    import warnings
+
+    import pandas as pd
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        context.create_table("gpu_t", pd.DataFrame({"x": [1]}), gpu=True)
+    assert any("RAPIDS" in str(x.message) for x in w)
+    assert context.sql("SELECT x FROM gpu_t").collect()[0].x == 1
+    context.drop_table("gpu_t")
+    context.create_table(
+        "gpu_f", "/root/testdata/sf0.001/region.parquet", gpu=False
+    )
+    assert context.sql("SELECT COUNT(*) AS n FROM gpu_f").collect()[0].n == 5
+    context.drop_table("gpu_f")
