@@ -2553,6 +2553,47 @@ SELECT DISTINCT doc_id, wmin AS fingerprint FROM wm WHERE pos >= 4
 
 
 # ==================================================================== #
+# 19. native PIVOT / UNPIVOT SQL surface                               #
+# ==================================================================== #
+_sqlq(
+    "sql_pivot",
+    # Spark pivot COUNT yields NULL (not 0) for empty cells — the oracle
+    # mirrors with NULLIF
+    """
+SELECT * FROM (SELECT user_id, event_type FROM events)
+PIVOT (COUNT(*) FOR event_type IN
+       ('click' AS n_click, 'view' AS n_view, 'purchase' AS n_purchase))
+""",
+    """
+SELECT user_id,
+  NULLIF(COUNT(CASE WHEN event_type = 'click' THEN 1 END), 0) AS n_click,
+  NULLIF(COUNT(CASE WHEN event_type = 'view' THEN 1 END), 0) AS n_view,
+  NULLIF(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS n_purchase
+FROM events GROUP BY user_id
+""",
+)
+
+_sqlq(
+    "sql_unpivot",
+    """
+SELECT o_orderkey, metric, val FROM (
+  SELECT o_orderkey,
+    CAST(o_totalprice AS DOUBLE) AS totalprice,
+    CAST(o_custkey AS DOUBLE) AS custkey
+  FROM orders
+) UNPIVOT (val FOR metric IN (totalprice, custkey))
+""",
+    """
+SELECT o_orderkey, 'totalprice' AS metric, CAST(o_totalprice AS DOUBLE) AS val
+FROM orders
+UNION ALL
+SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS val
+FROM orders
+""",
+)
+
+
+# ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #
 def _driver_verified_names() -> set[str]:

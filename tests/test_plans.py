@@ -127,3 +127,14 @@ def test_copy_to_sort_by_clusters_row_groups(context, tmp_path):
     for f in files:
         ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
         assert ks == sorted(ks), f"not clustered in {f}"
+
+
+def test_broadcast_hint_forces_strategy(sf_tables):
+    """The SQL BROADCAST hint must drive join strategy — users tune big
+    joins this way without touching code."""
+    plan = _executed(
+        sf_tables,
+        """SELECT /*+ BROADCAST(lineitem) */ COUNT(*) AS n
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",
+    )
+    assert "BroadcastHashJoin" in plan, plan
