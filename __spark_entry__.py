@@ -2593,6 +2593,31 @@ FROM orders
 )
 
 
+def _hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the 100 TB workflow: build an
+    HLL sketch per shard/partition, merge sketches instead of re-scanning
+    (Datasketches binary-compatible across systems). Rows-only gate:
+    sketch estimates are engine-specific; accuracy vs exact counts is
+    pinned in pytest."""
+    return _ctx(spark, sf_dir).sql(
+        """
+        WITH shard AS (
+          SELECT o_orderpriority, hll_sketch_agg(o_custkey) AS sk,
+                 COUNT(DISTINCT o_custkey) AS exact_d
+          FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority,
+          hll_sketch_estimate(sk) AS approx_d,
+          exact_d,
+          hll_sketch_estimate(hll_union_agg(sk) OVER ()) AS approx_total
+        FROM shard
+        """
+    )
+
+
+_dfq("sketch_hll_mergeable", _hll_fn)
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #

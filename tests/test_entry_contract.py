@@ -39,6 +39,7 @@ def test_queries_oracles_consistent():
         "ann_ivf_topk",
         "approx_aggregates",
         "dedup_embedding_lsh",
+        "sketch_hll_mergeable",
     }
 
 

@@ -260,3 +260,27 @@ def test_groups_frame_unbounded(spark):
     )
     out = groups_frame(df, ["p"], "k", F.count(F.lit(1)), out_col="n")
     assert {(r.p, r.n) for r in out.collect()} == {("a", 2), ("b", 1)}
+
+
+def test_hll_mergeable_sketch_accuracy(sf_tables):
+    """Shard-built HLL sketches merged via hll_union_agg estimate within
+    5% of exact distinct counts (the 100 TB pre-aggregation workflow)."""
+    rows = sf_tables.sql(
+        """
+        WITH shard AS (
+          SELECT o_orderpriority, hll_sketch_agg(o_custkey) AS sk,
+                 COUNT(DISTINCT o_custkey) AS exact_d
+          FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, hll_sketch_estimate(sk) AS approx_d, exact_d,
+          hll_sketch_estimate(hll_union_agg(sk) OVER ()) AS approx_total
+        FROM shard
+        """
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_d - r.exact_d) <= max(2, 0.05 * r.exact_d)
+    exact_total = sf_tables.sql(
+        "SELECT COUNT(DISTINCT o_custkey) AS n FROM orders"
+    ).collect()[0].n
+    assert abs(rows[0].approx_total - exact_total) <= max(2, 0.05 * exact_total)
