@@ -2030,6 +2030,88 @@ LIMIT 100
 )
 
 _sqlq(
+    "ds_multi_bucket_distinct",
+    # q28-style: independent per-band COUNT/COUNT(DISTINCT) blocks joined
+    # into one row
+    """
+SELECT b1.cnt AS cnt1, b1.dp AS dp1,
+       b2.cnt AS cnt2, b2.dp AS dp2,
+       b3.cnt AS cnt3, b3.dp AS dp3
+FROM
+ (SELECT COUNT(*) AS cnt, COUNT(DISTINCT l_partkey) AS dp
+  FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) b1,
+ (SELECT COUNT(*) AS cnt, COUNT(DISTINCT l_partkey) AS dp
+  FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) b2,
+ (SELECT COUNT(*) AS cnt, COUNT(DISTINCT l_partkey) AS dp
+  FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) b3
+""",
+)
+
+_sqlq(
+    "ds_ranked_union_ratio",
+    # q49-style: per-channel return-ratio ranking over a UNION ALL
+    """
+WITH ch AS (
+  SELECT 'urgent' AS channel, l_partkey,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS rets,
+    COUNT(*) AS n_orders
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '1-URGENT' GROUP BY l_partkey
+  UNION ALL
+  SELECT 'low' AS channel, l_partkey,
+    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS rets,
+    COUNT(*) AS n_orders
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '5-LOW' GROUP BY l_partkey
+), ranked AS (
+  SELECT channel, l_partkey, rets, n_orders,
+    RANK() OVER (PARTITION BY channel
+                 ORDER BY CAST(rets AS DOUBLE) / n_orders DESC, l_partkey) AS rnk
+  FROM ch WHERE n_orders >= 3
+)
+SELECT channel, l_partkey, rets, n_orders, rnk FROM ranked WHERE rnk <= 10
+""",
+)
+
+_sqlq(
+    "ds_date_window_join",
+    # q72-style: join condition carries inter-table date arithmetic
+    """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+  AND l_shipdate > o_orderdate AND DATEDIFF(l_shipdate, o_orderdate) <= 90
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE n_regionkey = 1
+GROUP BY o_orderpriority
+""",
+    """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+  AND l_shipdate > o_orderdate
+  AND DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 90
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE n_regionkey = 1
+GROUP BY o_orderpriority
+""",
+)
+
+_sqlq(
+    "ds_exists_notin_combo",
+    # q69-style: EXISTS combined with NOT IN over dimensions
+    """
+SELECT c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+ORDER BY c_custkey
+LIMIT 200
+""",
+)
+
+_sqlq(
     "ds_count_distinct_having",
     # q16/q94-style: COUNT(DISTINCT) with HAVING over a filtered join
     """
