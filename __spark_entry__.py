@@ -2701,6 +2701,108 @@ _dfq("sketch_hll_mergeable", _hll_fn)
 
 
 # ==================================================================== #
+# 20. as-of join and range (interval) join                             #
+# ==================================================================== #
+def _asof_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last click before each purchase, per user — the canonical as-of
+    join. Spark has no ASOF physical operator; operators/joins.asof_join
+    re-expresses it as union + forward-fill window (one shuffle on the
+    by-key, no join explosion). Oracle: DuckDB's native ASOF LEFT JOIN.
+    """
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.joins import asof_join
+
+    ev = _table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(purchases, clicks, on="ts", by="user_id", right_prefix="prior_")
+    return out.select(
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.col("prior_ts").alias("prior_click_ts"),
+        F.col("prior_click_value").alias("prior_click_value"),
+    )
+
+
+_dfq(
+    "join_asof",
+    _asof_fn,
+    """
+WITH purchases AS (
+  SELECT user_id, ts, value AS purchase_value FROM events
+  WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, MAX(value) AS click_value FROM events
+  WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.user_id, p.ts, p.purchase_value,
+       c.ts AS prior_click_ts, c.click_value AS prior_click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+
+
+def _range_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: lineitem ship-days against 30-day order windows.
+    operators/joins.range_join buckets intervals onto a fixed grid so
+    Catalyst plans an equi shuffle join (residual BETWEEN), never a
+    nested loop. Oracle: plain inequality join in DuckDB.
+    """
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.joins import range_join
+
+    orders = _table(spark, sf_dir, "orders")
+    lineitem = _table(spark, sf_dir, "lineitem")
+    intervals = (
+        orders.where(F.col("o_orderkey") % 419 == 0)
+        .select(
+            F.col("o_orderkey").alias("interval_id"),
+            F.floor(F.unix_timestamp("o_orderdate") / 86400).alias("lo"),
+        )
+        .withColumn("hi", F.col("lo") + 30)
+    )
+    points = lineitem.select(
+        F.floor(F.unix_timestamp("l_shipdate") / 86400).alias("ship_day")
+    )
+    j = range_join(points, intervals, "ship_day", "lo", "hi", bucket_width=16)
+    return j.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("ship_day").alias("first_day"),
+        F.max("ship_day").alias("last_day"),
+    )
+
+
+_dfq(
+    "join_range",
+    _range_join_fn,
+    """
+WITH intervals AS (
+  SELECT o_orderkey AS interval_id,
+         epoch(o_orderdate) // 86400 AS lo,
+         epoch(o_orderdate) // 86400 + 30 AS hi
+  FROM orders WHERE o_orderkey % 419 = 0
+), points AS (
+  SELECT epoch(l_shipdate) // 86400 AS ship_day FROM lineitem
+)
+SELECT interval_id, COUNT(*) AS n_points,
+       MIN(ship_day) AS first_day, MAX(ship_day) AS last_day
+FROM points JOIN intervals ON ship_day BETWEEN lo AND hi
+GROUP BY interval_id
+""",
+)
+
+
+# ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #
 def _driver_verified_names() -> set[str]:

@@ -1,0 +1,163 @@
+"""Custom join operators Spark lacks natively: as-of join and range join.
+
+The reference engine family (and every market-data / event-log workload)
+needs these two shapes; Spark has no ASOF JOIN or interval-join physical
+operator, so we re-express them as compositions that scale:
+
+- ``asof_join``: union-then-window. Instead of a non-equi join (which
+  Catalyst can only plan as a broadcast-nested-loop or a sort-merge on
+  the equality keys with a residual filter), we union both sides tagged
+  by origin, sort each ``by``-partition once on the timestamp, and
+  forward-fill the right side's payload with ``last_value(ignorenulls)``.
+  Cost at 100 TB: ONE shuffle on the ``by`` keys, then a single window
+  pass — no join explosion, no driver materialization. Skew note: a
+  single hot ``by`` key serializes into one task; pre-split hot keys
+  with operators.skew if profiling shows one.
+
+- ``range_join``: bucketed interval join. Intervals are exploded onto a
+  grid of fixed-width buckets (explode factor ≈ interval_len / width + 1)
+  and points hash to exactly one bucket, so the join becomes an
+  equi-join on bucket id with the BETWEEN as a residual predicate —
+  Catalyst plans a shuffled hash join instead of the quadratic
+  broadcast-nested-loop it would pick for a bare inequality join.
+  Each (interval, covered-bucket) pair exists once and a point lives in
+  exactly one bucket, so no post-join dedup is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | str | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """For each left row, attach the nearest right row with
+    ``right.on <= left.on`` (backward) or ``>=`` (forward), matching on
+    the optional ``by`` equality keys. Left rows with no match keep NULL
+    right columns (LEFT ASOF JOIN semantics, like pandas ``merge_asof``
+    and DuckDB ``ASOF LEFT JOIN``).
+
+    Ties on the timestamp itself match (``<=`` / ``>=``). If several
+    right rows share one (by, on) value the last one in (on) order wins;
+    pre-aggregate the right side to unique keys for full determinism.
+
+    ``tolerance_seconds`` (timestamp ``on`` only): matches farther than
+    the tolerance are nulled out, as in pandas ``merge_asof(tolerance=)``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    payload = [c for c in right.columns if c not in by_cols and c != on]
+    matched_on = right_prefix + on
+
+    # Tag and align the two sides into one frame: left keeps its columns,
+    # right contributes (prefixed) payload columns that are NULL on left
+    # rows so last_value(ignorenulls) forward-fills them.
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(right_prefix + c)
+          for c in payload],
+        F.lit(None).cast(right.schema[on].dataType).alias(matched_on),
+        F.lit(1).alias("__side"),
+    )
+    r_tag = right.select(
+        *[F.col(c) for c in by_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in by_cols and c != on],
+        F.col(on),
+        *[F.col(c).alias(right_prefix + c) for c in payload],
+        F.col(on).alias(matched_on),
+        F.lit(0).alias("__side"),
+    ).select(*[F.col(c) for c in l_tag.columns])  # same column order
+
+    unioned = l_tag.unionByName(r_tag)
+
+    # Right rows sort BEFORE left rows at an equal timestamp (side 0 < 1)
+    # so boundary ties are included, matching ASOF semantics.
+    order = [F.col(on).asc(), F.col("__side").asc()]
+    if direction == "forward":
+        order = [F.col(on).desc(), F.col("__side").asc()]
+    w = (
+        Window.partitionBy(*[F.col(c) for c in by_cols])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            if c == matched_on or c.startswith(right_prefix) and c[len(right_prefix):] in payload
+            else F.col(c)
+            for c in unioned.columns
+        ]
+    ).where(F.col("__side") == 1).drop("__side")
+
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_timestamp(F.col(on)) - F.unix_timestamp(F.col(matched_on))
+        )
+        keep = F.col(matched_on).isNotNull() & (gap <= F.lit(tolerance_seconds))
+        filled = filled.select(
+            *[
+                F.when(keep, F.col(c)).otherwise(F.lit(None)).alias(c)
+                if c == matched_on or c.startswith(right_prefix)
+                else F.col(c)
+                for c in filled.columns
+            ]
+        )
+    return filled
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    extra_on: list[str] | None = None,
+) -> DataFrame:
+    """Inner-join each point row to every interval row with
+    ``start <= point <= end`` (inclusive), optionally also matching
+    ``extra_on`` equality keys. The range columns must be numeric
+    (convert timestamps with ``unix_timestamp`` first).
+
+    ``bucket_width`` trades explode factor against residual-filter
+    selectivity: pick it near the median interval length so each
+    interval lands in ~2 buckets. At 100 TB this keeps the join an
+    equi-shuffle on (bucket, extra_on) instead of a nested loop.
+    """
+    extra = list(extra_on or [])
+    bw = F.lit(int(bucket_width))
+    ipart = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bw).cast("long"),
+                F.floor(F.col(end_col) / bw).cast("long"),
+            )
+        ),
+    )
+    ppart = points.withColumn(
+        "__bucket", F.floor(F.col(point_col) / bw).cast("long")
+    )
+    cond: Column = ppart["__bucket"] == ipart["__bucket"]
+    for k in extra:
+        cond = cond & (ppart[k] == ipart[k])
+    cond = (
+        cond
+        & (ppart[point_col] >= ipart[start_col])
+        & (ppart[point_col] <= ipart[end_col])
+    )
+    out_cols = [ppart[c] for c in points.columns] + [
+        ipart[c] for c in intervals.columns if c not in extra
+    ]
+    return ppart.join(ipart, cond, "inner").select(*out_cols)

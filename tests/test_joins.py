@@ -1,0 +1,173 @@
+"""As-of join and range join (operators/joins.py) vs pandas/DuckDB ground
+truth. The reference family exposes these as dedicated operators; Spark
+has no native ASOF/interval join, so we verify the union-window and
+bucketed-explode compositions bit-for-bit against engines that do.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pandas as pd
+import pytest
+
+from dask_sql_spark.operators.joins import asof_join, range_join
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture()
+def asof_frames(spark):
+    left = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 3],
+            "ts": [_ts(10), _ts(12), _ts(8), _ts(11), _ts(9)],
+            "v": [100, 200, 50, 300, 400],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2],
+            "ts": [_ts(9), _ts(10), _ts(11, 30), _ts(12)],
+            "p": [1, 2, 3, 4],
+        }
+    )
+    return spark.createDataFrame(left), spark.createDataFrame(right), left, right
+
+
+def test_asof_backward_matches_duckdb(spark, asof_frames):
+    sl, sr, pl, pr = asof_frames
+    got = (
+        asof_join(sl, sr, on="ts", by="k")
+        .toPandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", pl)
+    con.register("r", pr)
+    want = con.execute(
+        """
+        SELECT l.k, l.ts, l.v, r.p AS right_p, r.ts AS right_ts
+        FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts
+        ORDER BY l.k, l.ts
+        """
+    ).df()
+    assert list(got["k"]) == list(want["k"])
+    assert list(got["right_p"].fillna(-1)) == list(want["right_p"].fillna(-1))
+    assert list(got["right_ts"].fillna(_ts(0))) == list(
+        want["right_ts"].fillna(_ts(0))
+    )
+
+
+def test_asof_matches_pandas_merge_asof(spark, asof_frames):
+    sl, sr, pl, pr = asof_frames
+    got = (
+        asof_join(sl, sr, on="ts", by="k")
+        .toPandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        pl.sort_values("ts"),
+        pr.sort_values("ts").rename(columns={"ts": "right_ts", "p": "right_p"}),
+        left_on="ts",
+        right_on="right_ts",
+        by="k",
+        direction="backward",
+    ).sort_values(["k", "ts"]).reset_index(drop=True)
+    assert list(got["right_p"].fillna(-1)) == list(want["right_p"].fillna(-1))
+
+
+def test_asof_forward_and_tolerance(spark, asof_frames):
+    sl, sr, pl, pr = asof_frames
+    fwd = (
+        asof_join(sl, sr, on="ts", by="k", direction="forward")
+        .toPandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        pl.sort_values("ts"),
+        pr.sort_values("ts").rename(columns={"ts": "right_ts", "p": "right_p"}),
+        left_on="ts",
+        right_on="right_ts",
+        by="k",
+        direction="forward",
+    ).sort_values(["k", "ts"]).reset_index(drop=True)
+    assert list(fwd["right_p"].fillna(-1)) == list(want["right_p"].fillna(-1))
+
+    # 1-hour tolerance: k=1 @12:00 matched 11:30 (keep); @10:00 matched
+    # 10:00 (keep, gap 0); @8:00 has no backward match at all.
+    tol = (
+        asof_join(sl, sr, on="ts", by="k", tolerance_seconds=3600)
+        .toPandas()
+        .set_index(["k", "ts"])
+    )
+    assert tol.loc[(1, _ts(12)), "right_p"] == 3
+    assert tol.loc[(1, _ts(10)), "right_p"] == 2
+    assert pd.isna(tol.loc[(1, _ts(8)), "right_p"])
+    # k=2 @11:00: only right row is 12:00 (forward of it) → no backward match
+    assert pd.isna(tol.loc[(2, _ts(11)), "right_p"])
+
+
+def test_asof_no_by_keys(spark):
+    left = spark.createDataFrame(pd.DataFrame({"ts": [_ts(10), _ts(11)], "v": [1, 2]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"ts": [_ts(9), _ts(10, 30)], "p": [7, 8]})
+    )
+    got = asof_join(left, right, on="ts").toPandas().sort_values("ts")
+    assert list(got["right_p"]) == [7, 8]
+
+
+def test_range_join_matches_plain_inequality_join(spark):
+    points = pd.DataFrame({"pid": range(20), "x": [i * 7 % 50 for i in range(20)]})
+    intervals = pd.DataFrame(
+        {"iid": [0, 1, 2], "lo": [0, 10, 45], "hi": [5, 30, 49]}
+    )
+    got = (
+        range_join(
+            spark.createDataFrame(points),
+            spark.createDataFrame(intervals),
+            point_col="x",
+            start_col="lo",
+            end_col="hi",
+            bucket_width=8,
+        )
+        .toPandas()
+        .sort_values(["pid", "iid"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("p", points)
+    con.register("i", intervals)
+    want = con.execute(
+        "SELECT p.*, i.* FROM p JOIN i ON p.x BETWEEN i.lo AND i.hi "
+        "ORDER BY pid, iid"
+    ).df()
+    assert got[["pid", "iid"]].values.tolist() == want[["pid", "iid"]].values.tolist()
+
+
+def test_range_join_extra_keys_no_duplicates(spark):
+    points = pd.DataFrame(
+        {"g": [0, 0, 1, 1], "x": [5, 15, 5, 15], "pid": [0, 1, 2, 3]}
+    )
+    intervals = pd.DataFrame({"g": [0, 1], "lo": [0, 10], "hi": [20, 20]})
+    got = (
+        range_join(
+            spark.createDataFrame(points),
+            spark.createDataFrame(intervals),
+            point_col="x",
+            start_col="lo",
+            end_col="hi",
+            bucket_width=4,  # intervals span several buckets — still no dups
+            extra_on=["g"],
+        )
+        .toPandas()
+        .sort_values("pid")
+    )
+    assert list(got["pid"]) == [0, 1, 3]
+    assert len(got) == len(got.drop_duplicates())
