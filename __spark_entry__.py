@@ -2700,6 +2700,57 @@ def _hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _dfq("sketch_hll_mergeable", _hll_fn)
 
 
+def _sessionize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.events import sessionize
+
+    return sessionize(_table(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+_dfq(
+    "events_sessionize",
+    _sessionize_fn,
+    """
+WITH tagged AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM tagged
+)
+SELECT user_id, session_seq,
+  MIN(ts) AS session_start, MAX(ts) AS session_end,
+  COUNT(*) AS n_events,
+  (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_secs
+FROM numbered GROUP BY user_id, session_seq
+""",
+)
+
+
+def _transitions_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.events import event_transitions
+
+    return event_transitions(_table(spark, sf_dir, "events"))
+
+
+_dfq(
+    "events_transitions",
+    _transitions_fn,
+    """
+SELECT from_type, to_type, COUNT(*) AS n FROM (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS to_type
+  FROM events
+) GROUP BY from_type, to_type
+""",
+)
+
+
 # ==================================================================== #
 # 20. as-of join and range (interval) join                             #
 # ==================================================================== #

@@ -51,6 +51,74 @@ def funnel_steps(
     return cur.withColumn("funnel_depth", depth.cast("int"))
 
 
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's gap
+    since their previous event exceeds ``gap_seconds``. Returns one row
+    per session: (user, session_seq, session_start, session_end,
+    n_events, duration_secs).
+
+    Plan shape: ONE shuffle on ``user_col``; the lag + cumulative-sum
+    windows and the session aggregate all reuse that partitioning
+    (Catalyst collapses them into a single sort within the exchange).
+    Gaps are computed in integer microseconds (``unix_micros``) so the
+    boundary test is exact and engine-portable — float epoch seconds
+    would make borderline gaps nondeterministic.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col))
+    gap_us = us - F.lag(us).over(w)
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > F.lit(int(gap_seconds) * 1_000_000)), 1
+    ).otherwise(0)
+    tagged = events.withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return tagged.groupBy(user_col, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+            / 1_000_000.0
+        ).alias("duration_secs"),
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """First-order transition counts (Markov edges) between consecutive
+    event types within each user's timeline: (from_type, to_type, n).
+    The terminal event of each user maps to to_type NULL, kept so the
+    out-degree of every type sums to its event count.
+
+    One shuffle on ``user_col`` for the lead window, then a count
+    aggregate on the (from, to) pair — map-side partial agg applies.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    return (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def retention_cohorts(
     events: DataFrame,
     period_days: int = 7,

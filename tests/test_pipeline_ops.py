@@ -566,3 +566,63 @@ def test_winnow_shared_substring_guarantee(spark):
     assert not (by_doc[1] & by_doc[3] & by_doc[2])
     # selectivity: far fewer fingerprints than k-grams
     assert len(by_doc[1]) < len(pdf.text[0]) - 8
+
+
+def test_sessionize_gap_boundary(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from dask_sql_spark.operators.events import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2],
+            "ts": [
+                t0,
+                t0 + dt.timedelta(seconds=1800),   # gap == threshold → same session
+                t0 + dt.timedelta(seconds=3601),   # gap 1801s → new session
+                t0 + dt.timedelta(seconds=3700),
+                t0,
+            ],
+            "event_type": ["a"] * 5,
+        }
+    )
+    out = (
+        sessionize(spark.createDataFrame(pdf), gap_seconds=1800)
+        .toPandas()
+        .sort_values(["user_id", "session_seq"])
+        .reset_index(drop=True)
+    )
+    assert out[out.user_id == 1].n_events.tolist() == [2, 2]
+    assert out[out.user_id == 2].n_events.tolist() == [1]
+    assert out.loc[0, "duration_secs"] == 1800.0
+
+
+def test_event_transitions_terminal_null(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from dask_sql_spark.operators.events import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": [t0 + dt.timedelta(seconds=i) for i in range(3)] + [t0],
+            "event_type": ["click", "view", "purchase", "click"],
+        }
+    )
+    out = event_transitions(spark.createDataFrame(pdf)).toPandas()
+    edges = {
+        (r.from_type, r.to_type if isinstance(r.to_type, str) else None): r.n
+        for r in out.itertuples()
+    }
+    assert edges[("click", "view")] == 1
+    assert edges[("view", "purchase")] == 1
+    assert edges[("purchase", None)] == 1
+    assert edges[("click", None)] == 1
+    # out-degree of each type == its event count
+    assert sum(n for (f, _), n in edges.items() if f == "click") == 2
