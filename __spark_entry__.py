@@ -2700,6 +2700,79 @@ def _hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _dfq("sketch_hll_mergeable", _hll_fn)
 
 
+def _repetition_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.text import repetition_signals
+
+    return repetition_signals(_table(spark, sf_dir, "documents"))
+
+
+_dfq(
+    "text_repetition_signals",
+    _repetition_fn,
+    f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS tk FROM documents),
+tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+tok_sig AS (
+  SELECT doc_id, SUM(c) AS n_tokens,
+         1.0 - COUNT(*) / SUM(c) AS dup_token_frac,
+         MAX(c) / SUM(c) AS top_token_frac
+  FROM tc GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS bg
+  FROM t, UNNEST(range(1, greatest(len(tk) - 1, 0) + 1)) AS r(i)
+),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+big_sig AS (
+  SELECT doc_id, 1.0 - COUNT(*) / SUM(c) AS dup_bigram_frac
+  FROM bc GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_tokens, s.dup_token_frac, s.top_token_frac,
+       COALESCE(b.dup_bigram_frac, 0.0) AS dup_bigram_frac
+FROM tok_sig s LEFT JOIN big_sig b ON s.doc_id = b.doc_id
+""",
+)
+
+
+def _tfidf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_table(spark, sf_dir, "documents"), k=3).select(
+        "doc_id", "term", "tf", "df", "score",
+        F.col("rank").alias("term_rank"),
+    )
+
+
+_dfq(
+    "text_tfidf_topterms",
+    _tfidf_fn,
+    f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS tk FROM documents),
+tfc AS (
+  SELECT doc_id, unnest(tk) AS term FROM t
+),
+tfg AS (SELECT doc_id, term, COUNT(*) AS tf FROM tfc GROUP BY doc_id, term),
+dfg AS (SELECT term, COUNT(*) AS df FROM tfg GROUP BY term),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 9) AS score
+  FROM tfg JOIN dfg USING (term), nd
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, score,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC)
+      AS term_rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, term_rank FROM ranked WHERE term_rank <= 3
+""",
+)
+
+
 def _sessionize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_sql_spark.operators.events import sessionize
 

@@ -203,6 +203,121 @@ def contaminated_docs(
     )
 
 
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``dup_token_frac``: 1 - distinct/total tokens (word-level repetition)
+    - ``top_token_frac``: share of the single most frequent token
+    - ``dup_bigram_frac``: 1 - distinct/total word bigrams
+
+    High values flag boilerplate / keyword-stuffed documents for removal
+    before training. Two explode+groupBy passes (tokens, bigrams), both
+    shuffling on ``id_col`` only with map-side partial aggregation; the
+    final join is between two already-co-partitioned per-doc frames.
+    """
+    df = ensure_parallelism(df)
+    t = tokens(F.col(text_col))
+    tok = df.select(id_col, F.explode(t).alias("tok"))
+    tok_sig = (
+        tok.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_count"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (1.0 - F.col("n_distinct") / F.col("n_tokens")).alias(
+                "dup_token_frac"
+            ),
+            (F.col("top_count") / F.col("n_tokens")).alias("top_token_frac"),
+        )
+    )
+    n = F.size(t)
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    big = df.select(id_col, F.explode(bigrams).alias("bg"))
+    big_sig = (
+        big.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            (1.0 - F.count(F.lit(1)) / F.sum("c")).alias("dup_bigram_frac")
+        )
+    )
+    return tok_sig.join(big_sig, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "dup_token_frac",
+        "top_token_frac",
+        F.coalesce("dup_bigram_frac", F.lit(0.0)).alias("dup_bigram_frac"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF
+    (``tf * ln((N+1)/(df+1))``), deterministic tiebreak by term.
+
+    The score is rounded to ``round_digits`` BEFORE ranking: libm ``ln``
+    differs in the last ulp across engines/platforms, and ranking on the
+    raw double would make the top-k cut nondeterministic when two terms
+    score within rounding error — after rounding, such near-ties collapse
+    to exact ties and the term tiebreak decides reproducibly.
+
+    Plan: one explode+groupBy for term frequencies (shuffle on
+    (doc, term)), a small per-term document-frequency aggregate that AQE
+    broadcasts back, and a per-doc row_number window. The corpus size N
+    rides along as a broadcast 1-row cross join — no driver-side count,
+    no global single-partition window.
+    """
+    from pyspark.sql.window import Window
+
+    df = ensure_parallelism(df)
+    tf = (
+        df.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.select(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     k: int = 8,

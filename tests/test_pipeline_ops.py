@@ -626,3 +626,53 @@ def test_event_transitions_terminal_null(spark):
     assert edges[("click", None)] == 1
     # out-degree of each type == its event count
     assert sum(n for (f, _), n in edges.items() if f == "click") == 2
+
+
+def test_repetition_signals_flags_repeats(spark):
+    import pandas as pd
+
+    from dask_sql_spark.operators.text import repetition_signals
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "spam spam spam spam",            # maximal repetition
+                "all four tokens differ",          # no repetition
+                "one",                             # single token → no bigrams
+            ],
+        }
+    )
+    out = (
+        repetition_signals(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "dup_token_frac"] == 0.75
+    assert out.loc[1, "top_token_frac"] == 1.0
+    assert out.loc[1, "dup_bigram_frac"] == pytest.approx(2 / 3)
+    assert out.loc[2, "dup_token_frac"] == 0.0
+    assert out.loc[2, "top_token_frac"] == 0.25
+    assert out.loc[3, "dup_bigram_frac"] == 0.0
+
+
+def test_tfidf_top_terms_ranks_rare_terms(spark):
+    import pandas as pd
+
+    from dask_sql_spark.operators.text import tfidf_top_terms
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "common rare1 common common",
+                "common other words here",
+                "common more common filler",
+            ],
+        }
+    )
+    out = tfidf_top_terms(spark.createDataFrame(pdf), k=2).toPandas()
+    top1 = out[(out.doc_id == 1) & (out["rank"] == 1)].iloc[0]
+    # 'rare1' (df=1) must outrank 'common' (df=3) despite lower tf
+    assert top1.term == "rare1"
+    assert (out.groupby("doc_id")["rank"].max() <= 2).all()
