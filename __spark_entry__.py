@@ -2700,6 +2700,64 @@ def _hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _dfq("sketch_hll_mergeable", _hll_fn)
 
 
+def _span_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.dedup import span_dedup
+
+    return span_dedup(_table(spark, sf_dir, "documents"), width=3)
+
+
+_dfq(
+    "dedup_spans",
+    _span_dedup_fn,
+    f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS tk FROM documents),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(tk[i*3+1 : i*3+3], ' ') AS chunk_text
+  FROM t, UNNEST(range(0, greatest((len(tk) - 1) // 3, 0) + 1)) AS r(i)
+),
+flagged AS (
+  SELECT doc_id, chunk_idx, chunk_text,
+    ROW_NUMBER() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_idx)
+      AS rn
+  FROM chunks
+)
+SELECT doc_id,
+  COALESCE(
+    string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY chunk_idx)
+      FILTER (WHERE rn = 1),
+    '') AS clean_text,
+  COUNT(*) AS n_spans,
+  SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+FROM flagged GROUP BY doc_id
+""",
+)
+
+
+def _quota_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.llmprep import quota_sample
+
+    return quota_sample(_table(spark, sf_dir, "documents"), quota=10)
+
+
+_dfq(
+    "curate_source_quota",
+    _quota_fn,
+    """
+WITH ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source
+    ORDER BY CAST('0x' || substr(md5('quota' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT),
+             doc_id
+  ) AS rn
+  FROM documents
+)
+SELECT doc_id, text, lang, source, n_chars FROM ranked WHERE rn <= 10
+""",
+)
+
+
 def _repetition_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_sql_spark.operators.text import repetition_signals
 

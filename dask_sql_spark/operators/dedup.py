@@ -464,3 +464,54 @@ def embedding_near_dupes(
         )
         .distinct()
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    width: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document exact dedup: remove duplicated token SPANS across the
+    whole corpus, keeping each span's first occurrence (ordered by
+    (doc, position)) and reassembling the surviving text per document.
+
+    This is the span-level companion to document-level exact dedup —
+    training pipelines use it to strip boilerplate passages repeated
+    across many otherwise-distinct pages.
+
+    Plan: tokenize → fixed-``width`` chunk explode (array expressions,
+    no Python), ONE shuffle partitioning chunks by their text for the
+    first-occurrence window, then a per-doc aggregate that sorts kept
+    chunks back into position with ``array_sort`` — no driver-side state.
+    Output: (id, clean_text, n_spans, n_kept).
+    """
+    from pyspark.sql.window import Window
+
+    from dask_sql_spark.operators.llmprep import chunk_documents
+
+    chunks = chunk_documents(
+        ensure_parallelism(df), chunk_tokens=width, id_col=id_col,
+        text_col=text_col,
+    )
+    w = Window.partitionBy("chunk_text").orderBy(id_col, "chunk_idx")
+    flagged = chunks.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("chunk_idx"), F.col("chunk_text"))
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(kept_struct)).alias("kept"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                " ", F.transform(F.col("kept"), lambda s: s.chunk_text)
+            ).alias("clean_text"),
+            "n_spans",
+            "n_kept",
+        )
+    )

@@ -167,3 +167,34 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def quota_sample(
+    df: DataFrame,
+    quota: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "quota",
+) -> DataFrame:
+    """Cap each group at ``quota`` rows, chosen by a deterministic
+    md5-derived shuffle of the keys (no RNG — reproducible on every run
+    and engine). The standard over-represented-domain downsampler in
+    corpus curation: one shuffle on ``group_col`` for the rank window.
+
+    Skew note: a single giant group serializes into one window task at
+    scale; for pathological domains pre-filter with
+    ``deterministic_sample`` to approach the quota before exact ranking.
+    """
+    from pyspark.sql.window import Window
+
+    from dask_sql_spark.operators.hashing import portable_hash64
+
+    order_key = portable_hash64(
+        F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(order_key, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= quota)
+        .drop("__rn")
+    )

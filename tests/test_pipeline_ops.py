@@ -676,3 +676,45 @@ def test_tfidf_top_terms_ranks_rare_terms(spark):
     # 'rare1' (df=1) must outrank 'common' (df=3) despite lower tf
     assert top1.term == "rare1"
     assert (out.groupby("doc_id")["rank"].max() <= 2).all()
+
+
+def test_span_dedup_removes_repeated_spans(spark):
+    import pandas as pd
+
+    from dask_sql_spark.operators.dedup import span_dedup
+
+    boiler = "all rights reserved contact us"  # 5 tokens < width → 1 chunk
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [boiler, boiler + " plus unique trailing content here"],
+        }
+    )
+    out = (
+        span_dedup(spark.createDataFrame(pdf), width=5)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # doc 1 owns the boilerplate span (first occurrence)
+    assert out.loc[1, "clean_text"] == boiler
+    # doc 2 loses it but keeps its unique second span
+    assert boiler not in out.loc[2, "clean_text"]
+    assert "unique trailing content" in out.loc[2, "clean_text"]
+    assert out.loc[2, "n_spans"] == 2 and out.loc[2, "n_kept"] == 1
+
+
+def test_quota_sample_caps_each_group(spark):
+    import pandas as pd
+
+    from dask_sql_spark.operators.llmprep import quota_sample
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(30), "source": ["a"] * 20 + ["b"] * 7 + ["c"] * 3}
+    )
+    sdf = spark.createDataFrame(pdf)
+    out = quota_sample(sdf, quota=5, group_col="source").toPandas()
+    sizes = out.groupby("source").size().to_dict()
+    assert sizes == {"a": 5, "b": 5, "c": 3}
+    # deterministic: same selection on a second run
+    again = quota_sample(sdf, quota=5, group_col="source").toPandas()
+    assert sorted(out.doc_id) == sorted(again.doc_id)
