@@ -65,6 +65,8 @@ _ORACLES: dict[str, str] = {}
 
 def _sqlq(name: str, spark_sql: str, duck_sql: str | None = None) -> None:
     """Register a SQL query; oracle defaults to the identical SQL."""
+    if name in _QUERIES:
+        raise ValueError(f"duplicate query registration: {name}")
 
     def fn(spark: SparkSession, sf_dir: str, _sql: str = spark_sql) -> DataFrame:
         return _ctx(spark, sf_dir).sql(_sql)
@@ -75,6 +77,8 @@ def _sqlq(name: str, spark_sql: str, duck_sql: str | None = None) -> None:
 
 def _dfq(name: str, fn: Callable, duck_sql: str | None = None) -> None:
     """Register a DataFrame-API operator; oracle optional."""
+    if name in _QUERIES:
+        raise ValueError(f"duplicate query registration: {name}")
     _QUERIES[name] = fn
     if duck_sql is not None:
         _ORACLES[name] = duck_sql
@@ -2838,7 +2842,7 @@ def _sessionize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _dfq(
-    "events_sessionize",
+    "events_sessions",
     _sessionize_fn,
     """
 WITH tagged AS (
