@@ -138,3 +138,63 @@ def test_broadcast_hint_forces_strategy(sf_tables):
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_asof_join_plans_without_join_operator(sf_tables):
+    """The as-of join must compile to union + window — ONE shuffle on the
+    by-key and NO join operator (a naive non-equi join would plan as a
+    broadcast-nested-loop that cannot scale)."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.joins import asof_join
+
+    ev = sf_tables.spark.table("events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("cv")
+    )
+    df = asof_join(purchases, clicks, on="ts", by="user_id")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in (
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastHashJoin",
+    ):
+        assert bad not in plan, f"{bad} in asof plan:\n{plan}"
+    assert "Window" in plan
+
+
+def test_range_join_plans_as_equi_join(sf_tables):
+    """The bucketed range join must plan as an equi join on the bucket id
+    (hash or sort-merge), never a nested loop / cartesian."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.joins import range_join
+
+    orders = sf_tables.spark.table("orders")
+    lineitem = sf_tables.spark.table("lineitem")
+    intervals = (
+        orders.where(F.col("o_orderkey") % 419 == 0)
+        .select(
+            F.col("o_orderkey").alias("iid"),
+            F.floor(F.unix_timestamp("o_orderdate") / 86400).alias("lo"),
+        )
+        .withColumn("hi", F.col("lo") + 30)
+    )
+    points = lineitem.select(
+        F.floor(F.unix_timestamp("l_shipdate") / 86400).alias("d")
+    )
+    df = range_join(points, intervals, "d", "lo", "hi", bucket_width=16)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, f"{bad} in range-join plan:\n{plan}"
+    assert any(
+        good in plan
+        for good in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin")
+    ), plan
