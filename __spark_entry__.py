@@ -2704,6 +2704,39 @@ def _hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _dfq("sketch_hll_mergeable", _hll_fn)
 
 
+def _centroid_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.similarity import centroid_similarity
+
+    return centroid_similarity(_table(spark, sf_dir, "embeddings"))
+
+
+_dfq(
+    "emb_centroid_cosine",
+    _centroid_fn,
+    """
+WITH ex AS (
+  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+),
+cent AS (
+  SELECT label, pos,
+    CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS cval
+  FROM ex GROUP BY label, pos
+),
+per_vec AS (
+  SELECT ex.vec_id, ex.label,
+    CAST(SUM(CAST(val * cval AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+    CAST(SUM(CAST(val * val AS DECIMAL(38,18))) AS DOUBLE) AS nv,
+    CAST(SUM(CAST(cval * cval AS DECIMAL(38,18))) AS DOUBLE) AS nc
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+  GROUP BY ex.vec_id, ex.label
+)
+SELECT vec_id, label, ROUND(dot / sqrt(nv * nc), 9) AS cos_centroid
+FROM per_vec
+""",
+)
+
+
 def _span_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_sql_spark.operators.dedup import span_dedup
 

@@ -256,3 +256,59 @@ def lsh_topk(
         .withColumn("cos", cosine(F.col("vq"), F.col("vb")))
     )
     return _rank_topk(scored, k)
+
+
+def centroid_similarity(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Embedding-quality analytics: cosine similarity of every vector to
+    its label's centroid — the standard screen for mislabeled / outlier
+    embeddings before training. Output: (id, label, cos_centroid).
+
+    Cross-engine determinism is the hard part: double summation is
+    order-dependent, so every reduction (centroid components, dot
+    product, norms) routes through exact DECIMAL sums before returning
+    to double, and the final cosine is rounded. Plan shape: posexplode
+    (rows × dim), a (label, pos) centroid aggregate that AQE broadcasts
+    back, then a per-id aggregate — all map-side-combinable.
+
+    Scale path note: for throughput at 100 TB, the blocked-BLAS
+    ``applyInPandas`` kernel in operators/dedup.py is the fast variant;
+    this one is the exactly-reproducible relational form.
+    """
+    dec27 = "decimal(27,12)"
+    dec38 = "decimal(38,18)"
+    ex = df.select(
+        id_col,
+        label_col,
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = ex.groupBy(label_col, "pos").agg(
+        (
+            F.sum(F.col("val").cast(dec27)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cval")
+    )
+    joined = ex.join(F.broadcast(cent), [label_col, "pos"])
+    per_vec = joined.groupBy(id_col, label_col).agg(
+        F.sum((F.col("val") * F.col("cval")).cast(dec38))
+        .cast("double")
+        .alias("dot"),
+        F.sum((F.col("val") * F.col("val")).cast(dec38))
+        .cast("double")
+        .alias("nv"),
+        F.sum((F.col("cval") * F.col("cval")).cast(dec38))
+        .cast("double")
+        .alias("nc"),
+    )
+    return per_vec.select(
+        id_col,
+        label_col,
+        F.round(
+            F.col("dot") / F.sqrt(F.col("nv") * F.col("nc")), round_digits
+        ).alias("cos_centroid"),
+    )

@@ -718,3 +718,19 @@ def test_quota_sample_caps_each_group(spark):
     # deterministic: same selection on a second run
     again = quota_sample(sdf, quota=5, group_col="source").toPandas()
     assert sorted(out.doc_id) == sorted(again.doc_id)
+
+
+def test_centroid_similarity_identifies_outlier(spark):
+    from dask_sql_spark.operators.similarity import centroid_similarity
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.0], 0),
+        (2, [0.0, 1.0], 0),   # outlier within label 0
+        (3, [0.0, 1.0], 1),   # sole member → cos 1.0 with itself
+    ]
+    sdf = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>, label INT")
+    out = centroid_similarity(sdf).toPandas().set_index("vec_id")
+    assert out.loc[3, "cos_centroid"] == 1.0
+    assert out.loc[0, "cos_centroid"] == out.loc[1, "cos_centroid"]
+    assert out.loc[2, "cos_centroid"] < out.loc[0, "cos_centroid"]
