@@ -137,3 +137,40 @@ def memory_sink_query(df: DataFrame, name: str, output_mode: str = "complete"):
         .outputMode(output_mode)
         .start()
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each left event pairs with
+    right events of the same key arriving in ``[left.ts, left.ts +
+    within]``. Both sides carry watermarks and the join condition bounds
+    event time on both ends — the two requirements Spark needs to evict
+    join state instead of buffering streams forever (the canonical
+    micro-batch interval join; append output mode only).
+    """
+    l = left.alias("l")
+    r = right.alias("r")
+    lts, rts = F.col(f"l.{ts_col}"), F.col(f"r.{ts_col}")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {within}"))
+    )
+    joined = (
+        l.withWatermark(ts_col, watermark)
+        .join(r.withWatermark(ts_col, watermark), cond, "inner")
+    )
+    keep_left = [F.col(f"l.{c}").alias(c) for c in left.columns]
+    keep_right = [
+        F.col(f"r.{c}").alias(right_prefix + c)
+        for c in right.columns
+        if c != key_col
+    ]
+    return joined.select(*keep_left, *keep_right)

@@ -131,3 +131,22 @@ def test_stateful_running_totals_multi_batch(spark, tmp_path):
         (1, 2.0, False),
         (2, 6.0, True),
     ]
+
+
+def test_stream_stream_interval_join(spark, stream_dir):
+    from dask_sql_spark.streaming.core import stream_stream_join
+
+    schema = "ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+    src = spark.readStream.schema(schema).parquet(stream_dir)
+    clicks = src.where(F.col("event_type") == "click")
+    views = src.where(F.col("event_type") == "view")
+    rows = _run_stream(
+        spark,
+        stream_stream_join(clicks, views, within="1 hour"),
+        "ssj_out",
+        mode="append",
+    )
+    pairs = sorted((r.user_id, r.ts.minute, r.right_ts.minute) for r in rows)
+    # user 1: click 00:01 → view 00:05; click 00:55 → view 01:40.
+    # user 2: view 02:00 is >1h after click 00:07 → excluded.
+    assert pairs == [(1, 1, 5), (1, 55, 40)]
