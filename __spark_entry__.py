@@ -2704,6 +2704,42 @@ def _hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _dfq("sketch_hll_mergeable", _hll_fn)
 
 
+_sqlq(
+    "agg_percentiles",
+    """
+SELECT l_returnflag,
+  ROUND(CAST(median(l_quantity) AS DOUBLE), 6) AS med_qty,
+  ROUND(CAST(percentile(l_quantity, 0.25) AS DOUBLE), 6) AS p25_qty,
+  ROUND(CAST(percentile(l_quantity, 0.95) AS DOUBLE), 6) AS p95_qty,
+  ROUND(CAST(percentile(l_extendedprice, 0.5) AS DOUBLE), 6) AS med_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    """
+SELECT l_returnflag,
+  ROUND(CAST(median(l_quantity) AS DOUBLE), 6) AS med_qty,
+  ROUND(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 6) AS p25_qty,
+  ROUND(CAST(quantile_cont(l_quantity, 0.95) AS DOUBLE), 6) AS p95_qty,
+  ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 6) AS med_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+
+_sqlq(
+    "agg_listagg",
+    """
+SELECT r_name,
+  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+
+
 def _centroid_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_sql_spark.operators.similarity import centroid_similarity
 
