@@ -2704,6 +2704,47 @@ def _hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _dfq("sketch_hll_mergeable", _hll_fn)
 
 
+def _salted_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting scatters a hot key across reducers without changing the
+    result — the oracle is the plain (unsalted) join."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.skew import salted_join
+
+    lineitem = _table(spark, sf_dir, "lineitem")
+    supplier = _table(spark, sf_dir, "supplier")
+    j = salted_join(
+        lineitem.withColumnRenamed("l_suppkey", "suppkey"),
+        supplier.withColumnRenamed("s_suppkey", "suppkey"),
+        on="suppkey",
+        salt=8,
+    )
+    return j.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.cast(
+            "double",
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(24,6)"
+                )
+            ),
+        ).alias("revenue"),
+    )
+
+
+_dfq(
+    "join_salted",
+    _salted_join_fn,
+    """
+SELECT s_nationkey, COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+    AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+""",
+)
+
+
 _sqlq(
     "agg_percentiles",
     """
