@@ -2704,6 +2704,64 @@ def _hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _dfq("sketch_hll_mergeable", _hll_fn)
 
 
+# modern-SQL conveniences supported natively by both engines ---------- #
+_sqlq(
+    "sql_group_by_all",
+    """
+SELECT n_regionkey, o_orderpriority, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ALL
+""",
+)
+
+_sqlq(
+    "sql_order_by_all",
+    """
+SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY ALL ORDER BY ALL
+""",
+)
+
+_sqlq(
+    "sql_star_except",
+    """
+SELECT * EXCEPT (n_name) FROM nation
+""",
+    """
+SELECT * EXCLUDE (n_name) FROM nation
+""",
+)
+
+_sqlq(
+    "join_lateral",
+    # top-2 suppliers per nation via correlated LATERAL subquery
+    """
+SELECT n_name, l.s_name, l.s_acctbal
+FROM nation,
+LATERAL (
+  SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+  FROM supplier WHERE s_nationkey = n_nationkey
+  ORDER BY s_acctbal DESC, s_name LIMIT 2
+) l
+""",
+)
+
+_sqlq(
+    "sql_recursive_cte",
+    # classic series recursion: cumulative powers-of-2 ladder
+    """
+WITH RECURSIVE ladder(step, total) AS (
+  SELECT 1, 1
+  UNION ALL
+  SELECT step + 1, total * 2 + step FROM ladder WHERE step < 12
+)
+SELECT step, total FROM ladder
+""",
+)
+
+
 def _salted_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salting scatters a hot key across reducers without changing the
     result — the oracle is the plain (unsalted) join."""
