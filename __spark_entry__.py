@@ -2704,6 +2704,19 @@ def _hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _dfq("sketch_hll_mergeable", _hll_fn)
 
 
+_sqlq(
+    "sql_qualify",
+    # QUALIFY is a dialect.py rewrite (Spark lacks it); DuckDB runs it
+    # natively — the oracle checks the rewrite's semantics end-to-end.
+    """
+SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+FROM orders
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY o_orderpriority ORDER BY price DESC, o_orderkey
+) <= 3
+""",
+)
+
 # modern-SQL conveniences supported natively by both engines ---------- #
 _sqlq(
     "sql_group_by_all",

@@ -221,9 +221,81 @@ def _timestamp_ceil_floor_repl(m: re.Match) -> str:
     )
 
 
+_QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
+_QUALIFY_TAIL_RE = re.compile(r"\b(?:ORDER\s+BY|LIMIT|OFFSET)\b", re.IGNORECASE)
+
+
+def _depth0_mask(sql: str) -> list[bool]:
+    """True at positions that are at paren depth 0 and outside string
+    literals — the only places clause keywords can legally start."""
+    mask = [False] * len(sql)
+    depth = 0
+    in_str = False
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(depth - 1, 0)
+        else:
+            mask[i] = depth == 0
+        i += 1
+    return mask
+
+
+def rewrite_qualify(sql: str) -> str:
+    """Rewrite a top-level ``QUALIFY <pred>`` clause (DuckDB / Snowflake /
+    BigQuery dialect; Spark has no QUALIFY) into a window-materializing
+    wrapper::
+
+        SELECT * EXCEPT (__qualify__) FROM (
+          SELECT *, (<pred>) AS __qualify__ FROM (<head>) __qualify_src
+        ) __qualify_out WHERE __qualify__  <order-by/limit tail>
+
+    The predicate's window functions evaluate over the head query's output
+    rows — QUALIFY semantics (filter AFTER the select list and windows).
+    Limitation: the predicate can only reference columns the head query
+    outputs; QUALIFY clauses inside subqueries are not rewritten.
+    """
+    mask = _depth0_mask(sql)
+    m = next(
+        (mm for mm in _QUALIFY_RE.finditer(sql) if mask[mm.start()]), None
+    )
+    if m is None:
+        return sql
+    tail_m = next(
+        (
+            tm
+            for tm in _QUALIFY_TAIL_RE.finditer(sql, m.end())
+            if mask[tm.start()]
+        ),
+        None,
+    )
+    tail_start = tail_m.start() if tail_m else len(sql)
+    head = sql[: m.start()].strip()
+    pred = sql[m.end() : tail_start].strip()
+    tail = sql[tail_start:].strip()
+    out = (
+        f"SELECT * EXCEPT (__qualify__) FROM ("
+        f"SELECT *, ({pred}) AS __qualify__ FROM ({head}) __qualify_src"
+        f") __qualify_out WHERE __qualify__"
+    )
+    return f"{out} {tail}" if tail else out
+
+
 def rewrite(sql: str) -> str:
     """Apply all dialect rewrites to a SQL string (string literals are left
     untouched except where they are the SIMILAR TO pattern itself)."""
+    sql = rewrite_qualify(sql)
 
     # CEIL(x TO unit) exprs may contain literals (TIMESTAMP '...'), so this
     # one runs on the full text; the pattern is specific enough not to fire

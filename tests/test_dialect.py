@@ -80,3 +80,38 @@ def test_rewrite_leaves_plain_sql_alone():
 def test_rewrite_skips_string_literals():
     q = "SELECT 'RAND_INTEGER(10)' AS s"
     assert rewrite(q) == q
+
+
+def test_qualify_rewrite_top2_per_group(context):
+    out = context.sql(
+        """
+        SELECT user_id, b,
+          ROW_NUMBER() OVER (PARTITION BY b ORDER BY user_id) AS rn
+        FROM user_table_1
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY b ORDER BY user_id) <= 1
+        ORDER BY b
+        """
+    ).collect()
+    assert [(r.b, r.user_id) for r in out] == [(1, 2), (3, 1)]
+    assert all(r.rn == 1 for r in out)
+
+
+def test_qualify_with_alias_and_limit(context):
+    out = context.sql(
+        """
+        SELECT user_id, RANK() OVER (ORDER BY user_id) AS r
+        FROM user_table_2
+        QUALIFY r <= 2
+        ORDER BY user_id LIMIT 3
+        """
+    ).collect()
+    assert [r.user_id for r in out] == [1, 1]
+
+
+def test_qualify_untouched_when_absent():
+    from dask_sql_spark.dialect import rewrite_qualify
+
+    sql = "SELECT 'has QUALIFY inside a literal' AS s FROM t"
+    assert rewrite_qualify(sql) == sql
+    nested = "SELECT * FROM (SELECT a FROM t QUALIFY x) q"
+    assert rewrite_qualify(nested) == nested
