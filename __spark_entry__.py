@@ -2704,6 +2704,32 @@ def _hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _dfq("sketch_hll_mergeable", _hll_fn)
 
 
+def _dml_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE + DELETE statement round-trip under the oracle gate: the
+    oracle expresses the same DML as CASE/filter SELECTs."""
+    c = _ctx(spark, sf_dir)
+    c.sql(
+        "CREATE OR REPLACE TABLE dml_probe AS "
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    )
+    c.sql("UPDATE dml_probe SET n_name = lower(n_name) WHERE n_regionkey = 2")
+    c.sql("DELETE FROM dml_probe WHERE n_regionkey = 4")
+    return c.sql("SELECT * FROM dml_probe")
+
+
+_dfq(
+    "sql_update_delete",
+    _dml_fn,
+    """
+SELECT n_nationkey,
+  CASE WHEN n_regionkey = 2 THEN lower(n_name) ELSE n_name END AS n_name,
+  n_regionkey
+FROM nation
+WHERE NOT COALESCE(n_regionkey = 4, FALSE)
+""",
+)
+
+
 _sqlq(
     "sql_qualify",
     # QUALIFY is a dialect.py rewrite (Spark lacks it); DuckDB runs it

@@ -109,6 +109,16 @@ _WHEN_CLAUSE = re.compile(
     r"(?=\s*WHEN\s|\s*$)",
     _FLAGS,
 )
+# DELETE / UPDATE over registry tables (additive, like MERGE: Spark's
+# native DML needs a v2/Delta table, so these recompute + re-register)
+_DELETE_FROM = re.compile(
+    r"^\s*DELETE\s+FROM\s+([\w.\"`]+)(?:\s+WHERE\s+([\s\S]+?))?\s*$", _FLAGS
+)
+_UPDATE_TABLE = re.compile(
+    r"^\s*UPDATE\s+([\w.\"`]+)\s+SET\s+([\s\S]+?)"
+    r"(?:\s+WHERE\s+([\s\S]+?))?\s*$",
+    _FLAGS,
+)
 _COPY_TO = re.compile(
     r"^\s*COPY\s+(\([\s\S]*\)|[\w.\"`]+)\s+TO\s+'([^']+)'"
     r"(?:\s+WITH\s*\((.*)\))?\s*$",
@@ -365,6 +375,67 @@ def _execute_merge(context: "Context", m: re.Match) -> DataFrame:
     return context._empty_result()
 
 
+def _parse_assignments(set_clause: str) -> dict[str, str]:
+    """``a = expr, b = expr`` → {col_lower: expr}; tolerates ``t.col``."""
+    out: dict[str, str] = {}
+    for part in _split_top_commas(set_clause):
+        k, v = part.split("=", 1)
+        k = k.strip().strip('"`')
+        if "." in k:
+            k = k.split(".", 1)[1].strip().strip('"`')
+        out[k.lower()] = v.strip()
+    return out
+
+
+def _execute_delete(context: "Context", m: re.Match) -> DataFrame:
+    """DELETE FROM over a registry table: keep rows where the predicate is
+    false or NULL (SQL DELETE semantics), re-register. One codegen filter
+    — no shuffle, no driver materialization."""
+    from pyspark.sql import functions as F
+
+    name_raw, where = m.groups()
+    schema_name, table = _resolve(context, name_raw)
+    df = context._get_table(_unquote(name_raw))
+    kept = (
+        df.where(~F.coalesce(F.expr(where), F.lit(False)))
+        if where
+        else df.limit(0)
+    )
+    context.create_table(table, kept, schema_name=schema_name)
+    return context._empty_result()
+
+
+def _execute_update(context: "Context", m: re.Match) -> DataFrame:
+    """UPDATE ... SET over a registry table: CASE-rewrite the assigned
+    columns under the WHERE predicate (false/NULL rows unchanged),
+    re-register. Pure projection — no shuffle."""
+    from pyspark.sql import functions as F
+
+    name_raw, set_clause, where = m.groups()
+    schema_name, table = _resolve(context, name_raw)
+    df = context._get_table(_unquote(name_raw))
+    assignments = _parse_assignments(set_clause)
+    unknown = set(assignments) - {c.lower() for c in df.columns}
+    if unknown:
+        raise ValueError(f"UPDATE: unknown column(s) {sorted(unknown)}")
+    cond = (
+        F.coalesce(F.expr(where), F.lit(False)) if where else F.lit(True)
+    )
+    cols = []
+    for f in df.schema.fields:
+        v = assignments.get(f.name.lower())
+        if v is None:
+            cols.append(F.col(f.name))
+        else:
+            cols.append(
+                F.when(cond, F.expr(v).cast(f.dataType))
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+            )
+    context.create_table(table, df.select(*cols), schema_name=schema_name)
+    return context._empty_result()
+
+
 def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | None:
     """Try to execute ``sql`` as a custom statement; return a result
     DataFrame (possibly empty) if handled, else None."""
@@ -588,6 +659,14 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
     m = _MERGE_INTO.match(sql)
     if m:
         return _execute_merge(context, m)
+
+    m = _DELETE_FROM.match(sql)
+    if m and context._table_exists(_unquote(m.group(1))):
+        return _execute_delete(context, m)
+
+    m = _UPDATE_TABLE.match(sql)
+    if m and context._table_exists(_unquote(m.group(1))):
+        return _execute_update(context, m)
 
     m = _INSERT_INTO.match(sql)
     if m:

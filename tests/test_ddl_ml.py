@@ -298,3 +298,39 @@ def test_merge_into_subquery_source_and_defaults(context):
     rows = {r.k: (r.val, r.tag) for r in context.sql("SELECT * FROM m_tgt3").collect()}
     assert rows == {1: (10.0, "x"), 5: (50.0, None)}
     context.sql("DROP TABLE m_tgt3")
+
+
+def test_delete_from_where(context):
+    context.sql("CREATE OR REPLACE TABLE del_t AS SELECT * FROM user_table_1")
+    context.sql("DELETE FROM del_t WHERE b = 3")
+    rows = context.sql("SELECT * FROM del_t").collect()
+    assert [r.b for r in rows] == [1]
+    # DELETE without WHERE empties but keeps the schema
+    context.sql("DELETE FROM del_t")
+    out = context.sql("SELECT * FROM del_t")
+    assert out.count() == 0 and set(out.columns) == {"user_id", "b"}
+
+
+def test_update_set_where(context):
+    context.sql("CREATE OR REPLACE TABLE upd_t AS SELECT * FROM user_table_1")
+    context.sql("UPDATE upd_t SET b = b * 10 WHERE user_id = 2")
+    rows = {
+        (r.user_id, r.b) for r in context.sql("SELECT * FROM upd_t").collect()
+    }
+    assert rows == {(2, 30), (1, 3), (2, 10), (3, 3)}
+    # unqualified UPDATE touches every row; unknown column raises
+    context.sql("UPDATE upd_t SET b = 0")
+    assert {r.b for r in context.sql("SELECT * FROM upd_t").collect()} == {0}
+    with pytest.raises(ValueError, match="unknown column"):
+        context.sql("UPDATE upd_t SET nope = 1")
+
+
+def test_update_delete_qualified_schema(context):
+    context.sql("CREATE SCHEMA IF NOT EXISTS dml_s")
+    context.sql(
+        "CREATE OR REPLACE TABLE dml_s.t2 AS SELECT * FROM user_table_2"
+    )
+    context.sql("UPDATE dml_s.t2 SET c = c + 100 WHERE c >= 3")
+    context.sql("DELETE FROM dml_s.t2 WHERE c = 1")
+    rows = sorted(r.c for r in context.sql("SELECT * FROM dml_s.t2").collect())
+    assert rows == [2, 103, 104]
