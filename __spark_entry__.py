@@ -2704,6 +2704,41 @@ def _hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _dfq("sketch_hll_mergeable", _hll_fn)
 
 
+def _resample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.events import resample_fill
+
+    return resample_fill(_table(spark, sf_dir, "events"))
+
+
+_dfq(
+    "events_resample_fill",
+    _resample_fn,
+    """
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+         date_trunc('hour', MAX(ts)) AS hi
+  FROM events GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+),
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, COUNT(*) AS n_events,
+         arg_max(value, ts) AS last_v
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+)
+SELECT s.user_id, s.bucket,
+  COALESCE(h.n_events, 0) AS n_events,
+  last_value(h.last_v IGNORE NULLS) OVER (
+    PARTITION BY s.user_id ORDER BY s.bucket ROWS UNBOUNDED PRECEDING
+  ) AS filled_value
+FROM spine s
+LEFT JOIN hourly h ON s.user_id = h.user_id AND s.bucket = h.bucket
+""",
+)
+
+
 def _dml_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE + DELETE statement round-trip under the oracle gate: the
     oracle expresses the same DML as CASE/filter SELECTs."""

@@ -146,3 +146,58 @@ def retention_cohorts(
         .groupBy("cohort_period", "periods_later")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def resample_fill(
+    events: DataFrame,
+    every: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key time-series resampling with forward fill: build a dense
+    bucket spine from each key's first to last event, attach the latest
+    observed value per bucket, and forward-fill the gaps. Buckets before
+    a key's first observation keep NULL. Output: (key, bucket, n_events,
+    filled_value).
+
+    Spark has no native resample/gap-fill; this is the idiomatic
+    composition: per-key bounds aggregate → ``sequence`` + ``explode``
+    spine (spine cardinality = time-range/step per key, generated on the
+    executors, never the driver) → left join of per-bucket ``max_by``
+    aggregates → ``last(ignorenulls)`` forward-fill window. Shuffles only
+    on the key.
+    """
+    bucket = F.date_trunc("hour", F.col(ts_col))
+    if every != "1 hour":
+        raise NotImplementedError(
+            "resample_fill currently supports every='1 hour'"
+        )
+    from pyspark.sql.window import Window
+
+    bounds = events.groupBy(user_col).agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("__lo"),
+        F.date_trunc("hour", F.max(ts_col)).alias("__hi"),
+    )
+    spine = bounds.select(
+        user_col,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    hourly = events.groupBy(user_col, bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max_by(value_col, ts_col).alias("__last_v"),
+    )
+    joined = spine.join(hourly, [user_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        user_col,
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("__last_v", ignorenulls=True).over(w).alias("filled_value"),
+    )

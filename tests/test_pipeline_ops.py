@@ -734,3 +734,30 @@ def test_centroid_similarity_identifies_outlier(spark):
     assert out.loc[3, "cos_centroid"] == 1.0
     assert out.loc[0, "cos_centroid"] == out.loc[1, "cos_centroid"]
     assert out.loc[2, "cos_centroid"] < out.loc[0, "cos_centroid"]
+
+
+def test_resample_fill_gaps_and_leading_nulls(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from dask_sql_spark.operators.events import resample_fill
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": [t(10, 5), t(10, 40), t(13, 1)],   # gap: 11:00, 12:00
+            "value": [1.0, 2.0, 9.0],
+        }
+    )
+    out = (
+        resample_fill(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4  # 10:00 .. 13:00
+    assert out.n_events.tolist() == [2, 0, 0, 1]
+    # bucket 10:00 takes the LATEST value in the hour; gaps forward-fill
+    assert out.filled_value.tolist() == [2.0, 2.0, 2.0, 9.0]
