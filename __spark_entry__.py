@@ -2704,6 +2704,37 @@ def _hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _dfq("sketch_hll_mergeable", _hll_fn)
 
 
+def _zorder_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.zorder import with_zorder_key
+
+    orders = _table(spark, sf_dir, "orders")
+    return with_zorder_key(
+        orders, ["o_custkey", "o_orderkey"], bits=8
+    ).select("o_orderkey", "zkey")
+
+
+def _zorder_oracle() -> str:
+    from dask_sql_spark.operators.zorder import zorder_sql_expr
+
+    expr = zorder_sql_expr(
+        ["o_custkey", "o_orderkey"],
+        ["b.lo1", "b.lo2"],
+        ["b.hi1", "b.hi2"],
+        bits=8,
+    )
+    return f"""
+WITH b AS (
+  SELECT MIN(o_custkey) AS lo1, MAX(o_custkey) AS hi1,
+         MIN(o_orderkey) AS lo2, MAX(o_orderkey) AS hi2
+  FROM orders
+)
+SELECT o_orderkey, {expr} AS zkey FROM orders, b
+"""
+
+
+_dfq("sink_zorder_key", _zorder_fn, _zorder_oracle())
+
+
 def _resample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_sql_spark.operators.events import resample_fill
 

@@ -761,3 +761,32 @@ def test_resample_fill_gaps_and_leading_nulls(spark):
     assert out.n_events.tolist() == [2, 0, 0, 1]
     # bucket 10:00 takes the LATEST value in the hour; gaps forward-fill
     assert out.filled_value.tolist() == [2.0, 2.0, 2.0, 9.0]
+
+
+def test_zorder_key_preserves_2d_locality(spark, tmp_path):
+    import pandas as pd
+
+    from dask_sql_spark.operators.zorder import with_zorder_key, write_zordered
+
+    grid = [(x, y) for x in range(32) for y in range(32)]
+    pdf = pd.DataFrame({"x": [g[0] for g in grid], "y": [g[1] for g in grid]})
+    keyed = (
+        with_zorder_key(spark.createDataFrame(pdf), ["x", "y"], bits=5)
+        .toPandas()
+        .sort_values("zkey")
+        .reset_index(drop=True)
+    )
+    # walking the curve, consecutive cells stay close in BOTH dims: the
+    # mean manhattan step on a Z-curve is ~2; row-major order gives ~32.
+    steps = (
+        (keyed.x.diff().abs() + keyed.y.diff().abs()).dropna()
+    )
+    assert steps.mean() < 4
+    # sink round-trip: clustered files, key column dropped
+    out = str(tmp_path / "zordered")
+    write_zordered(
+        spark.createDataFrame(pdf), out, ["x", "y"], bits=5, partitions=4
+    )
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"x", "y"}
+    assert back.count() == 1024
