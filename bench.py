@@ -46,6 +46,19 @@ HEADLINE = [
     "ann_brute_topk",
     "embedding_stats",
     "multimodal_image_meta",
+    # round-2 additions (kept after the original 28 so per-query
+    # comparison against BENCH_r01 stays aligned)
+    "join_asof",
+    "join_range",
+    "events_sessions",
+    "events_transitions",
+    "events_resample_fill",
+    "dedup_spans",
+    "text_repetition_signals",
+    "text_tfidf_topterms",
+    "emb_centroid_cosine",
+    "sink_zorder_key",
+    "curate_source_quota",
 ]
 
 
