@@ -2704,6 +2704,21 @@ def _hll_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _dfq("sketch_hll_mergeable", _hll_fn)
 
 
+_sqlq(
+    "sketch_top_k",
+    # heavy-hitters sketch (Spark 4 approx_top_k). With k > distinct
+    # count the sketch degenerates to exact counts, so the oracle is the
+    # plain GROUP BY — the sketch path itself is what's under test.
+    """
+SELECT item AS event_type, count AS n
+FROM (SELECT inline(approx_top_k(event_type, 50)) FROM events)
+""",
+    """
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+""",
+)
+
+
 def _zorder_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_sql_spark.operators.zorder import with_zorder_key
 

@@ -790,3 +790,21 @@ def test_zorder_key_preserves_2d_locality(spark, tmp_path):
     back = spark.read.parquet(out)
     assert set(back.columns) == {"x", "y"}
     assert back.count() == 1024
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    import pandas as pd
+
+    from dask_sql_spark.sources.maintenance import compact_parquet
+
+    src = str(tmp_path / "small_files")
+    pdf = pd.DataFrame({"k": range(2000), "v": [str(i) * 20 for i in range(2000)]})
+    # simulate fragmented ingestion: 40 tiny files
+    spark.createDataFrame(pdf).repartition(40).write.parquet(src)
+    dst = str(tmp_path / "compacted")
+    stats = compact_parquet(spark, src, dst, target_file_mb=128)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == stats["target_files"] == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == 2000
+    assert back.agg(F.sum("k")).collect()[0][0] == sum(range(2000))
