@@ -170,6 +170,7 @@ class Context:
         elif auto_rebalance and isinstance(input_table, str):
             df = self._maybe_rebalance(df, input_table)
         schema = self.schemas[schema_name]
+        self._unpersist_if_cached(schema.tables.get(table_name.lower()))
         schema.tables[table_name.lower()] = df
         if isinstance(input_table, str):
             schema.filepaths[table_name.lower()] = input_table
@@ -208,8 +209,22 @@ class Context:
             return df
         return df.repartition(parallelism).cache()
 
+    @staticmethod
+    def _unpersist_if_cached(df: DataFrame | None) -> None:
+        """Release executor cache when a registration is replaced/dropped —
+        otherwise create/drop cycles leak storage memory."""
+        if df is not None:
+            try:
+                if df.is_cached:
+                    df.unpersist()
+            except Exception:  # storage state gone with a stopped session
+                pass
+
     def drop_table(self, table_name: str, schema_name: str | None = None) -> None:
         schema_name = schema_name or self.schema_name
+        self._unpersist_if_cached(
+            self.schemas[schema_name].tables.get(table_name.lower())
+        )
         self.schemas[schema_name].tables.pop(table_name.lower(), None)
         self.schemas[schema_name].filepaths.pop(table_name.lower(), None)
         self.spark.catalog.dropTempView(self._view_name(table_name, schema_name))

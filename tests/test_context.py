@@ -113,3 +113,21 @@ def test_gpu_kwarg_accepted_with_warning(context):
     )
     assert context.sql("SELECT COUNT(*) AS n FROM gpu_f").collect()[0].n == 5
     context.drop_table("gpu_f")
+
+
+def test_drop_and_replace_unpersist_cached_tables(context, spark):
+    import pandas as pd
+
+    context.create_table(
+        "cached_t", pd.DataFrame({"a": [1, 2]}), persist=True
+    )
+    df = context.schemas[context.schema_name].tables["cached_t"]
+    df.count()
+    assert df.is_cached
+    # replacing the registration releases the old cache
+    context.create_table("cached_t", pd.DataFrame({"a": [3]}), persist=True)
+    assert not df.is_cached
+    df2 = context.schemas[context.schema_name].tables["cached_t"]
+    df2.count()
+    context.drop_table("cached_t")
+    assert not df2.is_cached
