@@ -1,0 +1,83 @@
+"""Driver-hostility replica: run the correctness gate the way a hostile
+driver would — a PLAIN SparkSession (no Context defaults) with a nasty
+half-hour-offset session timezone — to flush out hidden assumptions
+about spark.sql.session.timeZone pinning or Context-applied configs.
+
+Usage:
+    python tools/hostile_check.py [name_filter ...]
+Env:
+    HOSTILE_TZ  (default Asia/Kolkata)
+    SF_DIR      (default /root/testdata/sf0.01)
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    tz = os.environ.get("HOSTILE_TZ", "Asia/Kolkata")
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("hostile_check")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", tz)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    spec = importlib.util.spec_from_file_location(
+        "co", os.path.join(os.path.dirname(__file__), "check_oracle.py")
+    )
+    co = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(co)
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in co.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    filters = sys.argv[1:]
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for name, fn in qs.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+            if name not in oracles:
+                n_rows_only += 1
+                print(f"rows-only  {name}: {len(sdf)} rows")
+                continue
+            msg = co.compare(sdf, con.execute(oracles[name]).df())
+            if msg is None:
+                n_pass += 1
+                print(f"pass  {name}")
+            else:
+                n_fail += 1
+                failures.append(name)
+                print(f"FAIL  {name}: {msg}")
+        except Exception as ex:  # noqa: BLE001
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: {str(ex).splitlines()[0][:160]}")
+    print(f"\n== TZ={tz}: {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    if failures:
+        print("failures:", ", ".join(failures))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
