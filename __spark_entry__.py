@@ -242,6 +242,33 @@ GROUP BY nation, o_year
 )
 
 _sqlq(
+    "q8_market_share",
+    # TPC-H q8 adapted to the testdata schema (no partsupp): yearly share
+    # of one supplier-nation's volume within a region's ECONOMY-part trade
+    """
+SELECT o_year,
+  CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END
+                AS DECIMAL(24,6))) AS DOUBLE)
+    / CAST(SUM(CAST(volume AS DECIMAL(24,6))) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+) shares
+GROUP BY o_year
+""",
+)
+
+_sqlq(
     "q14_promo_effect",
     """
 SELECT 100.00 * CAST(SUM(CAST(CASE WHEN p_type = 'ECONOMY'
