@@ -2839,6 +2839,34 @@ WHERE NOT COALESCE(n_regionkey = 4, FALSE)
 
 
 _sqlq(
+    "scalar_math2",
+    # remaining reference call.py trig/truncate surface: acos asin atan
+    # tan cot + numeric TRUNCATE (dialect rewrite; Spark trunc is dates-only)
+    """
+SELECT p_partkey,
+  ROUND(ACOS(1.0 / (p_size + 2)), 6) AS ac,
+  ROUND(ASIN(1.0 / (p_size + 2)), 6) AS asn,
+  ROUND(ATAN(p_size), 6) AS at,
+  ROUND(TAN(p_size / 100.0), 6) AS tn,
+  ROUND(1.0 / TAN(p_size + 1), 6) AS cot_v,
+  TRUNCATE(p_retailprice, 1) AS tr1,
+  TRUNCATE(p_retailprice, 0) AS tr0
+FROM part
+""",
+    """
+SELECT p_partkey,
+  ROUND(ACOS(1.0 / (p_size + 2)), 6) AS ac,
+  ROUND(ASIN(1.0 / (p_size + 2)), 6) AS asn,
+  ROUND(ATAN(p_size), 6) AS at,
+  ROUND(TAN(p_size / 100.0), 6) AS tn,
+  ROUND(1.0 / TAN(p_size + 1), 6) AS cot_v,
+  (CAST(TRUNC((p_retailprice) * POWER(10, 1)) AS BIGINT) / POWER(10, 1)) AS tr1,
+  (CAST(TRUNC((p_retailprice) * POWER(10, 0)) AS BIGINT) / POWER(10, 0)) AS tr0
+FROM part
+""",
+)
+
+_sqlq(
     "sql_qualify",
     # QUALIFY is a dialect.py rewrite (Spark lacks it); DuckDB runs it
     # natively — the oracle checks the rewrite's semantics end-to-end.

@@ -221,6 +221,22 @@ def _timestamp_ceil_floor_repl(m: re.Match) -> str:
     )
 
 
+# numeric TRUNCATE(x [, d]) — Calcite/reference surface (call.py truncate);
+# Spark's trunc() is dates-only, so rewrite to exact integer-scaling math.
+# Args must not contain nested parens (the reference's own tests use
+# simple operands); TRUNCATE TABLE never matches (requires parens).
+_TRUNCATE_RE = re.compile(
+    r"\bTRUNCATE\s*\(\s*([^(),]+?)\s*(?:,\s*([^(),]+?)\s*)?\)", re.IGNORECASE
+)
+
+
+def _truncate_repl(m: re.Match) -> str:
+    x, d = m.group(1), m.group(2) or "0"
+    return (
+        f"(CAST(({x}) * POWER(10, {d}) AS BIGINT) / POWER(10, {d}))"
+    )
+
+
 _QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
 _QUALIFY_TAIL_RE = re.compile(r"\b(?:ORDER\s+BY|LIMIT|OFFSET)\b", re.IGNORECASE)
 
@@ -305,6 +321,9 @@ def rewrite(sql: str) -> str:
     sql = _TIMESTAMP_CEIL_FLOOR_RE.sub(_timestamp_ceil_floor_repl, sql)
     sql = _rewrite_outside_literals(
         sql, lambda chunk: _RAND_INTEGER_RE.sub(_rand_integer_repl, chunk)
+    )
+    sql = _rewrite_outside_literals(
+        sql, lambda chunk: _TRUNCATE_RE.sub(_truncate_repl, chunk)
     )
 
     # SIMILAR TO spans a literal, so run on the full text

@@ -115,3 +115,11 @@ def test_qualify_untouched_when_absent():
     assert rewrite_qualify(sql) == sql
     nested = "SELECT * FROM (SELECT a FROM t QUALIFY x) q"
     assert rewrite_qualify(nested) == nested
+
+
+def test_truncate_rewrite_numeric(context):
+    out = context.sql(
+        "SELECT TRUNCATE(3.789, 1) AS a, TRUNCATE(-2.55, 1) AS b, "
+        "TRUNCATE(987.6, 0) AS c, TRUNCATE(3.999) AS d FROM df_simple LIMIT 1"
+    ).collect()[0]
+    assert (out.a, out.b, out.c, out.d) == (3.7, -2.5, 987.0, 3.0)
