@@ -143,6 +143,20 @@ def to_spark_dataframe(
             return spark.createDataFrame(_normalize_pandas(input_table))
     except ImportError:  # pragma: no cover
         pass
+    try:
+        import pyarrow as pa
+
+        if isinstance(input_table, pa.Table):
+            # Spark 4 ingests Arrow tables natively (zero-copy batches);
+            # fall back through pandas for exotic types it rejects
+            try:
+                return spark.createDataFrame(input_table)
+            except Exception:
+                return spark.createDataFrame(
+                    _normalize_pandas(input_table.to_pandas())
+                )
+    except ImportError:  # pragma: no cover
+        pass
     # final fallback: rows/dicts
     return spark.createDataFrame(input_table)
 

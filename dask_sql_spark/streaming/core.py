@@ -174,3 +174,47 @@ def stream_stream_join(
         if c != key_col
     ]
     return joined.select(*keep_left, *keep_right)
+
+
+def upsert_sink_query(
+    stream: DataFrame,
+    context,
+    table: str,
+    keys: list[str],
+    checkpoint_dir: str | None = None,
+):
+    """Streaming upsert: apply each micro-batch to a registry table as a
+    MERGE (update matches on ``keys``, insert the rest) via
+    ``foreachBatch`` — the lakehouse CDC-apply pattern without Delta.
+    Returns the started StreamingQuery.
+
+    Each batch is deduplicated to the LAST row per key first (a batch can
+    carry several updates for one key; ANSI MERGE would fan out).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def _apply(batch: DataFrame, _epoch: int) -> None:
+        if not batch.columns:
+            return
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in batch.columns if c not in keys]
+        )
+        last = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        target = context._get_table(table)
+        cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        joined = target.alias("t").join(
+            last.select(*target.columns).alias("s"), F.expr(cond), "left_anti"
+        )
+        context.create_table(table, joined.unionByName(
+            last.select(*target.columns)
+        ))
+
+    writer = stream.writeStream.outputMode("update").foreachBatch(_apply)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -131,3 +131,12 @@ def test_drop_and_replace_unpersist_cached_tables(context, spark):
     df2.count()
     context.drop_table("cached_t")
     assert not df2.is_cached
+
+
+def test_create_table_from_arrow_table(context):
+    import pyarrow as pa
+
+    tbl = pa.table({"x": [1, 2, 3], "s": ["a", "b", "c"]})
+    context.create_table("arrow_t", tbl)
+    rows = context.sql("SELECT SUM(x) AS sx, COUNT(*) AS n FROM arrow_t").collect()[0]
+    assert (rows.sx, rows.n) == (6, 3)

@@ -150,3 +150,37 @@ def test_stream_stream_interval_join(spark, stream_dir):
     # user 1: click 00:01 → view 00:05; click 00:55 → view 01:40.
     # user 2: view 02:00 is >1h after click 00:07 → excluded.
     assert pairs == [(1, 1, 5), (1, 55, 40)]
+
+
+def test_streaming_upsert_sink(spark, tmp_path):
+    import pandas as pd
+
+    from dask_sql_spark import Context
+    from dask_sql_spark.streaming.core import upsert_sink_query
+
+    c = Context(spark=spark)
+    c.create_table(
+        "ups_target",
+        pd.DataFrame({"k": [1, 2], "v": [10.0, 20.0], "seq": [0, 0]}),
+    )
+    src = tmp_path / "ups_src"
+    src.mkdir()
+    pd.DataFrame({"k": [2, 3], "v": [21.0, 30.0], "seq": [1, 1]}).to_parquet(
+        src / "b1.parquet"
+    )
+    pd.DataFrame({"k": [3, 3], "v": [31.0, 32.0], "seq": [2, 3]}).to_parquet(
+        src / "b2.parquet"
+    )
+    stream = (
+        spark.readStream.schema("k BIGINT, v DOUBLE, seq BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = upsert_sink_query(stream, c, "ups_target", keys=["k"])
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.k: (r.v, r.seq) for r in c.sql("SELECT * FROM ups_target").collect()}
+    assert rows[1] == (10.0, 0)      # untouched
+    assert rows[2] == (21.0, 1)      # updated by batch 1
+    assert rows[3][1] == 3           # last update per key wins (seq 3)
+    assert rows[3][0] == 32.0
