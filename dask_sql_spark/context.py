@@ -496,15 +496,25 @@ class Context:
     # ------------------------------------------------------------------ #
     # introspection                                                      #
     # ------------------------------------------------------------------ #
-    def explain(self, sql: str, dataframes: dict[str, Any] | None = None) -> str:
-        """Return the optimized plan string (reference context.py:535-571)."""
+    def explain(
+        self,
+        sql: str,
+        dataframes: dict[str, Any] | None = None,
+        mode: str = "formatted",
+    ) -> str:
+        """Return the plan string (reference context.py:535-571).
+
+        ``mode``: formatted | simple | extended | codegen | cost —
+        Spark's ExplainMode set; ``cost`` shows CBO row/size statistics
+        (after ``ANALYZE TABLE`` they drive join reordering at scale).
+        """
         if dataframes:
             for name, df in dataframes.items():
                 self.create_table(name, df)
         df = self._do_sql(sql)
         return df._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
+                mode
             )
         )
 

@@ -140,3 +140,10 @@ def test_create_table_from_arrow_table(context):
     context.create_table("arrow_t", tbl)
     rows = context.sql("SELECT SUM(x) AS sx, COUNT(*) AS n FROM arrow_t").collect()[0]
     assert (rows.sx, rows.n) == (6, 3)
+
+
+def test_explain_modes(context):
+    cost = context.explain("SELECT * FROM df_simple", mode="cost")
+    assert "Statistics" in cost
+    codegen = context.explain("SELECT a + 1 FROM df_simple", mode="codegen")
+    assert "Generated code" in codegen or "WholeStageCodegen" in codegen
