@@ -240,6 +240,103 @@ def _truncate_repl(m: re.Match) -> str:
 _QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
 _QUALIFY_TAIL_RE = re.compile(r"\b(?:ORDER\s+BY|LIMIT|OFFSET)\b", re.IGNORECASE)
 
+# ORDER BY default null placement: the reference follows Calcite/Postgres
+# (ASC → NULLS LAST, DESC → NULLS FIRST — "nulls are largest"); Spark's
+# native default is the opposite. Sort items without an explicit
+# NULLS FIRST/LAST get the reference's placement appended so `ORDER BY`
+# (top-level, subquery, and window OVER(...)) behaves reference-exactly.
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_ORDER_ITEM_END_RE = re.compile(
+    r"\b(?:LIMIT|OFFSET|FETCH|ROWS|RANGE|GROUPS|WINDOW|UNION|INTERSECT"
+    r"|EXCEPT|QUALIFY)\b",
+    re.IGNORECASE,
+)
+_HAS_NULLS_RE = re.compile(r"\bNULLS\s+(?:FIRST|LAST)\s*$", re.IGNORECASE)
+_DESC_TAIL_RE = re.compile(r"\bDESC\s*$", re.IGNORECASE)
+
+
+def _literal_mask(sql: str) -> list[bool]:
+    """True at positions inside a single-quoted string literal."""
+    mask = [False] * len(sql)
+    in_str = False
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            mask[i] = True
+            if ch == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    mask[i + 1] = True
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            mask[i] = True
+            in_str = True
+        i += 1
+    return mask
+
+
+def _fix_order_items(list_sql: str) -> str:
+    """Append the reference default placement to items lacking one."""
+    items: list[str] = []
+    depth = 0
+    buf: list[str] = []
+    lit = _literal_mask(list_sql)
+    for i, ch in enumerate(list_sql):
+        if not lit[i]:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                items.append("".join(buf))
+                buf = []
+                continue
+        buf.append(ch)
+    items.append("".join(buf))
+    out = []
+    for item in items:
+        body = item.rstrip()
+        pad = item[len(body):]
+        if not body or _HAS_NULLS_RE.search(body):
+            out.append(item)
+        elif _DESC_TAIL_RE.search(body):
+            out.append(body + " NULLS FIRST" + pad)
+        else:
+            out.append(body + " NULLS LAST" + pad)
+    return ",".join(out)
+
+
+def rewrite_order_by_nulls(sql: str) -> str:
+    """Give every ORDER BY item the reference's default null placement."""
+    lit = _literal_mask(sql)
+    matches = [m for m in _ORDER_BY_RE.finditer(sql) if not lit[m.start()]]
+    # right-to-left so earlier offsets stay valid
+    for m in reversed(matches):
+        start = m.end()
+        depth = 0
+        end = len(sql)
+        i = start
+        while i < len(sql):
+            if not lit[i]:
+                ch = sql[i]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    if depth == 0:
+                        end = i
+                        break
+                    depth -= 1
+                elif depth == 0:
+                    tm = _ORDER_ITEM_END_RE.match(sql, i)
+                    if tm and not lit[tm.start()]:
+                        end = i
+                        break
+            i += 1
+        sql = sql[:start] + _fix_order_items(sql[start:end]) + sql[end:]
+    return sql
+
 
 def _depth0_mask(sql: str) -> list[bool]:
     """True at positions that are at paren depth 0 and outside string
@@ -312,6 +409,7 @@ def rewrite(sql: str) -> str:
     """Apply all dialect rewrites to a SQL string (string literals are left
     untouched except where they are the SIMILAR TO pattern itself)."""
     sql = rewrite_qualify(sql)
+    sql = rewrite_order_by_nulls(sql)
 
     # CEIL(x TO unit) exprs may contain literals (TIMESTAMP '...'), so this
     # one runs on the full text; the pattern is specific enough not to fire

@@ -123,3 +123,35 @@ def test_truncate_rewrite_numeric(context):
         "TRUNCATE(987.6, 0) AS c, TRUNCATE(3.999) AS d FROM df_simple LIMIT 1"
     ).collect()[0]
     assert (out.a, out.b, out.c, out.d) == (3.7, -2.5, 987.0, 3.0)
+
+
+def test_default_null_ordering_matches_reference(context):
+    """Reference semantics (tests/integration/test_sort.py:95-130): plain
+    ASC puts nulls LAST, plain DESC puts nulls FIRST — the opposite of
+    Spark's native default."""
+    import pandas as pd
+
+    context.create_table(
+        "null_sort_t",
+        pd.DataFrame({"a": pd.array([1, None, 2], dtype="Int64")}),
+    )
+    asc = [r.a for r in context.sql("SELECT a FROM null_sort_t ORDER BY a").collect()]
+    assert asc == [1, 2, None]
+    desc = [r.a for r in context.sql("SELECT a FROM null_sort_t ORDER BY a DESC").collect()]
+    assert desc == [None, 2, 1]
+    # explicit placement still wins
+    expl = [
+        r.a
+        for r in context.sql(
+            "SELECT a FROM null_sort_t ORDER BY a NULLS FIRST"
+        ).collect()
+    ]
+    assert expl == [None, 1, 2]
+    # window default follows the same rule: the null ranks LAST on ASC
+    rk = {
+        r.a: r.rk
+        for r in context.sql(
+            "SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS rk FROM null_sort_t"
+        ).collect()
+    }
+    assert rk[None] == 3 and rk[1] == 1
