@@ -2839,6 +2839,27 @@ WHERE NOT COALESCE(n_regionkey = 4, FALSE)
 
 
 _sqlq(
+    "scalar_substring_clamp",
+    # reference-exact negative/zero SUBSTRING starts (dialect clamp)
+    """
+SELECT c_custkey,
+  SUBSTRING(c_name FROM -2 FOR 6) AS neg_from,
+  SUBSTRING(c_name FROM 0 FOR 3) AS zero_from,
+  SUBSTR(c_name, -5, 4) AS neg_comma,
+  SUBSTRING(c_name FROM 4) AS tail
+FROM customer
+""",
+    """
+SELECT c_custkey,
+  substring(c_name, greatest(-2, 1), 6) AS neg_from,
+  substring(c_name, greatest(0, 1), 3) AS zero_from,
+  substring(c_name, greatest(-5, 1), 4) AS neg_comma,
+  substring(c_name, 4) AS tail
+FROM customer
+""",
+)
+
+_sqlq(
     "scalar_math2",
     # remaining reference call.py trig/truncate surface: acos asin atan
     # tan cot + numeric TRUNCATE (dialect rewrite; Spark trunc is dates-only)

@@ -221,6 +221,38 @@ def _timestamp_ceil_floor_repl(m: re.Match) -> str:
     )
 
 
+# SUBSTRING/SUBSTR start clamping — the reference clamps start <= 0 to the
+# string head and keeps the requested length (call.py:526-546); Spark's
+# negative start counts from the END. Clamp with GREATEST so both the
+# FROM/FOR and comma forms behave reference-exactly. Conservative arg
+# patterns (no nested parens): nested-call starts are left native, which
+# is safe — they are never negative in the reference surface.
+_SUBSTRING_FROM_RE = re.compile(
+    r"\bSUBSTRING\s*\(\s*([^()]+?)\s+FROM\s+([^()]+?)"
+    r"(?:\s+FOR\s+([^()]+?))?\s*\)",
+    re.IGNORECASE,
+)
+_SUBSTR_COMMA_RE = re.compile(
+    r"\bSUBSTR(ING)?\s*\(\s*([^(),]+?)\s*,\s*([^(),]+?)\s*"
+    r"(?:,\s*([^(),]+?)\s*)?\)",
+    re.IGNORECASE,
+)
+
+
+def _substring_from_repl(m: re.Match) -> str:
+    a, s, ln = m.group(1), m.group(2), m.group(3)
+    if ln is not None:
+        return f"SUBSTRING({a}, GREATEST({s}, 1), {ln})"
+    return f"SUBSTRING({a}, GREATEST({s}, 1))"
+
+
+def _substr_comma_repl(m: re.Match) -> str:
+    a, s, ln = m.group(2), m.group(3), m.group(4)
+    if ln is not None:
+        return f"SUBSTRING({a}, GREATEST({s}, 1), {ln})"
+    return f"SUBSTRING({a}, GREATEST({s}, 1))"
+
+
 # numeric TRUNCATE(x [, d]) — Calcite/reference surface (call.py truncate);
 # Spark's trunc() is dates-only, so rewrite to exact integer-scaling math.
 # Args must not contain nested parens (the reference's own tests use
@@ -422,6 +454,12 @@ def rewrite(sql: str) -> str:
     )
     sql = _rewrite_outside_literals(
         sql, lambda chunk: _TRUNCATE_RE.sub(_truncate_repl, chunk)
+    )
+    sql = _rewrite_outside_literals(
+        sql, lambda chunk: _SUBSTRING_FROM_RE.sub(_substring_from_repl, chunk)
+    )
+    sql = _rewrite_outside_literals(
+        sql, lambda chunk: _SUBSTR_COMMA_RE.sub(_substr_comma_repl, chunk)
     )
 
     # SIMILAR TO spans a literal, so run on the full text

@@ -155,3 +155,28 @@ def test_default_null_ordering_matches_reference(context):
         ).collect()
     }
     assert rk[None] == 3 and rk[1] == 1
+
+
+def test_substring_negative_start_matches_reference(context):
+    """Reference call.py:532-546 clamps start <= 0 to the head and keeps
+    the length; Spark natively counts negative starts from the END."""
+    import pandas as pd
+
+    context.create_table("sub_t", pd.DataFrame({"a": ["a normal string"]}))
+    row = context.sql(
+        """
+        SELECT SUBSTRING(a FROM -1) AS o,
+               SUBSTRING(a FROM -1 FOR 4) AS f4,
+               SUBSTRING(a FROM 0 FOR 3) AS z3,
+               SUBSTRING(a FROM 2 FOR 2) AS r,
+               SUBSTR(a, -5, 3) AS s3,
+               SUBSTRING(a, 3, 6) AS pos
+        FROM sub_t
+        """
+    ).collect()[0]
+    assert row.o == "a normal string"
+    assert row.f4 == "a no"
+    assert row.z3 == "a n"
+    assert row.r == " n"
+    assert row.s3 == "a n"
+    assert row.pos == "normal"
