@@ -2839,6 +2839,31 @@ WHERE NOT COALESCE(n_regionkey = 4, FALSE)
 
 
 _sqlq(
+    "scalar_extract_units",
+    # dialect-provided EXTRACT units (Spark lacks them; DuckDB native)
+    """
+SELECT event_id,
+  EXTRACT(CENTURY FROM ts) AS c,
+  EXTRACT(DECADE FROM ts) AS dec,
+  EXTRACT(MILLENNIUM FROM ts) AS mil,
+  EXTRACT(MICROSECONDS FROM ts) AS us,
+  EXTRACT(MILLISECONDS FROM ts) AS ms,
+  ROUND(EXTRACT(EPOCH FROM ts), 6) AS ep
+FROM events
+""",
+    """
+SELECT event_id,
+  EXTRACT(CENTURY FROM ts) AS c,
+  EXTRACT(DECADE FROM ts) AS dec,
+  EXTRACT(MILLENNIUM FROM ts) AS mil,
+  EXTRACT(MICROSECONDS FROM ts) AS us,
+  EXTRACT(MILLISECONDS FROM ts) AS ms,
+  ROUND(EXTRACT(EPOCH FROM ts), 6) AS ep
+FROM events
+""",
+)
+
+_sqlq(
     "scalar_substring_clamp",
     # reference-exact negative/zero SUBSTRING starts (dialect clamp)
     """

@@ -221,6 +221,35 @@ def _timestamp_ceil_floor_repl(m: re.Match) -> str:
     )
 
 
+# EXTRACT units Spark lacks: CENTURY/DECADE/MILLENNIUM/MILLISECONDS/
+# MICROSECONDS/EPOCH (reference call.py:909-960). Semantics follow
+# Postgres/DuckDB (century(2021)=21, milliseconds = within-minute,
+# truncated) — the reference's own formulas for century/millennium/
+# millisecond deviate from Postgres (trunc(year/100), 1000*µs); we
+# follow the standard, verified against DuckDB.
+_EXTRACT_EXT_RE = re.compile(
+    r"\bEXTRACT\s*\(\s*(CENTUR(?:Y|IES)|DECADES?|MILLENN?IUMS?"
+    r"|MILLISECONDS?|MICROSECONDS?|EPOCH)\s+FROM\s+([^()]+?)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _extract_ext_repl(m: re.Match) -> str:
+    unit, e = m.group(1).upper(), m.group(2)
+    us = f"unix_micros(CAST({e} AS TIMESTAMP))"
+    if unit.startswith("CENTUR"):
+        return f"CAST(FLOOR((YEAR({e}) - 1) / 100) + 1 AS BIGINT)"
+    if unit.startswith("DECADE"):
+        return f"CAST(FLOOR(YEAR({e}) / 10) AS BIGINT)"
+    if unit.startswith("MILLEN"):
+        return f"CAST(FLOOR((YEAR({e}) - 1) / 1000) + 1 AS BIGINT)"
+    if unit.startswith("MICROSECOND"):
+        return f"({us} % 60000000)"
+    if unit.startswith("MILLISECOND"):
+        return f"(({us} % 60000000) DIV 1000)"
+    return f"({us} / 1000000.0)"  # EPOCH
+
+
 # SUBSTRING/SUBSTR start clamping — the reference clamps start <= 0 to the
 # string head and keeps the requested length (call.py:526-546); Spark's
 # negative start counts from the END. Clamp with GREATEST so both the
@@ -455,6 +484,9 @@ def rewrite(sql: str) -> str:
     sql = _rewrite_outside_literals(
         sql, lambda chunk: _TRUNCATE_RE.sub(_truncate_repl, chunk)
     )
+    # the EXTRACT expr may itself contain a literal (TIMESTAMP '...'), so
+    # this runs on the full text — the pattern is specific enough
+    sql = _EXTRACT_EXT_RE.sub(_extract_ext_repl, sql)
     sql = _rewrite_outside_literals(
         sql, lambda chunk: _SUBSTRING_FROM_RE.sub(_substring_from_repl, chunk)
     )

@@ -180,3 +180,17 @@ def test_substring_negative_start_matches_reference(context):
     assert row.r == " n"
     assert row.s3 == "a n"
     assert row.pos == "normal"
+
+
+def test_extract_extended_units(context):
+    row = context.sql(
+        "SELECT EXTRACT(CENTURY FROM TIMESTAMP '2021-10-03 15:53:42.000047') AS c, "
+        "EXTRACT(DECADE FROM TIMESTAMP '2021-10-03 15:53:42.000047') AS d, "
+        "EXTRACT(MILLENNIUM FROM TIMESTAMP '2021-10-03 15:53:42.000047') AS m, "
+        "EXTRACT(MICROSECONDS FROM TIMESTAMP '2021-10-03 15:53:42.000047') AS us, "
+        "EXTRACT(MILLISECONDS FROM TIMESTAMP '2021-10-03 15:53:42.999999') AS ms "
+        "FROM df_simple LIMIT 1"
+    ).collect()[0]
+    # Postgres/DuckDB semantics (the reference's own trunc(year/100)
+    # formula deviates from the standard — documented in COVERAGE.md)
+    assert (row.c, row.d, row.m, row.us, row.ms) == (21, 202, 3, 42000047, 42999)
