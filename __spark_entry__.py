@@ -3378,6 +3378,152 @@ GROUP BY interval_id
 
 
 # ==================================================================== #
+# 21. corpus analytics round 2: quantization, collocations, scripts,   #
+#     skew-safe distinct counting                                      #
+# ==================================================================== #
+def _emb_quantize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization audit: per-vector scale, saturation
+    count and exact reconstruction-error stats (similarity.py
+    quantize_embeddings; DECIMAL-summed so DuckDB matches bit-for-bit)."""
+    from dask_sql_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "scale", "n_sat", "max_err", "sum_err"
+    )
+
+
+_dfq(
+    "emb_quantize_int8",
+    _emb_quantize_fn,
+    """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+), s AS (
+  SELECT vec_id, label, vd,
+         list_max(list_transform(vd, x -> abs(x))) AS raw_scale
+  FROM v
+), t AS (
+  SELECT *, CASE WHEN raw_scale > 0 THEN raw_scale / 127.0 ELSE 1.0 END AS step
+  FROM s
+)
+SELECT vec_id, label,
+  ROUND(raw_scale, 9) AS scale,
+  CAST(len(list_filter(vd, x -> abs(floor(x/step + 0.5)) = 127)) AS BIGINT)
+    AS n_sat,
+  ROUND(list_max(list_transform(vd, x -> abs(x - floor(x/step+0.5)*step))), 9)
+    AS max_err,
+  ROUND(CAST(list_aggregate(list_transform(vd,
+      x -> CAST(abs(x - floor(x/step+0.5)*step) AS DECIMAL(38,18))),
+    'sum') AS DOUBLE), 9) AS sum_err
+FROM t
+""",
+)
+
+
+def _ngram_topk_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level 3-gram collocation mining (boilerplate/template
+    detection): top-20 by occurrence count, (count DESC, gram) ordered —
+    one map-side-combined hash aggregate plus TakeOrderedAndProject."""
+    from dask_sql_spark.operators.text import ngram_topk
+
+    return ngram_topk(
+        _table(spark, sf_dir, "documents"), n=3, min_count=5, k=20
+    )
+
+
+_dfq(
+    "text_ngram_topk",
+    _ngram_topk_fn,
+    f"""
+WITH docs AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+g AS (
+  SELECT array_to_string(toks[i:i+2], ' ') AS gram
+  FROM docs, UNNEST(range(1, greatest(len(toks) - 2, 0) + 1)) AS t(i)
+)
+SELECT gram, COUNT(*) AS n_occurrences
+FROM g GROUP BY gram HAVING COUNT(*) >= 5
+ORDER BY n_occurrences DESC, gram LIMIT 20
+""",
+)
+
+
+def _script_ratios_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script character-class profile per source (text.py
+    add_script_ratios): routing/mojibake screen, pure codegen math."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.text import add_script_ratios
+
+    out = add_script_ratios(_table(spark, sf_dir, "documents"))
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("latin_ratio"), 4).alias("avg_latin"),
+        F.round(F.avg("space_ratio"), 4).alias("avg_space"),
+        F.round(F.avg("digit_ratio"), 4).alias("avg_digit"),
+        F.round(F.avg("other_ratio"), 4).alias("avg_other"),
+    )
+
+
+_dfq(
+    "text_script_ratios",
+    _script_ratios_fn,
+    """
+WITH r AS (
+  SELECT source, length(text) AS n,
+    CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END AS safe,
+    length(text) - length(regexp_replace(text, '[\\p{Latin}]', '', 'g'))
+      AS n_latin,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+    length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_space,
+    length(text) - length(regexp_replace(text, '[\\p{Cyrillic}]', '', 'g'))
+      AS n_cyr,
+    length(text) - length(regexp_replace(text, '[\\p{Han}]', '', 'g')) AS n_han,
+    length(text) - length(regexp_replace(text, '[\\p{Arabic}]', '', 'g'))
+      AS n_ar
+  FROM documents
+), p AS (
+  SELECT source,
+    ROUND(CAST(n_latin AS DOUBLE) / safe, 4) AS latin_ratio,
+    ROUND(CAST(n_space AS DOUBLE) / safe, 4) AS space_ratio,
+    ROUND(CAST(n_digit AS DOUBLE) / safe, 4) AS digit_ratio,
+    ROUND(CAST(n - (n_latin + n_cyr + n_han + n_ar + n_digit + n_space)
+               AS DOUBLE) / safe, 4) AS other_ratio
+  FROM r
+)
+SELECT source, COUNT(*) AS n_docs,
+  ROUND(AVG(latin_ratio), 4) AS avg_latin,
+  ROUND(AVG(space_ratio), 4) AS avg_space,
+  ROUND(AVG(digit_ratio), 4) AS avg_digit,
+  ROUND(AVG(other_ratio), 4) AS avg_other
+FROM p GROUP BY source
+""",
+)
+
+
+def _salted_distinct_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted COUNT(DISTINCT) for hot group keys (skew.py
+    salted_count_distinct) — additive per-bucket partials; oracle is the
+    plain COUNT(DISTINCT) it must equal."""
+    from dask_sql_spark.operators.skew import salted_count_distinct
+
+    return salted_count_distinct(
+        _table(spark, sf_dir, "events"), ["event_type"], "user_id", buckets=32
+    )
+
+
+_dfq(
+    "agg_salted_distinct",
+    _salted_distinct_fn,
+    """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
+FROM events GROUP BY event_type
+""",
+)
+
+
+# ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #
 def _driver_verified_names() -> set[str]:

@@ -312,3 +312,64 @@ def centroid_similarity(
             F.col("dot") / F.sqrt(F.col("nv") * F.col("nc")), round_digits
         ).alias("cos_centroid"),
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+    round_digits: int = 9,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the standard 4× memory/IO reduction before ANN indexing or vector
+    export. Output: (id, *keep_cols, qvec ARRAY<INT> in [-127, 127],
+    scale, n_sat, max_err, sum_err).
+
+    Per vector: ``scale = max(|x|)``, ``step = scale/127``, each element
+    ``q = floor(x/step + 0.5)`` (half-up, engine-portable — both Spark
+    and DuckDB floor doubles identically, unlike their round()
+    half-even/half-away split). Reconstruction error columns are audit
+    output: ``max_err ≤ step/2`` by construction; ``sum_err`` routes
+    through exact DECIMAL sums so it is bit-reproducible cross-engine
+    (same discipline as :func:`centroid_similarity`).
+
+    Scale shape: narrow transform only — no shuffle, no UDF; every
+    element op is whole-stage-codegen array math. At 100 TB this is a
+    pure map over the corpus, trivially parallel.
+    """
+    dec38 = "decimal(38,18)"
+    v = F.col(vec_col).cast("array<double>")
+    out = df.select(
+        id_col,
+        *keep_cols,
+        v.alias("_vd"),
+        F.array_max(F.transform(v, F.abs)).alias("_scale"),
+    ).withColumn(
+        "_step",
+        F.when(F.col("_scale") > 0, F.col("_scale") / F.lit(127.0)).otherwise(
+            F.lit(1.0)
+        ),
+    )
+    q_of = lambda x: F.floor(x / F.col("_step") + F.lit(0.5))  # noqa: E731
+    err_of = lambda x: F.abs(x - q_of(x) * F.col("_step"))  # noqa: E731
+    return out.select(
+        id_col,
+        *keep_cols,
+        F.transform(F.col("_vd"), lambda x: q_of(x).cast("int")).alias("qvec"),
+        F.round(F.col("_scale"), round_digits).alias("scale"),
+        F.size(
+            F.filter(F.col("_vd"), lambda x: F.abs(q_of(x)) == 127)
+        ).cast("long").alias("n_sat"),
+        F.round(
+            F.array_max(F.transform(F.col("_vd"), err_of)), round_digits
+        ).alias("max_err"),
+        F.round(
+            F.aggregate(
+                F.transform(F.col("_vd"), lambda x: err_of(x).cast(dec38)),
+                F.lit(0).cast(dec38),
+                lambda acc, x: (acc + x).cast(dec38),
+            ).cast("double"),
+            round_digits,
+        ).alias("sum_err"),
+    )

@@ -62,3 +62,34 @@ def create_bucketed_table(
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(name)
     return spark.table(name)
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    distinct_col: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Two-phase COUNT(DISTINCT x) GROUP BY k for skewed group keys.
+
+    A plain count-distinct shuffles every (k, x) pair to k's single
+    reducer — a hot key (one user = 40% of events) serializes on one
+    task. Salting by ``hash(x) % buckets`` keeps correctness because a
+    given x always lands in the same bucket, so per-bucket distinct
+    counts are additive:
+
+      phase 1: groupBy(k, hash(x)%B) → count(distinct x)   [B-way spread]
+      phase 2: groupBy(k) → sum(partial)                   [B rows/key]
+
+    Same result as COUNT(DISTINCT), hot key now B-way parallel. (This is
+    what AQE skew handling cannot do — a single key's rows always hash
+    to one reducer without re-keying.)
+    """
+    bucket = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(buckets))
+    partial = (
+        df.groupBy(*group_cols, bucket.alias("__bucket__"))
+        .agg(F.count_distinct(F.col(distinct_col)).alias("__partial__"))
+    )
+    return partial.groupBy(*group_cols).agg(
+        F.sum("__partial__").alias(f"n_distinct_{distinct_col}")
+    )

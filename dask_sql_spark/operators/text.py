@@ -365,3 +365,77 @@ def winnow_fingerprints(
         .select(id_col, F.col("wmin").alias("fingerprint"))
         .distinct()
     )
+
+
+def ngram_topk(
+    df: DataFrame,
+    n: int = 3,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level n-gram collocation mining: the ``k`` most frequent
+    word n-grams appearing in at least ``min_count`` documents' worth of
+    occurrences. The standard boilerplate/template detector — ultra-hot
+    n-grams across a crawl are navigation chrome, license banners, spam
+    templates — and the input to frequent-phrase blocklists.
+
+    Plan shape: tokenize (narrow) → explode n-grams → ONE hash aggregate
+    (map-side partial combine collapses each executor's counts before the
+    shuffle) → top-k via TakeOrderedAndProject on (count DESC, gram ASC).
+    No self-joins, no windows; at 100 TB the shuffle carries only the
+    distinct-gram partial counts, not the exploded rows."""
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+        .limit(k)
+    )
+
+
+# Unicode script classes: (name, Java regex for Spark, RE2 regex for the
+# DuckDB oracle). Java spells scripts \p{IsLatin}; RE2 spells them
+# \p{Latin} — same chars matched, different dialect names.
+SCRIPT_CLASSES = [
+    ("latin", r"[\p{IsLatin}]", r"[\p{Latin}]"),
+    ("cyrillic", r"[\p{IsCyrillic}]", r"[\p{Cyrillic}]"),
+    ("han", r"[\p{IsHan}]", r"[\p{Han}]"),
+    ("arabic", r"[\p{IsArabic}]", r"[\p{Arabic}]"),
+    ("digit", r"[0-9]", r"[0-9]"),
+    ("space", r"\s", r"\s"),
+]
+
+
+def add_script_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode-script profiling: per-document character-class ratios
+    (latin/cyrillic/han/arabic/digit/whitespace + other). The cheap
+    writing-system detector that gates which language-ID model a corpus
+    shard is routed to, and the standard mojibake/binary-junk screen
+    (a 'latin' doc with 30% 'other' is suspect).
+
+    Pure whole-stage-codegen column math: each ratio is two lengths and
+    a regexp_replace — no UDF, no shuffle, trivially parallel at 100 TB."""
+    t = F.col(text_col)
+    n = F.length(t)
+    safe = F.when(n > 0, n).otherwise(F.lit(1))
+    out = df
+    covered = None
+    for name, java_re, _ in SCRIPT_CLASSES:
+        cnt = n - F.length(F.regexp_replace(t, java_re, ""))
+        out = out.withColumn(
+            f"{name}_ratio", F.round(cnt.cast("double") / safe, 4)
+        )
+        covered = cnt if covered is None else covered + cnt
+    return out.withColumn(
+        "other_ratio", F.round((n - covered).cast("double") / safe, 4)
+    )

@@ -808,3 +808,77 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 2000
     assert back.agg(F.sum("k")).collect()[0][0] == sum(range(2000))
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    """int8 quantization: qvec in [-127,127], max_err <= step/2, and the
+    saturation count matches the elements at full scale."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0], 0), (2, [0.0, 0.0, 0.0, 0.0], 1)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>, label INT",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    r1 = rows[1]
+    # half-up rounds toward +inf: -0.5/step = -63.5 → floor(-63.0) = -63
+    assert r1["qvec"] == [127, -63, 32, 0]
+    assert r1["scale"] == 1.0
+    assert r1["n_sat"] == 1
+    step = 1.0 / 127
+    assert r1["max_err"] <= step / 2 + 1e-9  # 9-digit rounding slack
+    r2 = rows[2]  # all-zero vector: guarded step, all-zero qvec
+    assert r2["qvec"] == [0, 0, 0, 0] and r2["max_err"] == 0.0
+
+
+def test_ngram_topk_counts_and_tiebreak(spark):
+    from dask_sql_spark.operators.text import ngram_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),
+            (2, "a b c d"),
+            (3, "x y"),  # shorter than n → contributes nothing
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = ngram_topk(df, n=3, min_count=1, k=10).collect()
+    counts = {r["gram"]: r["n_occurrences"] for r in out}
+    assert counts["a b c"] == 3  # twice in doc 1, once in doc 2
+    assert "x y" not in counts
+    # ordering: count desc then gram asc
+    assert [r["gram"] for r in out[:1]] == ["a b c"]
+
+
+def test_script_ratios_classifies_mixed_text(spark):
+    from dask_sql_spark.operators.text import add_script_ratios
+
+    df = spark.createDataFrame(
+        [(1, "abcд1 "), (2, "")], "doc_id LONG, text STRING"
+    )
+    rows = {r["doc_id"]: r for r in add_script_ratios(df).collect()}
+    r = rows[1]  # 6 chars: 3 latin, 1 cyrillic, 1 digit, 1 space
+    assert r["latin_ratio"] == round(3 / 6, 4)
+    assert r["cyrillic_ratio"] == round(1 / 6, 4)
+    assert r["digit_ratio"] == round(1 / 6, 4)
+    assert r["space_ratio"] == round(1 / 6, 4)
+    assert r["other_ratio"] == 0.0
+    assert rows[2]["latin_ratio"] == 0.0  # empty text guarded
+
+
+def test_salted_count_distinct_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.skew import salted_count_distinct
+
+    df = spark.createDataFrame(
+        [("k1", i % 7) for i in range(100)] + [("k2", i) for i in range(5)],
+        "k STRING, v LONG",
+    )
+    got = {
+        r["k"]: r["n_distinct_v"]
+        for r in salted_count_distinct(df, ["k"], "v", buckets=4).collect()
+    }
+    assert got == {"k1": 7, "k2": 5}
