@@ -218,3 +218,61 @@ def upsert_sink_query(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def transform_with_state_totals(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running totals on the Spark-4 ``transformWithStateInPandas``
+    API — the successor to ``applyInPandasWithState`` (above) with typed
+    state handles (ValueState/ListState/MapState), timers and TTL.
+
+    Functionally the same operator as :func:`stateful_running_totals`;
+    kept as the modern-API twin because the new engine requires the
+    RocksDB state store, whose changelog checkpointing + disk spill is
+    what makes 100 TB-scale state (billions of keys) practical — the
+    HDFS-backed store of the old API keeps all state on the JVM heap.
+
+    Requires ``spark.sql.streaming.stateStore.providerClass`` =
+    ``...RocksDBStateStoreProvider`` on the session, and the
+    ``protobuf`` Python package (the transformWithState Python runner
+    speaks protobuf to the JVM — import-gated in tests; absent in this
+    container, exercised wherever protobuf is installed).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = (
+        f"{key_col} BIGINT, n_events BIGINT, total_value DOUBLE"
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        _RunningTotals(), out_schema, "Update", "None"
+    )

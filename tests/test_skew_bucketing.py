@@ -64,3 +64,28 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_write_sorted_produces_disjoint_file_ranges(spark, tmp_path):
+    """Range-clustered write → parquet footer min/max ranges are pairwise
+    disjoint on the sort key (file-level zone-map pruning works); a
+    round-robin write of the same data leaves overlapping ranges."""
+    from dask_sql_spark.sources.maintenance import file_stats_ranges, write_sorted
+
+    df = spark.range(0, 10000).selectExpr(
+        "(id * 2654435761) % 10000 AS k", "id AS payload"
+    )
+    sorted_path = str(tmp_path / "sorted")
+    write_sorted(df, sorted_path, ["k"], n_files=8)
+    ranges = sorted(file_stats_ranges(sorted_path, "k"))
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    unsorted_path = str(tmp_path / "unsorted")
+    df.repartition(8).write.parquet(unsorted_path)
+    overlapping = sorted(file_stats_ranges(unsorted_path, "k"))
+    assert any(
+        hi1 > lo2
+        for (lo1, hi1), (lo2, hi2) in zip(overlapping, overlapping[1:])
+    )

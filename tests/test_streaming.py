@@ -184,3 +184,64 @@ def test_streaming_upsert_sink(spark, tmp_path):
     assert rows[2] == (21.0, 1)      # updated by batch 1
     assert rows[3][1] == 3           # last update per key wins (seq 3)
     assert rows[3][0] == 32.0
+
+
+def test_transform_with_state_totals_multi_batch(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API) carries
+    ValueState across micro-batches on the RocksDB state store."""
+    import pandas as pd
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's Python runner speaks protobuf to the "
+        "JVM; package not installed in this container",
+    )
+
+    from dask_sql_spark.streaming.core import (
+        memory_sink_query,
+        transform_with_state_totals,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        d = tmp_path / "tws"
+        d.mkdir()
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(["2024-01-01 00:00"]).astype("datetime64[us]"),
+                "user_id": [7],
+                "value": [2.0],
+            }
+        ).to_parquet(d / "a.parquet")
+        src = spark.readStream.schema(
+            "ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+        ).option("maxFilesPerTrigger", 1).parquet(str(d))
+        q = memory_sink_query(
+            transform_with_state_totals(src), "tws_out", output_mode="update"
+        )
+        q.processAllAvailable()
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(["2024-01-01 00:10"]).astype("datetime64[us]"),
+                "user_id": [7],
+                "value": [4.0],
+            }
+        ).to_parquet(d / "b.parquet")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM tws_out ORDER BY n_events").collect()
+        q.stop()
+        assert [(r.n_events, r.total_value) for r in rows] == [
+            (1, 2.0),
+            (2, 6.0),
+        ]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
