@@ -3502,6 +3502,113 @@ FROM p GROUP BY source
 )
 
 
+def _keeper_quality_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-policy dedup apply: minhash near-dup pairs → connected
+    components → keeper = longest doc in the cluster (ties → min id),
+    via graph.dedup_clusters(quality_col=). Oracle recomputes the same
+    fixpoint with a recursive CTE + a quality-ranked window."""
+    from dask_sql_spark.operators.dedup import minhash_lsh_pairs
+    from dask_sql_spark.operators.graph import dedup_clusters
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_perm=16, bands=8)
+    return dedup_clusters(pairs, docs, quality_col="n_chars")
+
+
+_dfq(
+    "dedup_keeper_quality",
+    _keeper_quality_fn,
+    f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT d.doc_id AS id,
+    LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS comp
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+),
+ranked AS (
+  SELECT c.id, c.comp,
+    ROW_NUMBER() OVER (
+      PARTITION BY c.comp ORDER BY d.n_chars DESC, c.id
+    ) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.id
+),
+keep AS (SELECT comp, id AS keeper_id FROM ranked WHERE rn = 1)
+SELECT r.id, k.keeper_id, r.id = k.keeper_id AS is_keeper
+FROM ranked r JOIN keep k USING (comp)
+""",
+)
+
+
+def _assign_splits_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test assignment
+    (llmprep.assign_splits): stable under re-runs, row order, and corpus
+    growth; every row's label reproduced by the oracle."""
+    from dask_sql_spark.operators.llmprep import assign_splits
+
+    return assign_splits(
+        _table(spark, sf_dir, "documents"),
+        weights={"train": 0.9, "validation": 0.05, "test": 0.05},
+    ).select("doc_id", "split")
+
+
+_dfq(
+    "llm_assign_splits",
+    _assign_splits_fn,
+    """
+WITH b AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15)
+         AS BIGINT) % 1000000 AS bucket
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN bucket < 900000 THEN 'train'
+       WHEN bucket < 950000 THEN 'validation'
+       ELSE 'test' END AS split
+FROM b
+""",
+)
+
+
+def _pack_stats_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit (llmprep.pack_stats): per-pack doc count,
+    token fill and fill ratio vs the 512-token budget."""
+    from dask_sql_spark.operators.llmprep import pack_stats
+
+    return pack_stats(_table(spark, sf_dir, "documents"), max_tokens=512)
+
+
+_dfq(
+    "llm_pack_stats",
+    _pack_stats_fn,
+    f"""
+WITH counted AS (
+  SELECT doc_id, CAST(len({_DOC_TOKS}) AS BIGINT) AS n_tokens FROM documents
+), packed AS (
+  SELECT doc_id, n_tokens,
+    CAST(FLOOR(CAST(SUM(n_tokens) OVER w - n_tokens AS DOUBLE) / 512)
+         AS BIGINT) AS pack_id
+  FROM counted
+  WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+)
+SELECT pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+  ROUND(SUM(n_tokens) / 512.0, 4) AS fill_ratio
+FROM packed GROUP BY pack_id
+""",
+)
+
+
 def _salted_distinct_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted COUNT(DISTINCT) for hot group keys (skew.py
     salted_count_distinct) — additive per-bucket partials; oracle is the

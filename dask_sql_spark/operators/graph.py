@@ -84,13 +84,38 @@ def dedup_clusters(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    quality_col: str | None = None,
 ) -> DataFrame:
     """The dedup *apply* step over near-dup pairs: every document mapped to
-    its duplicate-cluster keeper (min id in the component; singletons keep
-    themselves). Output: (id, keeper_id, is_keeper)."""
+    its duplicate-cluster keeper. Output: (id, keeper_id, is_keeper).
+
+    Keeper policy: by default the min id in the component (cheap — it IS
+    the component label, no extra shuffle). With ``quality_col`` the
+    keeper is the cluster member with the highest quality (ties → min
+    id) — the production policy: when a crawl yields five near-dup
+    copies, keep the longest/cleanest one, not the one crawled first.
+    Costs one window over comp + one join back; both shuffles are on the
+    component key, whose cardinality is the number of clusters.
+    """
     comps = connected_components(pairs, src=src, dst=dst)
     all_ids = docs.select(F.col(id_col).alias("id"))
     labeled = all_ids.join(comps, "id", "left").select(
-        "id", F.coalesce(F.col("comp"), F.col("id")).alias("keeper_id")
+        "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
     )
-    return labeled.withColumn("is_keeper", F.col("id") == F.col("keeper_id"))
+    if quality_col is None:
+        out = labeled.select("id", F.col("comp").alias("keeper_id"))
+    else:
+        from pyspark.sql import Window
+
+        q = docs.select(
+            F.col(id_col).alias("id"), F.col(quality_col).alias("_q")
+        )
+        w = Window.partitionBy("comp").orderBy(F.col("_q").desc(), F.col("id"))
+        keepers = (
+            labeled.join(q, "id")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("comp", F.col("id").alias("keeper_id"))
+        )
+        out = labeled.join(keepers, "comp").select("id", "keeper_id")
+    return out.withColumn("is_keeper", F.col("id") == F.col("keeper_id"))

@@ -198,3 +198,73 @@ def quota_sample(
         .where(F.col("__rn") <= quota)
         .drop("__rn")
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: each row's
+    md5-derived hash bucket of (salt, key) indexes into cumulative
+    weight thresholds. Adds a ``split`` column.
+
+    The properties a training pipeline needs and RNG splits lack:
+    stable under re-runs and row reordering (hash of the key, not of
+    position), stable under corpus growth (an existing doc never changes
+    split when new docs arrive), and engine-portable (the DuckDB oracle
+    reproduces every assignment). Pure codegen expression — scan-time
+    label, no shuffle at any scale.
+    """
+    from dask_sql_spark.operators.hashing import portable_hash64
+
+    weights = weights or {"train": 0.98, "validation": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    bucket = portable_hash64(
+        F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    ) % 1_000_000
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = bucket < int(round(acc * 1_000_000))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    return df.withColumn(
+        "split", last if expr is None else expr.otherwise(last)
+    )
+
+
+def pack_stats(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Packing-efficiency audit over :func:`pack_documents`: per pack,
+    the document count, token fill, and fill ratio vs the budget. The
+    fill-ratio distribution is THE quality metric for a packing policy —
+    mean fill below ~0.95 means the stream order wastes context windows.
+    One extra aggregate on pack_id after the packing window."""
+    packed = pack_documents(
+        df, max_tokens=max_tokens, id_col=id_col, text_col=text_col
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(F.col("n_tokens") / F.lit(float(max_tokens)), 4),
+        )
+    )

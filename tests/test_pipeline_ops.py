@@ -882,3 +882,60 @@ def test_salted_count_distinct_matches_plain(spark):
         for r in salted_count_distinct(df, ["k"], "v", buckets=4).collect()
     }
     assert got == {"k1": 7, "k2": 5}
+
+
+def test_dedup_clusters_quality_keeper(spark):
+    """quality_col keeper policy: the highest-quality member wins the
+    cluster (ties by min id); min-id policy unchanged by default."""
+    from dask_sql_spark.operators.graph import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 5)], "doc_id LONG, quality LONG"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a LONG, id_b LONG")
+    by_quality = {
+        r["id"]: (r["keeper_id"], r["is_keeper"])
+        for r in dedup_clusters(pairs, docs, quality_col="quality").collect()
+    }
+    # cluster {1,2,3}: quality 99 tie between 2 and 3 → min id 2
+    assert by_quality[1] == (2, False)
+    assert by_quality[2] == (2, True)
+    assert by_quality[3] == (2, False)
+    assert by_quality[4] == (4, True)  # singleton keeps itself
+    by_min = {
+        r["id"]: r["keeper_id"] for r in dedup_clusters(pairs, docs).collect()
+    }
+    assert by_min == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_assign_splits_deterministic_and_complete(spark):
+    from dask_sql_spark.operators.llmprep import assign_splits
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = assign_splits(
+        df, weights={"train": 0.8, "validation": 0.1, "test": 0.1}
+    )
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "validation", "test"}
+    assert 700 < counts["train"] < 900  # ~80% of 1000
+    # stable under reordering and re-run
+    again = assign_splits(
+        df.orderBy(F.col("doc_id").desc()),
+        weights={"train": 0.8, "validation": 0.1, "test": 0.1},
+    )
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in again.collect()}
+    assert a == b
+
+
+def test_pack_stats_fill_ratio(spark):
+    from dask_sql_spark.operators.llmprep import pack_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g h"), (3, "i j")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["pack_id"]: r for r in pack_stats(df, max_tokens=8).collect()}
+    # docs 1+2 fill pack 0 exactly (4+4 tokens); doc 3 starts pack 1
+    assert rows[0]["n_docs"] == 2 and rows[0]["fill_ratio"] == 1.0
+    assert rows[1]["n_tokens"] == 2 and rows[1]["fill_ratio"] == 0.25
