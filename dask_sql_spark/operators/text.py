@@ -278,11 +278,15 @@ def tfidf_top_terms(
     score within rounding error — after rounding, such near-ties collapse
     to exact ties and the term tiebreak decides reproducibly.
 
-    Plan: one explode+groupBy for term frequencies (shuffle on
-    (doc, term)), a small per-term document-frequency aggregate that AQE
-    broadcasts back, and a per-doc row_number window. The corpus size N
-    rides along as a broadcast 1-row cross join — no driver-side count,
-    no global single-partition window.
+    Plan: ONE explode+groupBy computes term frequencies (map-side
+    combine collapses each doc's repeated tokens before the shuffle, so
+    the exchange carries distinct (doc, term) pairs, not raw tokens);
+    document frequency is a count window over that same aggregate —
+    keyed shuffles of the small distinct-pairs relation instead of a
+    second explode pass over the corpus (the join formulation planned
+    two full scans: Catalyst can't reuse the exchange once column
+    pruning diverges). The corpus size N rides along as a broadcast
+    1-row cross join — no driver-side count.
     """
     from pyspark.sql.window import Window
 
@@ -292,12 +296,13 @@ def tfidf_top_terms(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ndocs = df.select(
         F.count_distinct(F.col(id_col)).alias("n_docs")
     )
     scored = (
-        tf.join(F.broadcast(docfreq), "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(ndocs))
         .withColumn(
             "score",
