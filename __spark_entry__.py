@@ -1676,6 +1676,45 @@ FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 
 _dfq("pipeline_clean_corpus", _pipeline_fn, _pipeline_oracle())
 
+
+def _training_prep_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end LLM data prep: clean (quality→langid→exact→
+    MinHash dedup) → deterministic splits → per-split token packing, one
+    lazy program (operators/pipeline.training_prep). The oracle replays
+    all seven stages as a single DuckDB CTE chain."""
+    from dask_sql_spark.operators.pipeline import training_prep
+
+    return training_prep(
+        _table(spark, sf_dir, "documents"),
+        max_tokens=512,
+        split_weights={"train": 0.9, "validation": 0.05, "test": 0.05},
+    )
+
+
+def _training_prep_oracle() -> str:
+    cleaned = _pipeline_oracle().strip()
+    return f"""
+WITH cleaned AS ({cleaned}),
+labeled AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 1000000 < 900000 THEN 'train'
+         WHEN CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 1000000 < 950000 THEN 'validation'
+         ELSE 'test' END AS split
+  FROM cleaned
+)
+SELECT doc_id, split, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(FLOOR(CAST(SUM(n_tokens) OVER w - n_tokens AS DOUBLE) / 512)
+       AS BIGINT) AS pack_id,
+  CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS pack_offset
+FROM labeled
+WINDOW w AS (PARTITION BY split ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
+_dfq("pipeline_training_prep", _training_prep_fn, _training_prep_oracle())
+
 # ==================================================================== #
 # 12. similarity search (SURVEY §7 M6)                                 #
 # ==================================================================== #

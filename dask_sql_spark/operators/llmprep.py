@@ -40,6 +40,7 @@ def pack_documents(
     id_col: str = "doc_id",
     text_col: str = "text",
     token_count_col: str | None = None,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """(id, n_tokens, pack_id, pack_offset) — streaming first-fit packing
     in ``id_col`` order.
@@ -49,23 +50,30 @@ def pack_documents(
     within the stream. With ``token_count_col`` the caller supplies counts
     (e.g. real BPE lengths); otherwise whitespace tokens are counted.
 
-    One global window sort — at 100 TB shard first (e.g. by hash bucket)
-    and pack within shards: packs never need to be globally ordered, only
-    internally budgeted.
+    ``partition_col`` packs independently per partition value (e.g. per
+    split or per shard) — the scalable shape: a partitioned window
+    shuffles once on that key instead of sorting globally. Without it,
+    one global window sort — at 100 TB shard first (e.g. by hash
+    bucket) and pack within shards: packs never need to be globally
+    ordered, only internally budgeted.
     """
+    keep = [id_col] + ([partition_col] if partition_col else [])
     if token_count_col is None:
         counted = df.select(
-            F.col(id_col), F.size(_tokens(text_col)).alias("n_tokens")
+            *keep, F.size(_tokens(text_col)).alias("n_tokens")
         )
     else:
         counted = df.select(
-            F.col(id_col), F.col(token_count_col).alias("n_tokens")
+            *keep, F.col(token_count_col).alias("n_tokens")
         )
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    base = (
+        Window.partitionBy(partition_col) if partition_col else Window
+    )
+    w = base.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
     return (
         counted.withColumn("running", F.sum("n_tokens").over(w))
         .select(
-            id_col,
+            *keep,
             "n_tokens",
             F.floor((F.col("running") - F.col("n_tokens")) / max_tokens)
             .cast("long")

@@ -56,3 +56,36 @@ def clean_corpus(
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     cleaned = kept.join(losers, on=id_col, how="left_anti")
     return cleaned.select(id_col, "n_tokens", "lang_guess")
+
+
+def training_prep(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    split_weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **clean_kwargs,
+) -> DataFrame:
+    """The full corpus→training-batches flow as ONE lazy Spark program:
+
+        clean_corpus (quality → langid → exact dedup → MinHash near-dedup)
+        → assign_splits (deterministic hash-bucket train/val/test)
+        → pack_documents per split (first-fit token packing)
+
+    Output: (id, split, n_tokens, pack_id, pack_offset). Shuffle
+    inventory at 100 TB: content-hash groupBy, LSH band join, and one
+    per-split packing window — the split label is a scan-time
+    expression, and packing partitions by split so no global sort
+    exists anywhere in the plan.
+    """
+    from dask_sql_spark.operators.llmprep import assign_splits, pack_documents
+
+    cleaned = clean_corpus(docs, id_col=id_col, text_col=text_col, **clean_kwargs)
+    labeled = assign_splits(cleaned, weights=split_weights, key_col=id_col)
+    return pack_documents(
+        labeled,
+        max_tokens=max_tokens,
+        id_col=id_col,
+        token_count_col="n_tokens",
+        partition_col="split",
+    )

@@ -939,3 +939,30 @@ def test_pack_stats_fill_ratio(spark):
     # docs 1+2 fill pack 0 exactly (4+4 tokens); doc 3 starts pack 1
     assert rows[0]["n_docs"] == 2 and rows[0]["fill_ratio"] == 1.0
     assert rows[1]["n_tokens"] == 2 and rows[1]["fill_ratio"] == 0.25
+
+
+def test_training_prep_end_to_end(docs):
+    """clean → split → pack composes lazily; packs budget within splits
+    and every surviving doc gets exactly one row."""
+    from dask_sql_spark.operators.pipeline import clean_corpus, training_prep
+
+    out = training_prep(
+        docs,
+        max_tokens=16,
+        split_weights={"train": 0.5, "validation": 0.25, "test": 0.25},
+        min_tokens=3,
+        lang="en",
+    ).collect()
+    cleaned_n = clean_corpus(docs, min_tokens=3, lang="en").count()
+    assert len(out) == cleaned_n > 0
+    assert {r["split"] for r in out} <= {"train", "validation", "test"}
+    # pack offsets restart per split and stay budget-aligned
+    for split in {r["split"] for r in out}:
+        rows = sorted(
+            (r for r in out if r["split"] == split), key=lambda r: r["doc_id"]
+        )
+        running = 0
+        for r in rows:
+            assert r["pack_offset"] == running
+            assert r["pack_id"] == running // 16
+            running += r["n_tokens"]
