@@ -704,6 +704,90 @@ _sqlq(
 
 _sqlq("distinct_op", "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer")
 
+# bag-semantics set ops: duplicates preserved by multiplicity arithmetic
+_sqlq(
+    "intersect_all_op",
+    """
+SELECT o_custkey AS k FROM orders WHERE o_custkey < 300
+INTERSECT ALL
+SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000
+""",
+)
+
+_sqlq(
+    "except_all_op",
+    """
+SELECT o_custkey AS k FROM orders WHERE o_custkey < 300
+EXCEPT ALL
+SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000
+""",
+)
+
+_sqlq(
+    "agg_histogram_width_bucket",
+    """
+SELECT width_bucket(o_totalprice, 0, 500000, 10) AS bucket,
+       COUNT(*) AS n,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM orders GROUP BY width_bucket(o_totalprice, 0, 500000, 10)
+""",
+    # DuckDB has no width_bucket; equivalent closed form (equal-width,
+    # 0 below range, num_buckets+1 above)
+    """
+WITH b AS (
+  SELECT o_totalprice,
+    CASE WHEN o_totalprice < 0 THEN 0
+         WHEN o_totalprice >= 500000 THEN 11
+         ELSE 1 + CAST(FLOOR(o_totalprice / 50000) AS BIGINT) END AS bucket
+  FROM orders
+)
+SELECT bucket, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM b GROUP BY bucket
+""",
+)
+
+
+# Spark-native PIVOT / UNPIVOT relational syntax; the DuckDB oracle uses
+# conditional aggregation / UNION ALL (DuckDB's PIVOT spells differently)
+_sqlq(
+    "pivot_native",
+    """
+SELECT * FROM (
+  SELECT user_id % 10 AS cohort, event_type FROM events
+) PIVOT (
+  COUNT(*) AS n FOR event_type IN ('click' AS click, 'view' AS view,
+                                   'purchase' AS purchase)
+)
+ORDER BY cohort
+""",
+    """
+SELECT user_id % 10 AS cohort,
+  COUNT(*) FILTER (event_type = 'click') AS click,
+  COUNT(*) FILTER (event_type = 'view') AS view,
+  COUNT(*) FILTER (event_type = 'purchase') AS purchase
+FROM events GROUP BY user_id % 10 ORDER BY cohort
+""",
+)
+
+_sqlq(
+    "unpivot_native",
+    """
+SELECT r_name, metric, val FROM (
+  SELECT r_name, CAST(r_regionkey AS BIGINT) AS keyval,
+         CAST(length(r_name) AS BIGINT) AS namelen
+  FROM region
+) UNPIVOT (
+  val FOR metric IN (keyval, namelen)
+)
+""",
+    """
+SELECT r_name, 'keyval' AS metric, CAST(r_regionkey AS BIGINT) AS val FROM region
+UNION ALL
+SELECT r_name, 'namelen' AS metric, CAST(length(r_name) AS BIGINT) AS val FROM region
+""",
+)
+
 _sqlq(
     "values_inline",
     """
