@@ -59,6 +59,11 @@ HEADLINE = [
     "emb_centroid_cosine",
     "sink_zorder_key",
     "curate_source_quota",
+    # round-3 additions (appended; earlier prefixes stay comparable)
+    "emb_quantize_int8",
+    "text_ngram_topk",
+    "pipeline_training_prep",
+    "agg_salted_distinct",
 ]
 
 

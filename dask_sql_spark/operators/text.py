@@ -390,6 +390,7 @@ def ngram_topk(
     shuffle) → top-k via TakeOrderedAndProject on (count DESC, gram ASC).
     No self-joins, no windows; at 100 TB the shuffle carries only the
     distinct-gram partial counts, not the exploded rows."""
+    df = ensure_parallelism(df)
     toks = tokens(F.col(text_col))
     grams = F.when(
         F.size(toks) >= n,
@@ -430,6 +431,7 @@ def add_script_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Pure whole-stage-codegen column math: each ratio is two lengths and
     a regexp_replace — no UDF, no shuffle, trivially parallel at 100 TB."""
+    df = ensure_parallelism(df)
     t = F.col(text_col)
     n = F.length(t)
     safe = F.when(n > 0, n).otherwise(F.lit(1))
