@@ -3753,6 +3753,73 @@ FROM events GROUP BY event_type
 )
 
 
+def _scd2_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance (operators/scd.scd2_apply):
+    customers whose key divides by 7 switch segment to MACHINERY — rows
+    already MACHINERY are no-ops, the rest get closed + re-versioned.
+    Oracle replays close/keep/insert as three UNION ALL branches."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.scd import scd2_apply
+
+    cust = _table(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = (
+        cust.where(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.lit("MACHINERY").alias("segment"),
+            F.lit("2024-01-01").cast("date").alias("ts"),
+        )
+    )
+    out = scd2_apply(dim, updates, "k", ["segment"], ts_col="ts")
+    # dates → ISO strings for the comparator (DuckDB date literals land
+    # as pandas Timestamps, parquet dates as objects — sidestep the skew)
+    return out.select(
+        "k",
+        "segment",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+    )
+
+
+_dfq(
+    "scd2_dimension_merge",
+    _scd2_fn,
+    """
+WITH dim AS (
+  SELECT c_custkey AS k, c_mktsegment AS segment,
+         DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM customer
+),
+latest AS (
+  SELECT c_custkey AS k, 'MACHINERY' AS segment, DATE '2024-01-01' AS ts
+  FROM customer WHERE c_custkey % 7 = 0
+),
+joined AS (
+  SELECT d.k, d.segment, d.valid_from, d.valid_to, l.ts, l.segment AS u_seg
+  FROM dim d LEFT JOIN latest l USING (k)
+)
+SELECT k, segment, strftime(valid_from, '%Y-%m-%d') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d') AS valid_to FROM joined
+  WHERE ts IS NULL OR segment IS NOT DISTINCT FROM u_seg
+UNION ALL
+SELECT k, segment, strftime(valid_from, '%Y-%m-%d') AS valid_from,
+       strftime(ts, '%Y-%m-%d') AS valid_to FROM joined
+  WHERE ts IS NOT NULL AND segment IS DISTINCT FROM u_seg
+UNION ALL
+SELECT k, u_seg AS segment, strftime(ts, '%Y-%m-%d') AS valid_from,
+       CAST(NULL AS VARCHAR) AS valid_to
+  FROM joined WHERE ts IS NOT NULL AND segment IS DISTINCT FROM u_seg
+""",
+)
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #

@@ -171,3 +171,44 @@ def test_range_join_extra_keys_no_duplicates(spark):
     )
     assert list(got["pid"]) == [0, 1, 3]
     assert len(got) == len(got.drop_duplicates())
+
+
+def test_scd2_apply_closes_and_versions(spark):
+    """SCD2: changed attrs close the current row and append a new
+    version; unchanged and un-updated keys pass through; brand-new keys
+    insert; intra-batch history collapses to the latest update."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.scd import scd2_apply
+
+    d0 = dt.date(2020, 1, 1)
+    dim = spark.createDataFrame(
+        [
+            (1, "BUILDING", d0, None),
+            (2, "MACHINERY", d0, None),
+            (3, "AUTOMOBILE", d0, None),
+            (1, "FURNITURE", dt.date(2019, 1, 1), d0),  # history row
+        ],
+        "k LONG, segment STRING, valid_from DATE, valid_to DATE",
+    )
+    up = dt.date(2024, 6, 1)
+    updates = spark.createDataFrame(
+        [
+            (1, "HOUSEHOLD", dt.date(2024, 5, 1)),  # superseded in batch
+            (1, "HOUSEHOLD2", up),                  # latest wins
+            (2, "MACHINERY", up),                   # identical → no-op
+            (9, "NEWSEG", up),                      # brand-new key
+        ],
+        "k LONG, segment STRING, ts DATE",
+    )
+    out = scd2_apply(dim, updates, "k", ["segment"], ts_col="ts")
+    rows = {(r.k, r.segment): (r.valid_from, r.valid_to) for r in out.collect()}
+    assert len(rows) == 6
+    assert rows[(1, "FURNITURE")] == (dt.date(2019, 1, 1), d0)  # history kept
+    assert rows[(1, "BUILDING")] == (d0, up)                    # closed
+    assert rows[(1, "HOUSEHOLD2")] == (up, None)                # new version
+    assert rows[(2, "MACHINERY")] == (d0, None)                 # no-op kept
+    assert rows[(3, "AUTOMOBILE")] == (d0, None)                # untouched
+    assert rows[(9, "NEWSEG")] == (up, None)                    # insert
