@@ -3820,6 +3820,75 @@ SELECT k, u_seg AS segment, strftime(ts, '%Y-%m-%d') AS valid_from,
 )
 
 
+def _dq_report_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality report (operators/dq): null rate, key uniqueness,
+    referential integrity, range and accepted-value checks over the
+    TPC-H tables, unioned into one (check, n_bad) result."""
+    from dask_sql_spark.operators.dq import (
+        accepted_values,
+        dq_report,
+        duplicate_keys,
+        null_count,
+        orphan_keys,
+        range_violations,
+    )
+
+    orders = _table(spark, sf_dir, "orders")
+    customer = _table(spark, sf_dir, "customer")
+    lineitem = _table(spark, sf_dir, "lineitem")
+    return dq_report(
+        [
+            null_count(orders, "o_custkey"),
+            duplicate_keys(orders, ["o_orderkey"]),
+            duplicate_keys(lineitem, ["l_orderkey", "l_linenumber"]),
+            orphan_keys(orders, customer, "o_custkey", "c_custkey"),
+            orphan_keys(lineitem, orders, "l_orderkey", "o_orderkey"),
+            range_violations(lineitem, "l_discount", 0.0, 0.1),
+            accepted_values(orders, "o_orderstatus", ["O", "F", "P"]),
+        ]
+    )
+
+
+_dfq(
+    "dq_validation_report",
+    _dq_report_fn,
+    """
+SELECT 'null:o_custkey' AS check,
+       (SELECT COUNT(*) - COUNT(o_custkey) FROM orders) AS n_bad
+UNION ALL
+SELECT 'dup_key:o_orderkey',
+       (SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders)
+UNION ALL
+SELECT 'dup_key:l_orderkey,l_linenumber',
+       (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
+UNION ALL
+SELECT 'orphan:o_custkey',
+       (SELECT COUNT(*) FROM orders o
+        WHERE o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'orphan:l_orderkey',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'range:l_discount',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_discount IS NOT NULL
+          AND (l_discount < 0.0 OR l_discount > 0.1))
+UNION ALL
+SELECT 'accepted:o_orderstatus',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_orderstatus IS NOT NULL
+          AND o_orderstatus NOT IN ('O', 'F', 'P'))
+""",
+)
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #

@@ -1,0 +1,109 @@
+"""Data-quality validation checks: the audit layer run after every
+large-scale ingest and before every training run.
+
+Each check is a lazy one-row DataFrame ``(check, n_bad)``;
+:func:`dq_report` unions them into a single report that executes as one
+Spark job. Design for 100 TB:
+
+- every check is a single aggregate over one scan (count-based, no
+  collect); Catalyst fuses the predicate into the scan projection
+- uniqueness is ``count - count(distinct …)`` — one hash aggregate,
+  no self-join
+- referential integrity is a LEFT ANTI join counted — broadcastable
+  when the parent is a dimension, the usual case
+
+Additive capability (the reference has no validation layer); the
+DuckDB oracle replays each check as a scalar subquery.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _one(name: str, value: Column, df: DataFrame) -> DataFrame:
+    return df.agg(value.cast("long").alias("n_bad")).select(
+        F.lit(name).alias("check"), "n_bad"
+    )
+
+
+def null_count(df: DataFrame, col: str, name: str | None = None) -> DataFrame:
+    """Rows where ``col`` IS NULL."""
+    return _one(
+        name or f"null:{col}",
+        F.count(F.lit(1)) - F.count(F.col(col)),
+        df,
+    )
+
+
+def duplicate_keys(
+    df: DataFrame, cols: list[str], name: str | None = None
+) -> DataFrame:
+    """Rows beyond the first per key tuple (0 = the key is unique).
+    NULL-keyed rows are not counted as duplicates of each other."""
+    tup = F.struct(*[F.col(c) for c in cols])
+    non_null = reduce(
+        lambda a, b: a & b, [F.col(c).isNotNull() for c in cols]
+    )
+    return _one(
+        name or f"dup_key:{','.join(cols)}",
+        F.count(F.when(non_null, tup)) - F.count_distinct(
+            F.when(non_null, tup)
+        ),
+        df,
+    )
+
+
+def orphan_keys(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: str,
+    pk: str,
+    name: str | None = None,
+) -> DataFrame:
+    """Child rows whose non-null foreign key has no parent row."""
+    orphans = child.where(F.col(fk).isNotNull()).join(
+        F.broadcast(parent.select(F.col(pk).alias(fk)).distinct()),
+        on=fk,
+        how="left_anti",
+    )
+    return _one(name or f"orphan:{fk}", F.count(F.lit(1)), orphans)
+
+
+def range_violations(
+    df: DataFrame,
+    col: str,
+    lo,
+    hi,
+    name: str | None = None,
+) -> DataFrame:
+    """Non-null values outside [lo, hi]."""
+    c = F.col(col)
+    return _one(
+        name or f"range:{col}",
+        F.count(F.when(c.isNotNull() & ((c < lo) | (c > hi)), 1)),
+        df,
+    )
+
+
+def accepted_values(
+    df: DataFrame, col: str, allowed: list, name: str | None = None
+) -> DataFrame:
+    """Non-null values outside the allowed set."""
+    c = F.col(col)
+    return _one(
+        name or f"accepted:{col}",
+        F.count(F.when(c.isNotNull() & ~c.isin(allowed), 1)),
+        df,
+    )
+
+
+def dq_report(checks: list[DataFrame]) -> DataFrame:
+    """Union the checks into one (check, n_bad) report — a single job;
+    Spark runs the independent aggregates as parallel stages."""
+    if not checks:
+        raise ValueError("checks must be non-empty")
+    return reduce(lambda a, b: a.unionByName(b), checks)

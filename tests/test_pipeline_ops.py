@@ -966,3 +966,38 @@ def test_training_prep_end_to_end(docs):
             assert r["pack_offset"] == running
             assert r["pack_id"] == running // 16
             running += r["n_tokens"]
+
+
+def test_dq_checks_catch_planted_defects(spark):
+    from dask_sql_spark.operators.dq import (
+        accepted_values,
+        dq_report,
+        duplicate_keys,
+        null_count,
+        orphan_keys,
+        range_violations,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10, 0.05, "A"), (1, 99, 0.5, "A"), (None, 10, 0.05, "Z"),
+         (2, 10, None, "A")],
+        "k LONG, fk LONG, v DOUBLE, status STRING",
+    )
+    parent = spark.createDataFrame([(10,)], "pk LONG")
+    report = {
+        r["check"]: r["n_bad"]
+        for r in dq_report(
+            [
+                null_count(child, "k"),
+                duplicate_keys(child, ["k"]),
+                orphan_keys(child, parent, "fk", "pk"),
+                range_violations(child, "v", 0.0, 0.1),
+                accepted_values(child, "status", ["A", "B"]),
+            ]
+        ).collect()
+    }
+    assert report["null:k"] == 1
+    assert report["dup_key:k"] == 1      # two k=1 rows; NULL not counted
+    assert report["orphan:fk"] == 1      # fk=99
+    assert report["range:v"] == 1        # 0.5; NULL ignored
+    assert report["accepted:status"] == 1  # 'Z'
