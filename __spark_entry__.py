@@ -3889,6 +3889,31 @@ SELECT 'accepted:o_orderstatus',
 )
 
 
+def _entropy_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy per document (text.add_unigram_entropy):
+    the low-entropy spam/template screen; one explode + two aggregates."""
+    from dask_sql_spark.operators.text import add_unigram_entropy
+
+    return add_unigram_entropy(_table(spark, sf_dir, "documents"))
+
+
+_dfq(
+    "text_unigram_entropy",
+    _entropy_fn,
+    f"""
+WITH t AS (SELECT doc_id, unnest({_DOC_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY doc_id, term),
+d AS (
+  SELECT doc_id, SUM(c) AS n, SUM(c * log2(c)) AS clog
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       ROUND(log2(n) - clog / n, 6) AS entropy
+FROM d
+""",
+)
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #

@@ -446,3 +446,39 @@ def add_script_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn(
         "other_ratio", F.round((n - covered).cast("double") / safe, 4)
     )
+
+
+def add_unigram_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Unigram (Shannon) entropy per document, in bits — low entropy
+    flags repetitive/templated/spammy text that ratio heuristics miss;
+    the standard complement to repetition_signals.
+
+    Computed as ``log2(n) - sum(c·log2(c))/n`` over per-term counts c,
+    which needs only ONE explode + (doc, term) aggregate — map-side
+    combine collapses repeats before the shuffle — plus a per-doc
+    aggregate. Rounded before output: libm log differs in the last ulp
+    across engines, and 6 decimals collapses that noise (same
+    discipline as tfidf_top_terms).
+    """
+    df = ensure_parallelism(df)
+    tf = (
+        df.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = tf.groupBy(id_col).agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log2("c")).alias("clog"),
+    )
+    return per_doc.select(
+        id_col,
+        F.col("n").alias("n_tokens"),
+        F.round(F.log2("n") - F.col("clog") / F.col("n"), round_digits).alias(
+            "entropy"
+        ),
+    )

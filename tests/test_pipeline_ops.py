@@ -1001,3 +1001,16 @@ def test_dq_checks_catch_planted_defects(spark):
     assert report["orphan:fk"] == 1      # fk=99
     assert report["range:v"] == 1        # 0.5; NULL ignored
     assert report["accepted:status"] == 1  # 'Z'
+
+
+def test_unigram_entropy_orders_by_diversity(spark):
+    from dask_sql_spark.operators.text import add_unigram_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r["entropy"] for r in add_unigram_entropy(df).collect()}
+    assert rows[1] == 0.0          # single repeated token
+    assert rows[2] == 2.0          # 4 uniform tokens → log2(4)
+    assert rows[3] == 1.0          # two tokens at p=0.5
