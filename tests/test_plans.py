@@ -198,3 +198,65 @@ def test_range_join_plans_as_equi_join(sf_tables):
         good in plan
         for good in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin")
     ), plan
+
+
+def test_training_prep_has_no_global_sort(sf_tables):
+    """The end-to-end training-prep program must contain NO
+    single-partition exchange: split-partitioned packing windows replace
+    the global sort, so every stage stays parallel at scale."""
+    from dask_sql_spark.operators.pipeline import training_prep
+
+    df = training_prep(sf_tables._get_table("documents"), max_tokens=256)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:3000]
+
+
+def test_scd2_update_side_broadcasts(sf_tables):
+    """SCD2's key join against the (small) update batch must plan as a
+    broadcast join — the dimension side never shuffles."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.scd import scd2_apply
+
+    cust = sf_tables._get_table("customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = cust.where(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("MACHINERY").alias("segment"),
+        F.lit("2024-01-01").cast("date").alias("ts"),
+    )
+    out = scd2_apply(dim, updates, "k", ["segment"], ts_col="ts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_dq_report_checks_fuse_into_scans(sf_tables):
+    """Each DQ check is one aggregate over one scan: the 7-check report
+    plans exactly as many parquet scans as table references, with no
+    joins beyond the two anti joins and no extra exchanges per check."""
+    import re
+
+    from dask_sql_spark.operators.dq import (
+        dq_report,
+        duplicate_keys,
+        null_count,
+        orphan_keys,
+    )
+
+    orders = sf_tables._get_table("orders")
+    customer = sf_tables._get_table("customer")
+    checks = [
+        null_count(orders, "o_custkey"),
+        duplicate_keys(orders, ["o_orderkey"]),
+        orphan_keys(orders, customer, "o_custkey", "c_custkey"),
+    ]
+    plan = dq_report(checks)._jdf.queryExecution().executedPlan().toString()
+    n_scans = len(re.findall(r"Scan parquet", plan))
+    assert n_scans == 4, f"expected 4 scans (3 orders + 1 customer): {n_scans}"
+    assert "BroadcastHashJoin" in plan  # the anti join's parent side
