@@ -3914,6 +3914,81 @@ FROM d
 )
 
 
+def _winsorize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority winsorization of order totals at exact [p05, p95]
+    (operators/features.winsorize): aggregate bounds broadcast back,
+    clip in codegen."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.features import winsorize
+
+    out = winsorize(
+        _table(spark, sf_dir, "orders"),
+        "o_totalprice",
+        group_cols=["o_orderpriority"],
+        p_lo=0.05,
+        p_hi=0.95,
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice_w", 2).alias("clipped"),
+    )
+
+
+_dfq(
+    "feat_winsorize",
+    _winsorize_fn,
+    """
+WITH b AS (
+  SELECT o_orderpriority,
+    ROUND(quantile_cont(o_totalprice, 0.05), 6) AS lo,
+    ROUND(quantile_cont(o_totalprice, 0.95), 6) AS hi
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderkey, o.o_orderpriority,
+  ROUND(LEAST(GREATEST(CAST(o_totalprice AS DOUBLE), lo), hi), 2) AS clipped
+FROM orders o JOIN b USING (o_orderpriority)
+""",
+)
+
+
+def _robust_z_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust z-score of lineitem quantity per returnflag
+    (operators/features.robust_zscore)."""
+    from dask_sql_spark.operators.features import robust_zscore
+
+    out = robust_zscore(
+        _table(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        group_cols=["l_returnflag"],
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        out["l_quantity_rz"].alias("rz"),
+    )
+
+
+_dfq(
+    "feat_robust_zscore",
+    _robust_z_fn,
+    """
+WITH b AS (
+  SELECT l_returnflag,
+    ROUND(quantile_cont(l_quantity, 0.25), 6) AS q1,
+    ROUND(quantile_cont(l_quantity, 0.50), 6) AS med,
+    ROUND(quantile_cont(l_quantity, 0.75), 6) AS q3
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_orderkey, l_linenumber, l.l_returnflag,
+  CASE WHEN q3 - q1 > 0
+       THEN ROUND((CAST(l_quantity AS DOUBLE) - med) / (q3 - q1), 6)
+  END AS rz
+FROM lineitem l JOIN b USING (l_returnflag)
+""",
+)
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #

@@ -1014,3 +1014,35 @@ def test_unigram_entropy_orders_by_diversity(spark):
     assert rows[1] == 0.0          # single repeated token
     assert rows[2] == 2.0          # 4 uniform tokens → log2(4)
     assert rows[3] == 1.0          # two tokens at p=0.5
+
+
+def test_winsorize_clips_only_tails(spark):
+    from dask_sql_spark.operators.features import winsorize
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "id LONG, v DOUBLE"
+    )
+    rows = {r["id"]: r["v_w"] for r in winsorize(df, "v", p_lo=0.1, p_hi=0.9).collect()}
+    # exact percentiles of 1..100: p10 = 10.9, p90 = 90.1
+    assert rows[1] == 10.9 and rows[5] == 10.9   # low tail clipped
+    assert rows[100] == 90.1                     # high tail clipped
+    assert rows[50] == 50.0                      # body untouched
+
+
+def test_robust_zscore_centers_median(spark):
+    from dask_sql_spark.operators.features import robust_zscore
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in [1, 2, 3, 4, 100]], "g STRING, v DOUBLE"
+    )
+    rows = sorted(
+        r["v_rz"] for r in robust_zscore(df, "v", group_cols=["g"]).collect()
+    )
+    # median 3, q1 2, q3 4 → IQR 2; 100 → 48.5, median row → 0
+    assert rows[2] == -0.5 or 0.0 in rows
+    assert max(rows) == 48.5
+    zero_iqr = spark.createDataFrame([("g", 5.0), ("g", 5.0)], "g STRING, v DOUBLE")
+    assert all(
+        r["v_rz"] is None
+        for r in robust_zscore(zero_iqr, "v", group_cols=["g"]).collect()
+    )
