@@ -1859,6 +1859,55 @@ def _ann_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _dfq("ann_ivf_topk", _ann_ivf_fn)
 
 
+def _ann_quantized_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized cosine top-k (similarity.quantized_brute_topk):
+    integer dot products descaled by the per-vector scales — the 1/4-
+    bandwidth scan kernel, and the one approximate index that is fully
+    oracle-checkable (int math is exact in any engine)."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.similarity import quantized_brute_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return quantized_brute_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+_dfq(
+    "ann_quantized_topk",
+    _ann_quantized_fn,
+    """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+), s AS (
+  SELECT vec_id, vd, list_max(list_transform(vd, x -> abs(x))) AS raw FROM v
+), t AS (
+  SELECT vec_id, vd, raw,
+         CASE WHEN raw > 0 THEN raw / 127.0 ELSE 1.0 END AS step
+  FROM s
+), qv AS (
+  SELECT vec_id, ROUND(raw, 9) AS sc,
+         list_transform(vd, x -> floor(x/step + 0.5)) AS q
+  FROM t
+), qq AS (
+  SELECT vec_id AS query_id, sc AS sa, q AS qa FROM qv WHERE vec_id < 5
+), scored AS (
+  SELECT query_id, b.vec_id AS id_b,
+    ROUND(list_dot_product(qa, b.q) * (sa/127.0) * (b.sc/127.0) /
+      sqrt(list_dot_product(qa, qa) * (sa/127.0) * (sa/127.0)
+           * list_dot_product(b.q, b.q) * (b.sc/127.0) * (b.sc/127.0)),
+      9) AS cos
+  FROM qq JOIN qv b ON b.vec_id <> qq.query_id
+)
+SELECT query_id, id_b AS neighbor_id, rank FROM (
+  SELECT query_id, id_b,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, id_b) AS rank
+  FROM scored
+) t WHERE rank <= 10
+""",
+)
+
+
 def _emb_stats_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 

@@ -373,3 +373,67 @@ def quantize_embeddings(
             round_digits,
         ).alias("sum_err"),
     )
+
+
+def quantized_brute_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """int8-quantized cosine top-k: rank by the INTEGER dot product of
+    :func:`quantize_embeddings` codes (descaled by the two per-vector
+    scales). The memory-bandwidth play at corpus scale — the scan reads
+    1/4 the bytes of float32 and the kernel is integer SIMD; recall vs
+    the exact kernel is pinned in tests.
+
+    Cross-engine note: the int dot product is EXACT in any engine (no
+    float summation order), so unlike the float kernels this
+    approximate index is fully oracle-checkable: score =
+    dot_int · (scale_a/127) · (scale_b/127) / (|qa|·|qb|), every factor
+    deterministic. Same broadcast-query plan shape as
+    :func:`brute_force_topk`.
+    """
+    quant = quantize_embeddings(emb, id_col=id_col, vec_col=vec_col, keep_cols=())
+    q = queries.select(F.col(id_col).alias("query_id")).join(
+        quant.select(
+            F.col(id_col).alias("query_id"),
+            F.col("qvec").alias("qa"),
+            F.col("scale").alias("sa"),
+        ),
+        "query_id",
+    )
+    c = quant.select(
+        F.col(id_col).alias("id_b"),
+        F.col("qvec").alias("qb"),
+        F.col("scale").alias("sb"),
+    )
+
+    def _idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                _idot(F.col("qa"), F.col("qb")).cast("double")
+                * (F.col("sa") / 127.0)
+                * (F.col("sb") / 127.0)
+                / F.sqrt(
+                    _idot(F.col("qa"), F.col("qa")).cast("double")
+                    * (F.col("sa") / 127.0) * (F.col("sa") / 127.0)
+                    * _idot(F.col("qb"), F.col("qb")).cast("double")
+                    * (F.col("sb") / 127.0) * (F.col("sb") / 127.0)
+                ),
+                9,
+            ),
+        )
+    )
+    return _rank_topk(scored, k)

@@ -1046,3 +1046,22 @@ def test_robust_zscore_centers_median(spark):
         r["v_rz"] is None
         for r in robust_zscore(zero_iqr, "v", group_cols=["g"]).collect()
     )
+
+
+def test_quantized_topk_recovers_exact_neighbors(emb):
+    """int8 ranking reproduces the exact kernel's neighbors when gaps
+    exceed the quantization error (~1e-2 in cosine)."""
+    from dask_sql_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_brute_topk,
+    )
+
+    q = emb.where(F.col("vec_id") == 0)
+    exact = {
+        r["rank"]: r["neighbor_id"] for r in brute_force_topk(emb, q, k=2).collect()
+    }
+    approx = {
+        r["rank"]: r["neighbor_id"]
+        for r in quantized_brute_topk(emb, q, k=2).collect()
+    }
+    assert approx[1] == exact[1] == 1  # well-separated nearest neighbor
