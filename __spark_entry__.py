@@ -4038,6 +4038,108 @@ FROM lineitem l JOIN b USING (l_returnflag)
 )
 
 
+def _snapshot_diff_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/diff.snapshot_diff): 'old' =
+    orders below 140k total, 'new' = orders except priority 1-URGENT
+    with totals decimated — yields all four change classes from one
+    full outer join."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.diff import snapshot_diff
+
+    orders = _table(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_totalprice") < 140000).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = (
+        orders.where(F.col("o_orderpriority") != "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") / 2
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+_dfq(
+    "maint_snapshot_diff",
+    _snapshot_diff_fn,
+    """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_totalprice < 140000
+),
+new AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice / 2
+         ELSE o_totalprice END AS o_totalprice,
+    o_orderstatus
+  FROM orders WHERE o_orderpriority <> '1-URGENT'
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+       WHEN n.o_orderkey IS NULL THEN 'delete'
+       WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+        AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus THEN 'same'
+       ELSE 'change' END AS change
+FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+""",
+)
+
+
+def _refresh_agg_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup refresh (operators/diff.refresh_aggregate):
+    base = pre-1996 revenue rollup per (returnflag, linestatus); delta =
+    1996+ rows folded in WITHOUT rescanning the base rows raw — must
+    equal the full recomputation, which is the oracle."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.diff import refresh_aggregate
+
+    li = _table(spark, sf_dir, "lineitem").withColumn(
+        "revenue",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(27,4)"
+        ),
+    )
+    base = (
+        li.where(F.col("l_shipdate") < "1996-01-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("revenue").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+    delta = li.where(F.col("l_shipdate") >= "1996-01-01").select(
+        "l_returnflag", "l_linestatus", "revenue"
+    )
+    out = refresh_aggregate(
+        base, delta, ["l_returnflag", "l_linestatus"], ["revenue"]
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("revenue").cast("decimal(27,4)").alias("revenue"),
+        "n_rows",
+    )
+
+
+_dfq(
+    "maint_refresh_aggregate",
+    _refresh_agg_fn,
+    """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4)))
+       AS DECIMAL(27,4)) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+)
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #

@@ -29,10 +29,19 @@ def clean_corpus(
     lang: str | None = "en",
     num_perm: int = 16,
     bands: int = 8,
+    materialize_kept: bool = False,
 ) -> DataFrame:
     """Return the cleaned corpus: (id, n_tokens, lang_guess) of documents
     that survive all four stages. Near-dup resolution keeps the lower id of
-    every LSH candidate pair (greedy keeper rule)."""
+    every LSH candidate pair (greedy keeper rule).
+
+    ``kept`` feeds BOTH the MinHash branch and the final anti join, and
+    Catalyst compiles each consumer its own copy of the upstream
+    (score + exact-dedup) subplan. ``materialize_kept=True`` cuts the
+    lineage with a lazy localCheckpoint so the filtered corpus is
+    computed once per job — the right call whenever the corpus is big
+    relative to memory+disk of the cluster's block managers (i.e.
+    always at scale); off by default to keep the program fully lazy."""
     scored = add_langid(
         add_quality_score(add_token_stats(docs, text_col), text_col), text_col
     )
@@ -51,6 +60,9 @@ def clean_corpus(
     )
     kept = kept.join(keepers, on=id_col, how="left_semi")
 
+    if materialize_kept:
+        kept = kept.localCheckpoint(eager=False)
+
     # near-dup: drop the higher id of every LSH candidate pair
     pairs = minhash_lsh_pairs(kept, id_col, text_col, num_perm, bands)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
@@ -64,6 +76,7 @@ def training_prep(
     split_weights: dict[str, float] | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize_kept: bool = True,
     **clean_kwargs,
 ) -> DataFrame:
     """The full corpus→training-batches flow as ONE lazy Spark program:
@@ -80,7 +93,13 @@ def training_prep(
     """
     from dask_sql_spark.operators.llmprep import assign_splits, pack_documents
 
-    cleaned = clean_corpus(docs, id_col=id_col, text_col=text_col, **clean_kwargs)
+    cleaned = clean_corpus(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        materialize_kept=materialize_kept,
+        **clean_kwargs,
+    )
     labeled = assign_splits(cleaned, weights=split_weights, key_col=id_col)
     return pack_documents(
         labeled,

@@ -1065,3 +1065,50 @@ def test_quantized_topk_recovers_exact_neighbors(emb):
         for r in quantized_brute_topk(emb, q, k=2).collect()
     }
     assert approx[1] == exact[1] == 1  # well-separated nearest neighbor
+
+
+def test_snapshot_diff_classifies_all_changes(spark):
+    from dask_sql_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k LONG, v STRING"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (5, "e")], "k LONG, v STRING"
+    )
+    got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: "same",
+        2: "change",
+        3: "change",  # NULL → value is a change (null-safe compare)
+        4: "delete",
+        5: "insert",
+    }
+
+
+def test_refresh_aggregate_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.diff import refresh_aggregate
+
+    base_rows = spark.createDataFrame(
+        [("x", 1.0), ("x", 2.0), ("y", 5.0)], "g STRING, v DOUBLE"
+    )
+    delta = spark.createDataFrame(
+        [("x", 10.0), ("z", 7.0)], "g STRING, v DOUBLE"
+    )
+    agg = base_rows.groupBy("g").agg(
+        F.sum("v").alias("v"), F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    refreshed = {
+        r["g"]: (r["v"], r["n_rows"])
+        for r in refresh_aggregate(agg, delta, ["g"], ["v"]).collect()
+    }
+    full = {
+        r["g"]: (r["v"], r["n_rows"])
+        for r in base_rows.unionByName(delta)
+        .groupBy("g")
+        .agg(F.sum("v").alias("v"), F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .collect()
+    }
+    assert refreshed == full == {"x": (13.0, 3), "y": (5.0, 1), "z": (7.0, 1)}
