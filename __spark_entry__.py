@@ -4140,6 +4140,47 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 )
 
 
+def _session_paths_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user-journey paths (events.session_paths): gap
+    sessionization, deterministic (ts, id)-ordered path strings, one
+    map-side-combined count."""
+    from dask_sql_spark.operators.events import session_paths
+
+    return session_paths(_table(spark, sf_dir, "events"), gap_seconds=1800, k=20)
+
+
+_dfq(
+    "events_session_paths",
+    _session_paths_fn,
+    """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR epoch_us(ts) - LAG(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             > 1800 * 1000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_type, ts, event_id,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM tagged
+),
+paths AS (
+  SELECT user_id, session_seq,
+    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sessions GROUP BY user_id, session_seq
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 20
+""",
+)
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #

@@ -201,3 +201,61 @@ def resample_fill(
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.last("__last_v", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k user-journey paths: sessionize (same gap logic as
+    :func:`sessionize`), serialize each session's ordered event types
+    into a '>'-joined path, count identical journeys, keep the ``k``
+    most common (ties → path asc).
+
+    Path order is (ts, id) — the id tiebreak makes simultaneous events
+    deterministic, so the path strings are engine-portable (DuckDB
+    string_agg ORDER BY twin). Plan: the sessionize shuffle on user,
+    one hash aggregate on path (map-side combined), top-k. The path
+    build uses collect_list of (ts, id, type) structs + array_sort —
+    per-session data only, never a global sort.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col))
+    gap_us = us - F.lag(us).over(w)
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > F.lit(int(gap_seconds) * 1_000_000)), 1
+    ).otherwise(0)
+    tagged = events.withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = tagged.groupBy(user_col, "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts_col).alias("t"),
+                            F.col(id_col).alias("i"),
+                            F.col(type_col).alias("e"),
+                        )
+                    )
+                ),
+                lambda s: s["e"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path"))
+        .limit(k)
+    )

@@ -1112,3 +1112,25 @@ def test_refresh_aggregate_equals_full_recompute(spark):
         .collect()
     }
     assert refreshed == full == {"x": (13.0, 3), "y": (5.0, 1), "z": (7.0, 1)}
+
+
+def test_session_paths_orders_and_counts(spark):
+    import datetime as dt
+
+    from dask_sql_spark.operators.events import session_paths
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1, one session: a > b
+        (1, t0, 1, "a"), (1, t0 + dt.timedelta(seconds=60), 2, "b"),
+        # user 1, second session after the gap: a > b  (same journey)
+        (2, t0 + dt.timedelta(hours=2), 3, "a"),
+        (2, t0 + dt.timedelta(hours=2, seconds=30), 4, "b"),
+        # user 3: simultaneous events → id tiebreak fixes the order
+        (3, t0, 6, "y"), (3, t0, 5, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING"
+    )
+    out = {r["path"]: r["n_sessions"] for r in session_paths(df, 1800).collect()}
+    assert out == {"a>b": 2, "x>y": 1}
