@@ -704,6 +704,49 @@ _sqlq(
 
 _sqlq("distinct_op", "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer")
 
+# ANSI FETCH FIRST (dialect-rewritten to LIMIT for Spark; DuckDB native)
+_sqlq(
+    "fetch_first_rows",
+    """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+FETCH FIRST 15 ROWS ONLY
+""",
+)
+
+_sqlq(
+    "try_cast_ops",
+    """
+SELECT
+  COUNT(TRY_CAST(o_orderpriority AS INT)) AS n_bad_int,
+  COUNT(TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT)) AS n_pri_int,
+  COUNT(TRY_CAST(o_orderdate AS DATE)) AS n_dates
+FROM orders
+""",
+)
+
+# SQL join-strategy hint: Spark honors it, DuckDB parses it as a comment
+_sqlq(
+    "join_hint_broadcast",
+    """
+SELECT /*+ BROADCAST(n) */ n_name, COUNT(*) AS n_cust
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n_name
+""",
+)
+
+_sqlq(
+    "grouping_id_levels",
+    """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus) AS INT) * 2
+    + CAST(GROUPING(o_orderpriority) AS INT) AS gid,
+  COUNT(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+
 # bag-semantics set ops: duplicates preserved by multiplicity arithmetic
 _sqlq(
     "intersect_all_op",

@@ -466,10 +466,25 @@ def rewrite_qualify(sql: str) -> str:
     return f"{out} {tail}" if tail else out
 
 
+# ANSI/Calcite row-limit syntax Spark lacks: OFFSET n ROWS is already
+# Spark's OFFSET; FETCH {FIRST|NEXT} [n] {ROW|ROWS} ONLY → LIMIT n
+_FETCH_FIRST_RE = re.compile(
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+ONLY\b",
+    re.IGNORECASE,
+)
+
+
+def _fetch_first_repl(m: re.Match) -> str:
+    return f"LIMIT {m.group(1) or 1}"
+
+
 def rewrite(sql: str) -> str:
     """Apply all dialect rewrites to a SQL string (string literals are left
     untouched except where they are the SIMILAR TO pattern itself)."""
     sql = rewrite_qualify(sql)
+    sql = _rewrite_outside_literals(
+        sql, lambda chunk: _FETCH_FIRST_RE.sub(_fetch_first_repl, chunk)
+    )
     sql = rewrite_order_by_nulls(sql)
 
     # CEIL(x TO unit) exprs may contain literals (TIMESTAMP '...'), so this

@@ -194,3 +194,15 @@ def test_extract_extended_units(context):
     # Postgres/DuckDB semantics (the reference's own trunc(year/100)
     # formula deviates from the standard — documented in COVERAGE.md)
     assert (row.c, row.d, row.m, row.us, row.ms) == (21, 202, 3, 42000047, 42999)
+
+
+def test_fetch_first_rewrites_to_limit():
+    from dask_sql_spark.dialect import rewrite
+
+    assert rewrite("SELECT 1 FETCH FIRST 5 ROWS ONLY").endswith("LIMIT 5")
+    assert rewrite("SELECT 1 FETCH NEXT 3 ROWS ONLY").endswith("LIMIT 3")
+    assert rewrite("SELECT 1 FETCH FIRST ROW ONLY").endswith("LIMIT 1")
+    # literals stay untouched
+    assert "FETCH FIRST 5 ROWS ONLY" in rewrite(
+        "SELECT 'FETCH FIRST 5 ROWS ONLY' AS s"
+    )
