@@ -107,3 +107,28 @@ def dq_report(checks: list[DataFrame]) -> DataFrame:
     if not checks:
         raise ValueError("checks must be non-empty")
     return reduce(lambda a, b: a.unionByName(b), checks)
+
+
+def write_with_metrics(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, Column] | None = None,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> dict:
+    """Write ``df`` and return observed data-quality metrics from the
+    SAME pass — Spark's ``Observation`` API attaches aggregates to the
+    write job, so a 100 TB sink gets row counts / null counts / sums
+    with ZERO extra scans (the post-hoc dq_report pattern costs one).
+
+    Default metrics: n_rows. Metric expressions must be aggregates over
+    the written rows.
+    """
+    from pyspark.sql import Observation
+
+    metrics = metrics or {"n_rows": F.count(F.lit(1))}
+    obs = Observation()
+    named = [expr.alias(name) for name, expr in metrics.items()]
+    observed = df.observe(obs, *named)
+    observed.write.format(format).mode(mode).save(path)
+    return dict(obs.get)

@@ -1134,3 +1134,22 @@ def test_session_paths_orders_and_counts(spark):
     )
     out = {r["path"]: r["n_sessions"] for r in session_paths(df, 1800).collect()}
     assert out == {"a>b": 2, "x>y": 1}
+
+
+def test_write_with_metrics_single_pass(spark, tmp_path):
+    from dask_sql_spark.operators.dq import write_with_metrics
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k LONG, v DOUBLE"
+    )
+    got = write_with_metrics(
+        df,
+        str(tmp_path / "out"),
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.count(F.lit(1)) - F.count("v"),
+            "sum_v": F.sum("v"),
+        },
+    )
+    assert got == {"n_rows": 3, "n_null_v": 1, "sum_v": 40.0}
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 3
