@@ -384,6 +384,77 @@ class Context:
             list(training_columns or []),
         )
 
+    def register_experiment(
+        self,
+        experiment_name: str,
+        experiment_results: Any,
+        schema_name: str | None = None,
+    ) -> None:
+        """Register experiment results for SHOW/DESCRIBE surfacing
+        (reference context.py:615-624)."""
+        schema_name = schema_name or self.schema_name
+        self.schemas[schema_name].experiments[experiment_name] = (
+            experiment_results
+        )
+
+    def alter_schema(self, old_schema_name: str, new_schema_name: str) -> None:
+        """Rename a schema (reference context.py:589-597); the SQL path
+        (ALTER SCHEMA … RENAME TO) routes through the same registry."""
+        if old_schema_name not in self.schemas:
+            raise RuntimeError(f"Schema {old_schema_name} does not exist")
+        schema = self.schemas.pop(old_schema_name)
+        schema.name = new_schema_name
+        self.schemas[new_schema_name] = schema
+        if self.schema_name == old_schema_name:
+            self.schema_name = new_schema_name
+        # temp views carry the schema prefix — re-register under the new one
+        for t, df in schema.tables.items():
+            df.createOrReplaceTempView(self._view_name(t, new_schema_name))
+            self.spark.catalog.dropTempView(
+                self._view_name(t, old_schema_name)
+            )
+
+    def alter_table(
+        self,
+        old_table_name: str,
+        new_table_name: str,
+        schema_name: str | None = None,
+    ) -> None:
+        """Rename a table: re-register under the new name, drop the old
+        (reference context.py:599-613 / alter.py:14-86)."""
+        schema_name = schema_name or self.schema_name
+        qualified = f"{schema_name}.{old_table_name}"
+        if not self._table_exists(qualified):
+            raise RuntimeError(f"Table {old_table_name} does not exist")
+        df = self._get_table(qualified)
+        self.create_table(new_table_name, df, schema_name=schema_name)
+        self.drop_table(old_table_name, schema_name=schema_name)
+
+    def fqn(self, name: str) -> tuple[str, str]:
+        """Fully-qualified (schema, table) for a possibly-qualified name
+        (reference context.py:732-747)."""
+        return self._split_qualified(name)
+
+    def run_server(self, **kwargs: Any):
+        """Start the Presto-protocol HTTP server over this Context in a
+        background thread and return it (reference context.py:704-719;
+        stdlib server — the environment has no FastAPI/uvicorn)."""
+        from dask_sql_spark.server.app import SQLServer
+
+        if getattr(self, "_server", None) is not None:
+            raise RuntimeError("server already running; call stop_server()")
+        self._server = SQLServer(self, **kwargs)
+        self._server.start()
+        return self._server
+
+    def stop_server(self) -> None:
+        """Stop the server started by :meth:`run_server`
+        (reference context.py:721-726)."""
+        server = getattr(self, "_server", None)
+        if server is not None:
+            server.stop()
+            self._server = None
+
     # ------------------------------------------------------------------ #
     # SQL execution                                                      #
     # ------------------------------------------------------------------ #

@@ -147,3 +147,51 @@ def test_explain_modes(context):
     assert "Statistics" in cost
     codegen = context.explain("SELECT a + 1 FROM df_simple", mode="codegen")
     assert "Generated code" in codegen or "WholeStageCodegen" in codegen
+
+
+def test_alter_table_and_schema_python_api(context):
+    import pandas as pd
+
+    context.create_table("t_alter", pd.DataFrame({"a": [1, 2]}))
+    context.alter_table("t_alter", "t_renamed")
+    assert context.sql("SELECT COUNT(*) AS n FROM t_renamed").collect()[0]["n"] == 2
+    try:
+        context.sql("SELECT * FROM t_alter")
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+
+    context.create_schema("s_old")
+    context.create_table("inner_t", pd.DataFrame({"b": [1]}), schema_name="s_old")
+    context.alter_schema("s_old", "s_new")
+    assert (
+        context.sql("SELECT COUNT(*) AS n FROM s_new.inner_t").collect()[0]["n"]
+        == 1
+    )
+    assert context.fqn("s_new.inner_t") == ("s_new", "inner_t")
+    assert context.fqn("t_renamed")[1] == "t_renamed"
+
+
+def test_run_server_lifecycle_via_context(context):
+    import json
+    import urllib.request
+
+    import pandas as pd
+
+    context.create_table("srv_t", pd.DataFrame({"x": [1, 2, 3]}))
+    server = context.run_server(port=0)  # ephemeral port
+    try:
+        url = f"http://localhost:{server.port}/v1/statement"
+        req = urllib.request.Request(
+            url, data=b"SELECT COUNT(*) AS n FROM srv_t", method="POST"
+        )
+        payload = json.loads(urllib.request.urlopen(req, timeout=30).read())
+        while "data" not in payload and "nextUri" in payload:
+            payload = json.loads(
+                urllib.request.urlopen(payload["nextUri"], timeout=30).read()
+            )
+        assert payload["data"] == [[3]]
+    finally:
+        context.stop_server()
+    assert getattr(context, "_server", None) is None
