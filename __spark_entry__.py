@@ -4224,6 +4224,83 @@ ORDER BY n_sessions DESC, path LIMIT 20
 )
 
 
+def _vocab_coverage_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage at top-50 terms (text.vocab_coverage)."""
+    from dask_sql_spark.operators.text import vocab_coverage
+
+    return vocab_coverage(_table(spark, sf_dir, "documents"), vocab_size=50)
+
+
+_dfq(
+    "text_vocab_coverage",
+    _vocab_coverage_fn,
+    f"""
+WITH t AS (SELECT unnest({_DOC_TOKS}) AS term FROM documents),
+tf AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS r FROM tf
+)
+SELECT 50 AS vocab_size, COUNT(*) AS n_terms,
+  SUM(c) AS corpus_tokens,
+  SUM(CASE WHEN r <= 50 THEN c ELSE 0 END) AS covered_tokens,
+  ROUND(CAST(SUM(CASE WHEN r <= 50 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6)
+    AS coverage
+FROM ranked
+""",
+)
+
+
+def _normalize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization via Arrow-batched pandas UDF
+    (text.normalize_text) — the oracle-checkable UDF-tier example
+    (DuckDB nfc_normalize implements the same standard)."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.text import normalize_text
+
+    out = normalize_text(_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.md5("text_norm").alias("norm_hash"),
+        (F.col("text_norm") == F.col("text")).alias("unchanged"),
+    )
+
+
+_dfq(
+    "text_normalize_nfc",
+    _normalize_fn,
+    """
+SELECT doc_id, md5(nfc_normalize(text)) AS norm_hash,
+       nfc_normalize(text) = text AS unchanged
+FROM documents
+""",
+)
+
+
+def _topk_sample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic eval-set carve (llmprep.
+    deterministic_topk_sample): md5-ranked TakeOrderedAndProject."""
+    from dask_sql_spark.operators.llmprep import deterministic_topk_sample
+
+    return deterministic_topk_sample(
+        _table(spark, sf_dir, "documents"), k=40
+    ).select("doc_id", "source")
+
+
+_dfq(
+    "curate_topk_sample",
+    _topk_sample_fn,
+    """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    CAST('0x' || substr(md5('evalset' || CAST(doc_id AS VARCHAR)), 1, 15)
+         AS BIGINT) AS h
+  FROM documents
+) t ORDER BY h, doc_id LIMIT 40
+""",
+)
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #

@@ -276,3 +276,29 @@ def pack_stats(
             F.round(F.col("n_tokens") / F.lit(float(max_tokens)), 4),
         )
     )
+
+
+def deterministic_topk_sample(
+    df: DataFrame,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "evalset",
+) -> DataFrame:
+    """Exactly-k uniform-ish sample: rank every row by its md5-derived
+    hash of (salt, key) and keep the k smallest — the reproducible way
+    to carve a fixed-size eval set from a corpus of unknown size
+    (fraction-based sampling can't hit an exact count).
+
+    Plans as TakeOrderedAndProject: each partition keeps its local
+    top-k, the driver merges k·partitions candidates — no full sort,
+    no full shuffle, scales to any corpus size.
+    """
+    from dask_sql_spark.operators.hashing import portable_hash64
+
+    h = portable_hash64(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    return (
+        df.withColumn("__h", h)
+        .orderBy(F.col("__h"), F.col(key_col))
+        .limit(k)
+        .drop("__h")
+    )

@@ -482,3 +482,74 @@ def add_unigram_entropy(
             "entropy"
         ),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve point: with the top-``vocab_size``
+    terms by corpus frequency, what fraction of all token occurrences
+    is covered? The sizing tool for tokenizer vocab / OOV-rate budgets.
+
+    One explode+term aggregate (map-side combined), a rank window over
+    the distinct-term relation (small — vocabulary-sized, not
+    corpus-sized), and a two-row final aggregate. Returns one row:
+    (vocab_size, n_terms, corpus_tokens, covered_tokens, coverage).
+    """
+    from pyspark.sql.window import Window
+
+    df = ensure_parallelism(df)
+    tf = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = tf.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("term"))),
+    )
+    return ranked.agg(
+        F.lit(vocab_size).alias("vocab_size"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("c").alias("corpus_tokens"),
+        F.sum(F.when(F.col("r") <= vocab_size, F.col("c")).otherwise(0)).alias(
+            "covered_tokens"
+        ),
+        F.round(
+            F.sum(F.when(F.col("r") <= vocab_size, F.col("c")).otherwise(0))
+            / F.sum("c"),
+            6,
+        ).alias("coverage"),
+    )
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", form: str = "NFC"
+) -> DataFrame:
+    """Unicode normalization via an Arrow-batched pandas UDF — the
+    canonical example of the UDF tier: Spark has no built-in unicode
+    normalizer, so this is Python, but vectorized (one
+    ``unicodedata.normalize`` pass per Arrow batch, never per-row
+    JVM↔Python hops). Adds ``{text_col}_norm``.
+
+    DuckDB's ``nfc_normalize`` implements the same Unicode standard, so
+    the NFC form is oracle-checkable — a rare property for a UDF.
+    """
+    import unicodedata
+
+    import pandas  # noqa: F401 — annotation target must be module-resolvable
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm_impl(s):
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    _norm_impl.__annotations__ = {
+        "s": pandas.Series, "return": pandas.Series
+    }
+    _norm = pandas_udf(_norm_impl, "string")
+
+    return df.withColumn(f"{text_col}_norm", _norm(F.col(text_col)))

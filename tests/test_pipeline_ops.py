@@ -1153,3 +1153,41 @@ def test_write_with_metrics_single_pass(spark, tmp_path):
     )
     assert got == {"n_rows": 3, "n_null_v": 1, "sum_v": 40.0}
     assert spark.read.parquet(str(tmp_path / "out")).count() == 3
+
+
+def test_vocab_coverage_full_vocab_is_total(spark):
+    from dask_sql_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id LONG, text STRING"
+    )
+    full = vocab_coverage(df, vocab_size=10).collect()[0]
+    assert full["n_terms"] == 3 and full["corpus_tokens"] == 5
+    assert full["coverage"] == 1.0
+    top1 = vocab_coverage(df, vocab_size=1).collect()[0]
+    assert top1["covered_tokens"] == 2  # 'a' and 'b' tie at 2 → 'a' wins
+    assert top1["coverage"] == 0.4
+
+
+def test_normalize_text_nfc_composes(spark):
+    from dask_sql_spark.operators.text import normalize_text
+
+    # 'e' + combining acute (NFD) → precomposed é under NFC
+    df = spark.createDataFrame([(1, "é"), (2, None)], "id LONG, text STRING")
+    rows = {r["id"]: r["text_norm"] for r in normalize_text(df).collect()}
+    assert rows[1] == "é" and len(rows[1]) == 1
+    assert rows[2] is None
+
+
+def test_deterministic_topk_sample_exact_and_stable(spark):
+    from dask_sql_spark.operators.llmprep import deterministic_topk_sample
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in deterministic_topk_sample(df, 25).collect()}
+    b = {
+        r["doc_id"]
+        for r in deterministic_topk_sample(
+            df.orderBy(F.col("doc_id").desc()), 25
+        ).collect()
+    }
+    assert len(a) == 25 and a == b  # exact k, order-independent
