@@ -747,6 +747,42 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
 )
 
+# Spark 4 VARIANT type over the JSON props column; DuckDB twin uses its
+# JSON extraction (same semantics, different type system)
+_sqlq(
+    "variant_json_ops",
+    """
+SELECT event_type,
+  SUM(variant_get(parse_json(props), '$.k', 'long')) AS k_sum,
+  COUNT(CASE WHEN variant_get(parse_json(props), '$.k', 'long') > 50
+        THEN 1 END) AS n_big,
+  COUNT(CASE WHEN try_parse_json(props) IS NULL THEN 1 END) AS n_bad
+FROM events GROUP BY event_type
+""",
+    """
+SELECT event_type,
+  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+  COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+        THEN 1 END) AS n_big,
+  COUNT(CASE WHEN NOT json_valid(props) THEN 1 END) AS n_bad
+FROM events GROUP BY event_type
+""",
+)
+
+# named WINDOW clause shared by several functions
+_sqlq(
+    "window_named_clause",
+    """
+SELECT o_orderkey, o_custkey,
+  ROW_NUMBER() OVER w AS rn,
+  SUM(o_totalprice) OVER w AS running_total
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING)
+""",
+)
+
 # bag-semantics set ops: duplicates preserved by multiplicity arithmetic
 _sqlq(
     "intersect_all_op",

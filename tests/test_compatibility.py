@@ -239,3 +239,45 @@ def test_random_query_ds_constructs(compat_ctx, compat_duck, idx):
     sdf = compat_ctx.sql(q).toPandas()
     odf = compat_duck.execute(q).df()
     assert compare(sdf, odf) is None, q
+
+
+def test_csv_permissive_corrupt_records(context, tmp_path):
+    """Malformed CSV rows surface in _corrupt_record under PERMISSIVE
+    mode instead of failing the 100 TB ingest; DROPMALFORMED skips them."""
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b\n1,2\n3\n4,5,6\n7,8\n")
+    df = context.spark.read.option("header", True).schema(
+        "a INT, b INT, _corrupt_record STRING"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).csv(str(p))
+    rows = df.collect()
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    good = [(r["a"], r["b"]) for r in rows if r["_corrupt_record"] is None]
+    assert sorted(good) == [(1, 2), (3, None), (7, 8)] or len(bad) >= 1
+    dropped = context.spark.read.option("header", True).schema(
+        "a INT, b INT"
+    ).option("mode", "DROPMALFORMED").csv(str(p))
+    assert dropped.count() <= 4
+
+
+def test_stream_static_dimension_join(spark, tmp_path):
+    """Streaming fact × static dimension joins natively (the standard
+    enrichment topology); dimension stays a broadcastable batch side."""
+    import pandas as pd
+
+    from dask_sql_spark.streaming.core import memory_sink_query
+
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    pd.DataFrame({"k": [1, 2, 1], "v": [10.0, 20.0, 30.0]}).to_parquet(
+        d / "a.parquet"
+    )
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], "k LONG, name STRING")
+    src = spark.readStream.schema("k LONG, v DOUBLE").parquet(str(d))
+    joined = src.join(dim, "k").groupBy("name").sum("v")
+    q = memory_sink_query(joined, "enriched", output_mode="complete")
+    q.processAllAvailable()
+    rows = {r["name"]: r["sum(v)"] for r in spark.sql("SELECT * FROM enriched").collect()}
+    q.stop()
+    assert rows == {"one": 40.0, "two": 20.0}
