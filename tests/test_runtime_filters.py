@@ -88,3 +88,61 @@ def test_bloom_filter_join_pruning_fires(spark, tmp_path):
                     pass
             else:
                 conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
+    """With thresholds lowered to local scale, AQE marks the skewed
+    sort-merge join (isSkew=true) and splits the hot partition — the
+    runtime behavior the salted_join operator complements for
+    single-key hotspots."""
+    import pyspark.sql.functions as F
+
+    fact_path = str(tmp_path / "skew_fact")
+    # 95% of rows on key 0, the rest uniform
+    spark.range(0, 200000).select(
+        F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id") % 1000)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    ).write.parquet(fact_path)
+    dim_path = str(tmp_path / "skew_dim")
+    spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.col("id").alias("attr")
+    ).write.parquet(dim_path)
+
+    conf = spark.conf
+    keys = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            conf.set(k, v)
+        fact = spark.read.parquet(fact_path)
+        dim = spark.read.parquet(dim_path)
+        # a GLOBAL aggregate has no distribution requirement, so the
+        # skew split is legal; keep payload+attr in flight so the hot
+        # partition carries real bytes
+        joined = fact.join(dim, "k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("payload") + F.col("attr")).alias("s"),
+        )
+        rows = joined.collect()  # finalizes THIS df's AQE plan
+        assert rows[0]["n"] == 200000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in plan or "skew=true" in plan.lower(), plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                conf.set(k, v)
