@@ -481,6 +481,13 @@ class Context:
         if config_options:
             for k, v in config_options.items():
                 spark_key = _CONFIG_MAP.get(k, k if k.startswith("spark.") else None)
+                if spark_key is None and k in _CONFIG_NOOP:
+                    import warnings
+
+                    warnings.warn(
+                        f"config {k!r} has no Spark equivalent; ignored",
+                        stacklevel=2,
+                    )
                 if spark_key:
                     try:
                         restore[spark_key] = self.spark.conf.get(spark_key)
@@ -631,10 +638,30 @@ def _is_frame_like(obj: Any) -> bool:
         return False
 
 
-# dask-sql config keys → spark conf equivalents (reference sql.yaml)
+# dask-sql config keys → spark conf equivalents (reference sql-schema.yaml)
 _CONFIG_MAP = {
     "sql.join.broadcast": "spark.sql.autoBroadcastJoinThreshold",
     "sql.identifier.case_sensitive": "spark.sql.caseSensitive",
     "sql.predicate_pushdown": "spark.sql.parquet.filterPushdown",
     "sql.dynamic_partition_pruning": "spark.sql.optimizer.dynamicPartitionPruning.enabled",
+    # number of output partitions from an aggregation
+    "sql.aggregate.split_out": "spark.sql.shuffle.partitions",
+    # max tables considered by the join-reorder rule (Spark: CBO DP limit)
+    "sql.max_fact_tables": "spark.sql.cbo.joinReorder.dp.threshold",
+    # element cap for the top-k sort optimization
+    "sql.sort.topk-nelem-limit": "spark.sql.execution.topKSortFallbackThreshold",
+}
+
+# reference keys with NO Spark equivalent: accepted and ignored with a
+# warning (Spark's engine covers the concern differently — tree
+# reductions via AQE, incremental limits natively, decimals natively)
+_CONFIG_NOOP = {
+    "sql.aggregate.split_every",
+    "sql.limit.check-first-partition",
+    "sql.optimize",
+    "sql.optimizer.verbose",
+    "sql.fact_dimension_ratio",
+    "sql.preserve_user_order",
+    "sql.filter_selectivity",
+    "sql.mappings.decimal_support",
 }

@@ -195,3 +195,34 @@ def test_run_server_lifecycle_via_context(context):
     finally:
         context.stop_server()
     assert getattr(context, "_server", None) is None
+
+
+def test_config_map_translates_reference_keys(context):
+    import pandas as pd
+
+    context.create_table("cfg_t", pd.DataFrame({"a": range(10)}))
+    # split_out → shuffle partitions for the aggregation
+    df = context.sql(
+        "SELECT a % 2 AS g, COUNT(*) AS n FROM cfg_t GROUP BY a % 2",
+        config_options={"sql.aggregate.split_out": 2},
+    )
+    assert df.rdd.getNumPartitions() <= 2
+    assert sorted(r["n"] for r in df.collect()) == [5, 5]
+    # conf restored afterwards
+    assert context.spark.conf.get("spark.sql.shuffle.partitions") != "2"
+
+
+def test_config_noop_keys_warn_not_fail(context):
+    import warnings
+
+    import pandas as pd
+
+    context.create_table("cfg_t2", pd.DataFrame({"a": [1]}))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = context.sql(
+            "SELECT COUNT(*) AS n FROM cfg_t2",
+            config_options={"sql.aggregate.split_every": 4},
+        ).collect()
+    assert out[0]["n"] == 1
+    assert any("no Spark equivalent" in str(w.message) for w in caught)
