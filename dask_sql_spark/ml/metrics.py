@@ -1,0 +1,77 @@
+"""Distributed model-evaluation metrics over Spark DataFrames.
+
+Parity target: the reference's ``physical/rel/custom/metrics.py``
+(dask-ml-derived ``accuracy_score`` / ``log_loss`` over dask arrays,
+used by CREATE EXPERIMENT scoring). Here each metric is ONE Spark
+aggregate over (label, prediction) columns — a single scan, map-side
+partial aggregation, no data ever collected; only the scalar metric
+reaches the driver.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_EPS = 1e-15
+
+
+def accuracy_score(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+    normalize: bool = True,
+    sample_weight_col: str | None = None,
+) -> float:
+    """Fraction (or weighted fraction / raw count) of exact matches."""
+    hit = F.when(F.col(label_col) == F.col(pred_col), 1.0).otherwise(0.0)
+    if sample_weight_col is not None:
+        w = F.col(sample_weight_col)
+        num = F.sum(hit * w)
+        den = F.sum(w)
+    else:
+        num = F.sum(hit)
+        den = F.count(F.lit(1))
+    agg = num if not normalize else num / den
+    return float(df.agg(agg.alias("m")).collect()[0]["m"])
+
+
+def log_loss(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    eps: float = _EPS,
+) -> float:
+    """Binary cross-entropy: labels in {0,1}, ``prob_col`` = P(y=1);
+    probabilities clipped to [eps, 1-eps] like sklearn."""
+    p = F.least(F.greatest(F.col(prob_col), F.lit(eps)), F.lit(1.0 - eps))
+    y = F.col(label_col).cast("double")
+    term = -(y * F.log(p) + (1.0 - y) * F.log(1.0 - p))
+    return float(df.agg(F.avg(term).alias("m")).collect()[0]["m"])
+
+
+def mean_squared_error(
+    df: DataFrame, label_col: str, pred_col: str, squared: bool = True
+) -> float:
+    d = F.col(label_col) - F.col(pred_col)
+    mse = float(df.agg(F.avg(d * d).alias("m")).collect()[0]["m"])
+    return mse if squared else math.sqrt(mse)
+
+
+def r2_score(df: DataFrame, label_col: str, pred_col: str) -> float:
+    """1 - SS_res/SS_tot, computed in one aggregate pass (SS_tot via
+    E[y²] - E[y]² so no second scan for the mean)."""
+    y = F.col(label_col).cast("double")
+    d = y - F.col(pred_col)
+    row = df.agg(
+        F.sum(d * d).alias("ss_res"),
+        F.sum(y * y).alias("yy"),
+        F.sum(y).alias("ys"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    ss_tot = row["yy"] - row["ys"] * row["ys"] / row["n"]
+    if ss_tot == 0:
+        return 0.0
+    return 1.0 - row["ss_res"] / ss_tot

@@ -334,3 +334,36 @@ def test_update_delete_qualified_schema(context):
     context.sql("DELETE FROM dml_s.t2 WHERE c = 1")
     rows = sorted(r.c for r in context.sql("SELECT * FROM dml_s.t2").collect())
     assert rows == [2, 103, 104]
+
+
+def test_distributed_metrics_match_reference_formulas(spark):
+    """accuracy / log_loss / mse / r2 as single-pass Spark aggregates
+    (reference metrics.py computes the same over dask arrays)."""
+    import math
+
+    from dask_sql_spark.ml.metrics import (
+        accuracy_score,
+        log_loss,
+        mean_squared_error,
+        r2_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, 0.9, 2.0), (0, 1, 0.8, 1.0), (1, 1, 0.7, 3.0), (0, 0, 0.2, 1.0)],
+        "y LONG, pred LONG, p DOUBLE, w DOUBLE",
+    )
+    assert accuracy_score(df, "y", "pred") == 0.75
+    assert accuracy_score(df, "y", "pred", normalize=False) == 3.0
+    # weighted: hits carry weight 2+3+1 of total 7
+    assert abs(accuracy_score(df, "y", "pred", sample_weight_col="w") - 6 / 7) < 1e-12
+    expected_ll = -(
+        math.log(0.9) + math.log(1 - 0.8) + math.log(0.7) + math.log(1 - 0.2)
+    ) / 4
+    assert abs(log_loss(df, "y", "p") - expected_ll) < 1e-12
+
+    reg = spark.createDataFrame(
+        [(1.0, 1.5), (2.0, 2.0), (3.0, 2.5)], "y DOUBLE, pred DOUBLE"
+    )
+    assert abs(mean_squared_error(reg, "y", "pred") - (0.25 + 0 + 0.25) / 3) < 1e-12
+    # SS_res = 0.5, SS_tot = 2 → r2 = 0.75
+    assert abs(r2_score(reg, "y", "pred") - 0.75) < 1e-12
