@@ -4337,6 +4337,41 @@ SELECT doc_id, source FROM (
 )
 
 
+def _ml_predict_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ML statement path under the value-hash gate: CREATE
+    MODEL (fit via the collect-capped trainer) → PREDICT (broadcast +
+    mapInPandas) with a rule model whose predictions are closed-form
+    SQL (ml/simple.ThresholdClassifier), so DuckDB can replay them as a
+    CASE expression. Exercises statements.py create_model/predict_model
+    end-to-end, not just the operator layer."""
+    ctx = _ctx(spark, sf_dir)
+    ctx.sql(
+        """CREATE OR REPLACE MODEL oracle_thresh WITH (
+             model_class = 'dask_sql_spark.ml.simple.ThresholdClassifier',
+             column = 'o_totalprice',
+             threshold = '150000.0'
+           ) AS SELECT CAST(o_totalprice AS DOUBLE) AS o_totalprice
+                FROM orders LIMIT 10"""
+    )
+    return ctx.sql(
+        """SELECT o_orderkey, target FROM PREDICT(MODEL oracle_thresh,
+             SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+             FROM orders)"""
+    )
+
+
+_dfq(
+    "ml_predict_threshold",
+    _ml_predict_fn,
+    """
+SELECT o_orderkey,
+  CASE WHEN CAST(o_totalprice AS DOUBLE) > 150000.0
+       THEN 1.0 ELSE 0.0 END AS target
+FROM orders
+""",
+)
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #

@@ -367,3 +367,23 @@ def test_distributed_metrics_match_reference_formulas(spark):
     assert abs(mean_squared_error(reg, "y", "pred") - (0.25 + 0 + 0.25) / 3) < 1e-12
     # SS_res = 0.5, SS_tot = 2 → r2 = 0.75
     assert abs(r2_score(reg, "y", "pred") - 0.75) < 1e-12
+
+
+def test_threshold_classifier_learns_mean(context):
+    import pandas as pd
+
+    context.create_table(
+        "thr_t", pd.DataFrame({"x": [0.0, 2.0, 4.0, 6.0]})
+    )
+    context.sql(
+        """CREATE OR REPLACE MODEL thr_m WITH (
+             model_class = 'dask_sql_spark.ml.simple.ThresholdClassifier',
+             column = 'x'
+           ) AS SELECT x FROM thr_t"""
+    )
+    # learned threshold = mean(x) = 3 → predictions split 2/2
+    rows = context.sql(
+        "SELECT x, target FROM PREDICT(MODEL thr_m, SELECT x FROM thr_t)"
+    ).collect()
+    got = {r["x"]: r["target"] for r in rows}
+    assert got == {0.0: 0.0, 2.0: 0.0, 4.0: 1.0, 6.0: 1.0}
