@@ -4372,6 +4372,56 @@ FROM orders
 )
 
 
+def _merge_into_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO under the value-hash gate: base = every 5th order,
+    source = every 3rd (doubled price) → UPDATE on overlap, INSERT for
+    the rest. The base is re-created each run so the statement is
+    idempotent under repeated driver invocations; oracle replays the
+    merge as LEFT JOIN + anti-join UNION."""
+    ctx = _ctx(spark, sf_dir)
+    ctx.sql(
+        """CREATE OR REPLACE TABLE merge_base AS
+           SELECT o_orderkey AS k, o_totalprice AS price,
+                  o_orderstatus AS status
+           FROM orders WHERE o_orderkey % 5 = 0"""
+    )
+    ctx.sql(
+        """MERGE INTO merge_base AS t
+           USING (SELECT o_orderkey AS k, o_totalprice * 2 AS price
+                  FROM orders WHERE o_orderkey % 3 = 0) AS s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET price = s.price
+           WHEN NOT MATCHED THEN INSERT (k, price, status)
+                VALUES (s.k, s.price, 'N')"""
+    )
+    return ctx.sql(
+        "SELECT k, CAST(price AS DECIMAL(19,2)) AS price, status "
+        "FROM merge_base"
+    )
+
+
+_dfq(
+    "stmt_merge_into",
+    _merge_into_fn,
+    """
+WITH base AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+src AS (
+  SELECT o_orderkey AS k, o_totalprice * 2 AS price
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT b.k, CAST(COALESCE(s.price, b.price) AS DECIMAL(19,2)) AS price,
+       b.status
+FROM base b LEFT JOIN src s USING (k)
+UNION ALL
+SELECT s.k, CAST(s.price AS DECIMAL(19,2)) AS price, 'N' AS status
+FROM src s WHERE s.k NOT IN (SELECT k FROM base)
+""",
+)
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #
