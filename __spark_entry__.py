@@ -4422,6 +4422,40 @@ FROM src s WHERE s.k NOT IN (SELECT k FROM base)
 )
 
 
+def _insert_copy_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink statements under the value-hash gate: CTAS (reset) → INSERT
+    INTO SELECT → COPY TO parquet → read the files back. What returns
+    is what the sink persisted, so the whole write path is verified,
+    not just the in-memory result."""
+    import tempfile
+
+    ctx = _ctx(spark, sf_dir)
+    ctx.sql(
+        """CREATE OR REPLACE TABLE ins_base AS
+           SELECT n_nationkey AS k, n_name AS name FROM nation"""
+    )
+    ctx.sql(
+        """INSERT INTO ins_base
+           SELECT r_regionkey + 100 AS k, r_name AS name FROM region"""
+    )
+    out_dir = tempfile.mkdtemp(prefix="copyto_")
+    ctx.sql(f"COPY ins_base TO '{out_dir}/out.parquet' WITH (format = 'parquet')")
+    return spark.read.parquet(f"{out_dir}/out.parquet").selectExpr(
+        "CAST(k AS BIGINT) AS k", "name"
+    )
+
+
+_dfq(
+    "stmt_insert_copy_roundtrip",
+    _insert_copy_fn,
+    """
+SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name FROM nation
+UNION ALL
+SELECT CAST(r_regionkey + 100 AS BIGINT) AS k, r_name AS name FROM region
+""",
+)
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #
