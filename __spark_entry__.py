@@ -21,6 +21,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dask_sql_spark.operators.hashing import portable_hash64_sql
+
 TABLES = [
     "region",
     "nation",
@@ -4452,6 +4454,82 @@ _dfq(
 SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name FROM nation
 UNION ALL
 SELECT CAST(r_regionkey + 100 AS BIGINT) AS k, r_name AS name FROM region
+""",
+)
+
+
+def _unigram_lm_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality screen (text.unigram_lm_bits):
+    bits/token under the corpus's own add-alpha unigram LM. One
+    explode+groupBy, corpus counts as a window over the aggregate,
+    decimal-routed reduction."""
+    from dask_sql_spark.operators.text import unigram_lm_bits
+
+    return unigram_lm_bits(_table(spark, sf_dir, "documents"))
+
+
+_dfq(
+    "text_unigram_lm_bits",
+    _unigram_lm_fn,
+    f"""
+WITH t AS (SELECT doc_id, unnest({_DOC_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+uni AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term),
+tot AS (SELECT SUM(tf) AS total, COUNT(DISTINCT term) AS vocab FROM tf),
+s AS (
+  SELECT doc_id, tf.tf,
+         CAST(ROUND(tf.tf * -log2((uni.cnt + 0.5) / (tot.total + 0.5 * tot.vocab)), 9)
+              AS DECIMAL(38,18)) AS term_bits
+  FROM tf JOIN uni USING (term), tot
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(term_bits) AS DOUBLE) / SUM(tf), 6) AS bits_per_token
+FROM s GROUP BY doc_id
+""",
+)
+
+
+def _stratified_sample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder stratified eval-set sampling
+    (llmprep.stratified_sample): exact-k across languages, integer-only
+    quota arithmetic, md5-hash pick inside each stratum."""
+    from dask_sql_spark.operators.llmprep import stratified_sample
+
+    return stratified_sample(
+        _table(spark, sf_dir, "documents"), k=100, strata_col="lang"
+    )
+
+
+_dfq(
+    "curate_stratified_sample",
+    _stratified_sample_fn,
+    f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang
+),
+quota AS (
+  SELECT lang, n_g,
+         (100 * n_g) // SUM(n_g) OVER () AS base,
+         (100 * n_g) % SUM(n_g) OVER () AS rem
+  FROM counts
+),
+alloc AS (
+  SELECT lang,
+         CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC)
+                               <= 100 - SUM(base) OVER () THEN 1 ELSE 0 END
+              AS BIGINT) AS alloc
+  FROM quota
+),
+ranked AS (
+  SELECT d.lang, d.doc_id, a.alloc,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.lang
+           ORDER BY {portable_hash64_sql("'strat' || CAST(doc_id AS VARCHAR)")},
+                    d.doc_id
+         ) AS rn
+  FROM documents d JOIN alloc a USING (lang)
+)
+SELECT lang, doc_id, alloc FROM ranked WHERE rn <= alloc
 """,
 )
 

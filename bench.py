@@ -64,6 +64,7 @@ HEADLINE = [
     "text_ngram_topk",
     "pipeline_training_prep",
     "agg_salted_distinct",
+    "text_unigram_lm_bits",
 ]
 
 

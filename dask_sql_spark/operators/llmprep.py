@@ -302,3 +302,70 @@ def deterministic_topk_sample(
         .limit(k)
         .drop("__h")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly-``k`` rows allocated across strata by the largest-remainder
+    (Hamilton) method, proportional to stratum size — the eval-set /
+    curriculum sampler that keeps every language (or source) represented
+    at its corpus share, with a deterministic pseudo-random pick inside
+    each stratum.
+
+    Allocation is pure INTEGER arithmetic — ``base_g = (k·n_g) div N``,
+    remainders ranked by ``(k·n_g) mod N`` — so the per-stratum quotas
+    are bit-identical across engines (no float floor edge cases). The
+    leftover ``k - Σ base_g`` seats go to the largest remainders
+    (stratum name breaks ties).
+
+    Plan: one groupBy builds the tiny strata relation; quotas are window
+    functions over it (rows = #strata, negligible); the quota table
+    broadcast-joins back; within a stratum rows are ranked by the
+    md5-derived hash of (salt, key) — reproducible, uniform-ish — and
+    ``row_number ≤ alloc`` keeps the sample. One corpus shuffle total
+    (the per-stratum rank); no driver-side state. Requires k ≤ N (the
+    Hamilton quota then never exceeds the stratum size).
+
+    Output: the sampled rows (strata_col, key_col), plus the stratum's
+    final allocation for auditability.
+    """
+    from pyspark.sql.window import Window
+
+    from dask_sql_spark.operators.hashing import portable_hash64
+
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_g"))
+    wall = Window.partitionBy()
+    quota = (
+        counts.withColumn("total", F.sum("n_g").over(wall))
+        .withColumn("base", F.expr(f"({k} * n_g) DIV total"))
+        .withColumn("rem", F.expr(f"({k} * n_g) % total"))
+        .withColumn("leftover", F.lit(k) - F.sum("base").over(wall))
+        .withColumn(
+            "rem_rank",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy(
+                    F.col("rem").desc(), F.col(strata_col).asc()
+                )
+            ),
+        )
+        .withColumn(
+            "alloc",
+            F.col("base")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0),
+        )
+        .select(strata_col, "alloc")
+    )
+    h = portable_hash64(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(F.col("__h"), F.col(key_col))
+    return (
+        df.join(F.broadcast(quota), strata_col)
+        .withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.col("alloc"))
+        .select(strata_col, key_col, "alloc")
+    )

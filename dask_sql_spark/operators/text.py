@@ -553,3 +553,73 @@ def normalize_text(
     _norm = pandas_udf(_norm_impl, "string")
 
     return df.withColumn(f"{text_col}_norm", _norm(F.col(text_col)))
+
+
+def unigram_lm_bits(
+    df: DataFrame,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document cross-entropy (bits/token) under the corpus's own
+    add-``alpha``-smoothed unigram language model — the CCNet/KenLM-style
+    perplexity screen: documents far ABOVE the corpus average read as
+    gibberish/OCR noise, far BELOW as boilerplate. The standard corpus
+    quality filter that length/ratio heuristics can't replace.
+
+    ``bits(doc) = sum_t tf_t · -log2((cnt_t + α) / (T + α·V)) / n_doc``
+    where cnt_t is the corpus count of term t, T total tokens, V vocab.
+
+    Plan: ONE explode + (doc, term) groupBy builds tf with map-side
+    combine; corpus term counts are a SUM window over that same
+    aggregate (keyed reshuffle of the distinct-pairs relation — no
+    second corpus scan, same exchange-reuse trick as tfidf_top_terms);
+    corpus totals ride along as a broadcast 1-row cross join. The
+    per-(doc, term) bit contribution is rounded to 9 digits then summed
+    as DECIMAL(38,18), so the reduction is order-independent and
+    engine-portable (libm log2 last-ulp noise collapses at 9 digits).
+
+    Output: (id, n_tokens, bits_per_token).
+    """
+    from pyspark.sql.window import Window
+
+    df = ensure_parallelism(df)
+    tf = (
+        df.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    totals = tf.agg(
+        F.sum("tf").alias("total"),
+        F.count_distinct("term").alias("vocab"),
+    )
+    scored = (
+        tf.withColumn(
+            "cnt", F.sum("tf").over(Window.partitionBy("term"))
+        )
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "term_bits",
+            F.round(
+                F.col("tf")
+                * -F.log2(
+                    (F.col("cnt") + F.lit(alpha))
+                    / (F.col("total") + F.lit(alpha) * F.col("vocab"))
+                ),
+                9,
+            ).cast("decimal(38,18)"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum("term_bits").alias("sum_bits"),
+    )
+    return per_doc.select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.col("sum_bits").cast("double") / F.col("n_tokens"),
+            round_digits,
+        ).alias("bits_per_token"),
+    )

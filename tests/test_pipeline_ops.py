@@ -1191,3 +1191,56 @@ def test_deterministic_topk_sample_exact_and_stable(spark):
         ).collect()
     }
     assert len(a) == 25 and a == b  # exact k, order-independent
+
+
+def test_unigram_lm_bits_flags_rare_token_docs(spark):
+    """A doc made of corpus-rare tokens must score more bits/token than a
+    doc made of corpus-common tokens; bits are positive and finite."""
+    from dask_sql_spark.operators.text import unigram_lm_bits
+
+    rows = [(i, "common words common words") for i in range(6)]
+    rows.append((6, "zxqv jklm wpfg"))  # rare everywhere
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in unigram_lm_bits(df).collect()
+    }
+    assert out[6] > out[0] > 0
+    assert all(v == v and v != float("inf") for v in out.values())
+
+
+def test_stratified_sample_hamilton_allocation(spark):
+    """Exactly k rows come back; per-stratum counts follow the
+    largest-remainder quotas; repeated runs are identical."""
+    from dask_sql_spark.operators.llmprep import stratified_sample
+
+    rows = (
+        [(i, "en") for i in range(60)]
+        + [(100 + i, "de") for i in range(30)]
+        + [(200 + i, "fr") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id INT, lang STRING")
+    out = stratified_sample(df, k=10, strata_col="lang").toPandas()
+    assert len(out) == 10
+    by_lang = out.groupby("lang")["doc_id"].count().to_dict()
+    # quotas are exact: 60/100*10=6, 30/100*10=3, 10/100*10=1
+    assert by_lang == {"en": 6, "de": 3, "fr": 1}
+    again = stratified_sample(df, k=10, strata_col="lang").toPandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_stratified_sample_remainder_seats(spark):
+    """With k=4 over strata of 5/3/3 the Hamilton remainders decide the
+    fourth seat: base = floor(4*5/11)=1, floor(4*3/11)=1, floor(4*3/11)=1;
+    remainders 9, 1, 1 -> the extra seat goes to the big stratum."""
+    from dask_sql_spark.operators.llmprep import stratified_sample
+
+    rows = (
+        [(i, "a") for i in range(5)]
+        + [(10 + i, "b") for i in range(3)]
+        + [(20 + i, "c") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id INT, lang STRING")
+    out = stratified_sample(df, k=4, strata_col="lang").toPandas()
+    by = out.groupby("lang")["doc_id"].count().to_dict()
+    assert by == {"a": 2, "b": 1, "c": 1}
