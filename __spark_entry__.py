@@ -4534,6 +4534,101 @@ SELECT lang, doc_id, alloc FROM ranked WHERE rn <= alloc
 )
 
 
+def _bm25_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 corpus search (text.bm25_search): explode stream
+    filtered to query terms pre-shuffle, broadcast corpus stats,
+    decimal-routed per-term sum, deterministic top-k."""
+    from dask_sql_spark.operators.text import bm25_search
+
+    return bm25_search(
+        _table(spark, sf_dir, "documents"),
+        query="spark window merge",
+        k=15,
+    )
+
+
+_dfq(
+    "text_bm25_search",
+    _bm25_fn,
+    f"""
+WITH t AS (SELECT doc_id, unnest({_DOC_TOKS}) AS term FROM documents),
+lens AS (SELECT doc_id, len({_DOC_TOKS}) AS dl FROM documents),
+stats AS (SELECT SUM(dl) AS total_dl, COUNT(*) AS n_docs FROM lens),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM t
+  WHERE term IN ('merge', 'spark', 'window')
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+s AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ln(1.0 + (stats.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75
+              + 0.75 * lens.dl / (stats.total_dl / CAST(stats.n_docs AS DOUBLE)))),
+           9) AS DECIMAL(38,18)) AS term_score
+  FROM tf JOIN dft USING (term) JOIN lens USING (doc_id), stats
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       ROUND(CAST(SUM(term_score) AS DOUBLE), 6) AS score
+FROM s GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 15
+""",
+)
+
+
+def _containment_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs (dedup.containment_pairs):
+    catches quotation/excerpt duplicates Jaccard misses; same bucketed
+    plan as ngram_jaccard with the hot-shingle cap."""
+    from dask_sql_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _table(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.3,
+        max_df=1000,
+    )
+
+
+_dfq(
+    "dedup_containment",
+    _containment_fn,
+    """
+WITH
+docs AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM docs, UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS t(i)
+  WHERE array_to_string(toks[i:i+2], ' ') <> ''
+),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         ROUND(common / CAST(sa.sz AS DOUBLE), 6) AS c_ab,
+         ROUND(common / CAST(sb.sz AS DOUBLE), 6) AS c_ba
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, greatest(c_ab, c_ba) AS containment,
+       CASE WHEN c_ab = c_ba THEN 'mutual'
+            WHEN c_ab > c_ba THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+FROM scored
+WHERE greatest(c_ab, c_ba) >= 0.3
+""",
+)
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #

@@ -173,6 +173,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document pairs where the SMALLER shingle set is ≥ ``threshold``
+    contained in the other: ``max(|A∩B|/|A|, |A∩B|/|B|)`` — the
+    asymmetric companion to :func:`ngram_jaccard_pairs`. Jaccard misses
+    quotation/excerpt relationships (a 50-token quote inside a 5000-token
+    page has tiny Jaccard but containment ≈ 1); training pipelines use
+    containment to catch wrapped or excerpted duplicates that
+    symmetric measures can't.
+
+    Same plan as ngram_jaccard_pairs (shared bucket-list explode, one
+    corpus shuffle, ReuseExchange across the sizes/pairs branches, 60-bit
+    shingle-hash join keys, ``max_df`` hot-shingle cap); only the final
+    arithmetic differs. Output: (id_a, id_b, containment, direction)
+    where direction marks which side is the contained one ('a_in_b'
+    when |A| is the denominator of the max, 'b_in_a' otherwise;
+    'mutual' on exact ties — deterministic).
+    """
+    sh = shingles(df, id_col, text_col, n).select(
+        F.col(id_col), portable_hash64(F.col("shingle")).alias("shingle")
+    )
+    lists = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    if max_df is not None:
+        lists = lists.where(F.size("ids") <= max_df)
+    sizes = (
+        lists.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    pair_structs = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "b -> struct(a AS id_a, b AS id_b))))"
+    )
+    common = (
+        lists.where(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sza = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    c_ab = F.round(F.col("common") / F.col("sz_a"), 6)
+    c_ba = F.round(F.col("common") / F.col("sz_b"), 6)
+    return (
+        common.join(sza, "id_a")
+        .join(szb, "id_b")
+        .withColumn("containment", F.greatest(c_ab, c_ba))
+        .withColumn(
+            "direction",
+            F.when(c_ab == c_ba, F.lit("mutual"))
+            .when(c_ab > c_ba, F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a")),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment", "direction")
+    )
+
+
 # --------------------------------------------------------------------- #
 # MinHash + LSH                                                         #
 # --------------------------------------------------------------------- #

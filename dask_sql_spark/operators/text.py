@@ -623,3 +623,90 @@ def unigram_lm_bits(
             round_digits,
         ).alias("bits_per_token"),
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``k`` documents by Okapi BM25 relevance to ``query`` — corpus
+    search as a pure DataFrame program (no index build step; the
+    "inverted index" IS the filtered (doc, term, tf) aggregate).
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))``
+    with ``idf(t) = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))``.
+
+    Scale shape: the explode stream is filtered to the query's terms
+    BEFORE the shuffle, so the exchange carries only matching (doc, term)
+    pairs — cost proportional to hit count, not corpus size. Document
+    lengths come from a no-explode ``size(tokens)`` scan; corpus totals
+    ride as a broadcast 1-row cross join; df_t is a window over the
+    filtered aggregate. Per-term contributions are rounded then summed
+    as DECIMAL(38,18) (order-independent), final score rounded with a
+    doc-id tiebreak for a deterministic top-k.
+    """
+    from pyspark.sql.window import Window
+
+    qterms = sorted({t for t in query.lower().strip().split() if t})
+    if not qterms:
+        raise ValueError("query must contain at least one token")
+    df = ensure_parallelism(df)
+    lens = df.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("dl")
+    )
+    stats = lens.agg(
+        F.sum("dl").alias("total_dl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        df.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+        .where(F.col("term").isin(qterms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.withColumn(
+            "df_t", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("total_dl") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                9,
+            ).cast("decimal(38,18)"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("term_score").alias("s"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    return (
+        per_doc.select(
+            id_col,
+            F.col("n_terms_hit").cast("bigint").alias("n_terms_hit"),
+            F.round(F.col("s").cast("double"), round_digits).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

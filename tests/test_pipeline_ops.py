@@ -1244,3 +1244,54 @@ def test_stratified_sample_remainder_seats(spark):
     out = stratified_sample(df, k=4, strata_col="lang").toPandas()
     by = out.groupby("lang")["doc_id"].count().to_dict()
     assert by == {"a": 2, "b": 1, "c": 1}
+
+
+def test_bm25_search_ranks_relevant_doc_first(spark):
+    from dask_sql_spark.operators.text import bm25_search
+
+    rows = [
+        (0, "spark engine spark engine spark"),
+        (1, "totally unrelated words here banana"),
+        (2, "spark appears once in a much longer document " + "pad " * 40),
+        (3, "engine engine engine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = bm25_search(df, "spark engine", k=3).collect()
+    assert out[0]["doc_id"] == 0          # hits both terms, short doc
+    assert out[0]["n_terms_hit"] == 2
+    ids = [r["doc_id"] for r in out]
+    assert 1 not in ids                    # no query term -> no score row
+    assert all(r["score"] > 0 for r in out)
+
+
+def test_bm25_search_empty_query_raises(spark):
+    from dask_sql_spark.operators.text import bm25_search
+
+    df = spark.createDataFrame([(0, "x")], "doc_id INT, text STRING")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_search(df, "   ")
+
+
+def test_containment_catches_excerpt_jaccard_misses(docs, spark):
+    """Doc 8 = doc 0's text embedded in a much longer page: Jaccard is
+    low (big union) but containment of doc 0 inside doc 8 is ~1."""
+    from dask_sql_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = docs.toPandas()
+    quote = base.loc[base.doc_id == 0, "text"].iloc[0]
+    longer = quote + " " + " ".join(f"filler{i} word{i} extra{i}" for i in range(30))
+    rows = list(base.itertuples(index=False)) + [(99, longer)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+    cont = containment_pairs(df, threshold=0.9).toPandas()
+    pair = cont[(cont.id_a == 0) & (cont.id_b == 99)]
+    assert len(pair) == 1 and pair.iloc[0]["direction"] == "a_in_b"
+    assert pair.iloc[0]["containment"] >= 0.99
+
+    jac = ngram_jaccard_pairs(df, threshold=0.9).toPandas()
+    assert len(jac[(jac.id_a == 0) & (jac.id_b == 99)]) == 0
