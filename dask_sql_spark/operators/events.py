@@ -8,8 +8,17 @@ user_id only), expressible identically in the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _epoch_us(col: Column | str) -> Column:
+    """Integer microseconds since epoch, tolerant of TIMESTAMP_NTZ input
+    (parquet nano-timestamp columns surface as NTZ): cast to session-TZ
+    timestamp first — a no-op for plain TIMESTAMP, and exact under the
+    Context's pinned UTC session zone (context.py:77)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def funnel_steps(
@@ -72,7 +81,7 @@ def sessionize(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    us = F.unix_micros(F.col(ts_col))
+    us = _epoch_us(ts_col)
     gap_us = us - F.lag(us).over(w)
     is_new = F.when(
         gap_us.isNull() | (gap_us > F.lit(int(gap_seconds) * 1_000_000)), 1
@@ -86,7 +95,7 @@ def sessionize(
         F.max(ts_col).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
         (
-            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+            (_epoch_us(F.max(ts_col)) - _epoch_us(F.min(ts_col)))
             / 1_000_000.0
         ).alias("duration_secs"),
     )
@@ -227,7 +236,7 @@ def session_paths(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    us = F.unix_micros(F.col(ts_col))
+    us = _epoch_us(ts_col)
     gap_us = us - F.lag(us).over(w)
     is_new = F.when(
         gap_us.isNull() | (gap_us > F.lit(int(gap_seconds) * 1_000_000)), 1
