@@ -4629,6 +4629,68 @@ WHERE greatest(c_ab, c_ba) >= 0.3
 )
 
 
+def _incremental_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-ingest dedup (dedup.incremental_dedup): docs with
+    doc_id % 3 = 0 play the historical fingerprint store; the rest are
+    the new batch. Survivors = batch min-id keepers whose content hash
+    is absent from the store (LEFT ANTI)."""
+    from dask_sql_spark.operators.dedup import incremental_dedup
+
+    docs = _table(spark, sf_dir, "documents")
+    store = docs.where("doc_id % 3 = 0").selectExpr(
+        "md5(text) AS content_hash"
+    )
+    batch = docs.where("doc_id % 3 <> 0")
+    return incremental_dedup(batch, store)
+
+
+_dfq(
+    "dedup_incremental",
+    _incremental_dedup_fn,
+    """
+WITH store AS (
+  SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id % 3 = 0
+),
+batch AS (
+  SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id
+  FROM documents WHERE doc_id % 3 <> 0 GROUP BY md5(text)
+)
+SELECT b.doc_id, b.content_hash
+FROM batch b LEFT JOIN store s USING (content_hash)
+WHERE s.content_hash IS NULL
+""",
+)
+
+
+def _shuffle_shards_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (llmprep.shuffle_shards): md5(seed:id)
+    orders the corpus, shard = hash % 8, shard_pos = in-shard rank. One
+    shuffle on the shard key; reproduced row-for-row by the oracle."""
+    from dask_sql_spark.operators.llmprep import shuffle_shards
+
+    return shuffle_shards(
+        _table(spark, sf_dir, "documents"), n_shards=8, seed="epoch-1"
+    ).select("doc_id", "shard", "shard_pos")
+
+
+_dfq(
+    "llm_shuffle_shards",
+    _shuffle_shards_fn,
+    f"""
+WITH h AS (
+  SELECT doc_id,
+    {portable_hash64_sql("'epoch-1:' || CAST(doc_id AS VARCHAR)")} AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, CAST(shuffle_key % 8 AS INT) AS shard,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY shuffle_key % 8 ORDER BY shuffle_key, doc_id
+  ) AS INT) AS shard_pos
+FROM h
+""",
+)
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #

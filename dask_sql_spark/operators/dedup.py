@@ -52,6 +52,42 @@ def exact_duplicates(
     )
 
 
+def incremental_dedup(
+    new_batch: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seen_hash_col: str = "content_hash",
+) -> DataFrame:
+    """Incremental-ingest dedup: survivors of a new batch against a
+    historical fingerprint store — the nightly-append pattern at 100 TB,
+    where re-deduping the whole corpus per ingest is a non-starter.
+
+    Two steps, each a single shuffle on the 128-bit content hash:
+    1. intra-batch exact dedup — groupBy(content_hash) keeps the min-id row
+       (map-side partial agg applies);
+    2. LEFT ANTI join against the store's hash column.
+
+    ``seen`` carries only (content_hash): the store never needs full text,
+    so at 100 TB it is a compact parquet table bucketed by hash — the anti
+    join then co-partitions with step 1's shuffle output instead of
+    re-shuffling history every night. The output doubles as the
+    fingerprint delta: append it to the store to complete the cycle.
+    Additive over the reference (no incremental-ingest operator there).
+    """
+    batch = (
+        new_batch.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    store = seen.select(F.col(seen_hash_col).alias("content_hash")).distinct()
+    return batch.join(store, "content_hash", "left_anti").select(
+        id_col, "content_hash"
+    )
+
+
 def drop_exact_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -251,6 +251,44 @@ def assign_splits(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: str = "shuffle-0",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment:
+    adds (shuffle_key, shard, shard_pos) where ``shard = hash % n_shards``
+    and ``shard_pos`` is the hash-order rank within the shard.
+
+    The properties a training run needs that RNG shuffles lack:
+    reproducible across re-runs and engines (md5 of seed:key, no RNG
+    state), hash-uniform shard sizes, and a new ``seed`` gives an
+    independent epoch order without rewriting data. Cost model: ONE
+    shuffle on the shard key; the within-shard rank is a sort inside that
+    exchange, never a global sort. At 100 TB follow with
+    ``.repartition(n_shards, "shard")`` + ``partitionBy("shard")`` on the
+    sink so the window and the write share the exchange.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    from pyspark.sql.window import Window
+
+    from dask_sql_spark.operators.hashing import portable_hash64
+
+    h = portable_hash64(
+        F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", key_col)
+    return (
+        df.withColumn("shuffle_key", h)
+        .withColumn(
+            "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
+        )
+        .withColumn("shard_pos", F.row_number().over(w))
+    )
+
+
 def pack_stats(
     df: DataFrame,
     max_tokens: int,

@@ -1295,3 +1295,50 @@ def test_containment_catches_excerpt_jaccard_misses(docs, spark):
 
     jac = ngram_jaccard_pairs(df, threshold=0.9).toPandas()
     assert len(jac[(jac.id_a == 0) & (jac.id_b == 99)]) == 0
+
+
+def test_incremental_dedup_anti_joins_store_and_batch(docs, spark):
+    """Store holds doc 0's text; batch has an exact dup of it (doc 2),
+    an intra-batch dup pair, and fresh content — survivors are the fresh
+    min-id keepers only."""
+    from dask_sql_spark.operators.dedup import incremental_dedup
+
+    store = docs.where("doc_id = 0").selectExpr("md5(text) AS content_hash")
+    batch = docs.where("doc_id in (1, 2, 3)")
+    out = incremental_dedup(batch, store).toPandas()
+    # doc 2 == doc 0 text → dropped by the store; 1 and 3 are fresh
+    assert sorted(out.doc_id.tolist()) == [1, 3]
+
+    # intra-batch dedup: 0 and 2 share text → min-id keeper 0 survives
+    out2 = incremental_dedup(
+        docs.where("doc_id in (0, 2, 3)"), store.where("1=0")
+    ).toPandas()
+    assert sorted(out2.doc_id.tolist()) == [0, 3]
+
+
+def test_shuffle_shards_deterministic_and_complete(docs, spark):
+    from dask_sql_spark.operators.llmprep import shuffle_shards
+
+    out = shuffle_shards(docs, n_shards=3, seed="e1").toPandas()
+    assert len(out) == docs.count()
+    assert set(out.shard.unique()) <= {0, 1, 2}
+    # per-shard positions are 1..n with no gaps
+    for s, grp in out.groupby("shard"):
+        assert sorted(grp.shard_pos.tolist()) == list(range(1, len(grp) + 1))
+    # deterministic under re-run and repartition
+    again = shuffle_shards(docs.repartition(5), n_shards=3, seed="e1").toPandas()
+    a = out.sort_values("doc_id")[["doc_id", "shard", "shard_pos"]].values.tolist()
+    b = again.sort_values("doc_id")[["doc_id", "shard", "shard_pos"]].values.tolist()
+    assert a == b
+    # a different seed reorders
+    other = shuffle_shards(docs, n_shards=3, seed="e2").toPandas()
+    merged = out.merge(other, on="doc_id", suffixes=("_1", "_2"))
+    assert (
+        (merged.shard_1 != merged.shard_2)
+        | (merged.shard_pos_1 != merged.shard_pos_2)
+    ).any()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        shuffle_shards(docs, n_shards=0)
