@@ -4691,6 +4691,59 @@ FROM h
 )
 
 
+def _semantic_decon_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (similarity.semantic_contaminated):
+    vec_id % 20 = 0 plays the benchmark set (broadcast), the rest the
+    corpus; pairs with cosine ≥ 0.6 are leaked."""
+    from dask_sql_spark.operators.similarity import semantic_contaminated
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return semantic_contaminated(
+        emb.where("vec_id % 20 <> 0"),
+        emb.where("vec_id % 20 = 0"),
+        threshold=0.6,
+    )
+
+
+_dfq(
+    "curate_semantic_decon",
+    _semantic_decon_fn,
+    f"""
+WITH e AS (SELECT vec_id, {_EMB_DOUBLE} AS v FROM embeddings),
+c AS (SELECT vec_id, v FROM e WHERE vec_id % 20 <> 0),
+b AS (SELECT vec_id, v FROM e WHERE vec_id % 20 = 0)
+SELECT a.vec_id AS corpus_id, b.vec_id AS bench_id
+FROM c a, b
+WHERE {_COS} >= 0.6
+""",
+)
+
+
+def _bpe_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training inner loop (text.bpe_pair_counts): top-20
+    word-internal character-pair frequencies, one map-side-combined
+    aggregate over the exploded corpus."""
+    from dask_sql_spark.operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(_table(spark, sf_dir, "documents"), k=20)
+
+
+_dfq(
+    "text_bpe_pairs",
+    _bpe_pairs_fn,
+    """
+WITH t AS (SELECT lower(text) AS s FROM documents),
+p AS (
+  SELECT s[i:i+1] AS pair
+  FROM t, UNNEST(range(1, greatest(length(s) - 1, 1) + 1)) AS u(i)
+)
+SELECT pair, COUNT(*) AS cnt FROM p
+WHERE length(pair) = 2 AND pair NOT LIKE '% %'
+GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+""",
+)
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #

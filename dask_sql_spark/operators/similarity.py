@@ -258,6 +258,41 @@ def lsh_topk(
     return _rank_topk(scored, k)
 
 
+def semantic_contaminated(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: (corpus_id, bench_id)
+    pairs whose cosine meets the threshold — the semantic twin of
+    ``text.contaminated_docs`` (shingle overlap), catching paraphrased
+    test-set leakage that exact n-gram matching misses.
+
+    The benchmark side is broadcast (an eval set is always tiny next to
+    the training corpus), so the corpus is scanned once with no shuffle —
+    the same broadcast-nested-loop shape as :func:`brute_force_topk`. All
+    math is JVM-side (zip_with/aggregate). To drop the leaked docs, LEFT
+    ANTI join the corpus on ``corpus_id``.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("vc"),
+    )
+    b = F.broadcast(
+        bench.select(
+            F.col(id_col).alias("bench_id"),
+            F.col(vec_col).cast("array<double>").alias("vb"),
+        )
+    )
+    return (
+        c.crossJoin(b)
+        .where(cosine(F.col("vc"), F.col("vb")) >= threshold)
+        .select("corpus_id", "bench_id")
+    )
+
+
 def centroid_similarity(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -409,6 +409,38 @@ def ngram_topk(
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed adjacent-pair frequency count — the inner loop of BPE
+    tokenizer training (count all adjacent symbol pairs, merge the most
+    frequent, repeat). Output: the ``k`` hottest word-internal character
+    pairs as (pair, cnt), count-desc with a deterministic pair tie-break.
+
+    One explode + ONE hash aggregate: map-side partial combine collapses
+    each executor's pair counts to the (tiny) distinct-pair set before the
+    shuffle, so at 100 TB the shuffle carries ~|alphabet|² partial rows
+    per partition, not the exploded corpus. Each BPE merge iteration at
+    scale is exactly this job re-run over the re-tokenized symbol column;
+    pairs spanning whitespace are dropped (BPE merges never cross
+    pre-tokenization boundaries).
+    """
+    df = ensure_parallelism(df)
+    t = F.lower(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(F.char_length(t) - 1, F.lit(1)))
+    pairs = F.transform(idx, lambda i: t.substr(i, F.lit(2)))
+    return (
+        df.select(F.explode(pairs).alias("pair"))
+        .where((F.char_length(F.col("pair")) == 2) & ~F.col("pair").contains(" "))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(k)
+    )
+
+
 # Unicode script classes: (name, Java regex for Spark, RE2 regex for the
 # DuckDB oracle). Java spells scripts \p{IsLatin}; RE2 spells them
 # \p{Latin} — same chars matched, different dialect names.

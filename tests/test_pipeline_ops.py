@@ -1342,3 +1342,31 @@ def test_shuffle_shards_deterministic_and_complete(docs, spark):
 
     with _pytest.raises(ValueError):
         shuffle_shards(docs, n_shards=0)
+
+
+def test_semantic_contaminated_finds_paraphrase_pairs(emb, spark):
+    """Vec 1 is near-parallel to vec 0 (cos ≈ 0.99): with 0 as the bench
+    set, only corpus vec 1 crosses a 0.95 threshold."""
+    from dask_sql_spark.operators.similarity import semantic_contaminated
+
+    bench = emb.where("vec_id = 0")
+    corpus = emb.where("vec_id <> 0")
+    out = semantic_contaminated(corpus, bench, threshold=0.95).toPandas()
+    assert out.values.tolist() == [[1, 0]]
+    # at a loose threshold more corpus rows pair with the bench vector
+    loose = semantic_contaminated(corpus, bench, threshold=0.5).toPandas()
+    assert set(loose.corpus_id) >= {1, 4}
+
+
+def test_bpe_pair_counts_word_internal_only(spark):
+    from dask_sql_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(0, "aaab aab"), (1, "ab")], "doc_id INT, text STRING"
+    )
+    out = bpe_pair_counts(df, k=10).toPandas()
+    counts = dict(zip(out["pair"], out["cnt"]))
+    # "aaab" → aa,aa,ab ; "aab" → aa,ab ; "ab" → ab ; no cross-space pairs
+    assert counts == {"aa": 3, "ab": 3}
+    # deterministic ordering: count desc then pair asc
+    assert out["pair"].tolist() == ["aa", "ab"]
