@@ -260,3 +260,47 @@ def test_dq_report_checks_fuse_into_scans(sf_tables):
     n_scans = len(re.findall(r"Scan parquet", plan))
     assert n_scans == 4, f"expected 4 scans (3 orders + 1 customer): {n_scans}"
     assert "BroadcastHashJoin" in plan  # the anti join's parent side
+
+
+def test_shuffle_shards_single_exchange_no_global_sort(sf_tables):
+    """Epoch shuffle-sharding must cost exactly ONE hash exchange (on the
+    shard key for the in-shard rank window) — no global sort, no
+    single-partition stage anywhere."""
+    from dask_sql_spark.operators.llmprep import shuffle_shards
+
+    df = shuffle_shards(sf_tables._get_table("documents"), n_shards=8)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]  # AQE prints final + initial
+    assert "SinglePartition" not in plan, plan[:3000]
+    assert final.count("Exchange hashpartitioning") == 1, final[:3000]
+
+
+def test_semantic_decon_broadcasts_bench_side(sf_tables):
+    """The benchmark side must broadcast: the corpus scan is shuffle-free
+    (broadcast nested loop), the shape that survives a 100 TB corpus."""
+    from dask_sql_spark.operators.similarity import semantic_contaminated
+
+    emb = sf_tables._get_table("embeddings")
+    df = semantic_contaminated(
+        emb.where("vec_id % 20 <> 0"), emb.where("vec_id % 20 = 0"),
+        threshold=0.6,
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan[:3000]
+    assert "Exchange hashpartitioning" not in plan, plan[:3000]
+
+
+def test_bpe_pair_counts_partial_agg_before_shuffle(sf_tables):
+    """The pair count must partial-aggregate map-side: the shuffle carries
+    distinct-pair partials, not the exploded corpus."""
+    from dask_sql_spark.operators.text import bpe_pair_counts
+
+    df = bpe_pair_counts(sf_tables._get_table("documents"), k=10)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "HashAggregate(keys=[pair" in plan, (
+        plan[:3000]
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
