@@ -4744,6 +4744,84 @@ GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
 )
 
 
+def _source_formats_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format dispatch under the oracle gate (sources/location.py):
+    documents is written to csv / json / orc sinks, read back through
+    ``read_location``'s extension/format dispatch, and each read-back is
+    aggregated identically to the parquet-view oracle — proving the
+    non-parquet read paths are lossless, not just importable. CSV carries
+    the scalar projection only (free text with newlines is not
+    CSV-roundtrip-safe by design; the reference's pandas reader shares
+    the limitation)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.hashing import portable_hash64
+    from dask_sql_spark.sources.location import read_location
+
+    docs = _table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="spark_graft_fmt_")
+    docs.select("doc_id", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).option("header", True).csv(f"{base}/csv")
+    docs.write.mode("overwrite").json(f"{base}/json")
+    docs.write.mode("overwrite").orc(f"{base}/orc")
+
+    outs = []
+    for fmt in ("csv", "json", "orc"):
+        df = read_location(spark, f"{base}/{fmt}", format=fmt)
+        has_text = "text" in df.columns
+        outs.append(
+            df.agg(
+                F.lit(fmt).alias("fmt"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                F.min("doc_id").cast("bigint").alias("min_id"),
+                F.max("doc_id").cast("bigint").alias("max_id"),
+                (
+                    F.expr(f"bit_xor({portable_hash64_spark_expr('text')})")
+                    if has_text
+                    else F.lit(None).cast("bigint")
+                ).alias("text_xor"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("fmt")
+
+
+def portable_hash64_spark_expr(col: str) -> str:
+    from dask_sql_spark.operators.hashing import portable_hash64_spark_sql
+
+    return portable_hash64_spark_sql(col)
+
+
+_dfq(
+    "source_formats_roundtrip",
+    _source_formats_fn,
+    f"""
+SELECT 'csv' AS fmt, COUNT(*) AS n_rows,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id,
+  CAST(NULL AS BIGINT) AS text_xor
+FROM documents
+UNION ALL
+SELECT 'json', COUNT(*), CAST(SUM(n_chars) AS BIGINT),
+  CAST(MIN(doc_id) AS BIGINT), CAST(MAX(doc_id) AS BIGINT),
+  bit_xor({portable_hash64_sql('text')})
+FROM documents
+UNION ALL
+SELECT 'orc', COUNT(*), CAST(SUM(n_chars) AS BIGINT),
+  CAST(MIN(doc_id) AS BIGINT), CAST(MAX(doc_id) AS BIGINT),
+  bit_xor({portable_hash64_sql('text')})
+FROM documents
+ORDER BY fmt
+""",
+)
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #

@@ -65,7 +65,17 @@ HEADLINE = [
     "pipeline_training_prep",
     "agg_salted_distinct",
     "text_unigram_lm_bits",
+    # round-4 additions
+    "dedup_incremental",
+    "llm_shuffle_shards",
+    "curate_semantic_decon",
+    "text_bpe_pairs",
 ]
+
+# the 28 queries BENCH_r01 measured (total 27.48 s at sf0.1): their
+# subtotal is emitted as baseline_subset_total so cross-round comparison
+# is not skewed by the headline list growing each round
+_R01_SET = set(HEADLINE[:28])
 
 
 def main() -> None:
@@ -106,6 +116,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "baseline_subset_total": round(
+                    sum(v for k, v in timings.items() if k in _R01_SET), 3
+                ),
             }
         )
     )
