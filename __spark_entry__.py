@@ -50,6 +50,11 @@ def _ctx(spark: SparkSession, sf_dir: str):
         _CTX_CACHE.clear()  # views are session-global; don't mix sf_dirs
         _CTX_CACHE[key] = ctx
         for t in TABLES:
+            # deliberately NOT auto_rebalance=True: measured at sf0.1 the
+            # cached-rebalance total is a wash (scan-bound q1 3× faster,
+            # join-heavy queries slower without file-source AQE/pushdown),
+            # and file-source scans keep PushedFilters visible in every
+            # plan — the property that actually matters at 100 TB.
             ctx.create_table(t, f"{sf_dir}/{t}.parquet")
     return ctx
 
@@ -4818,6 +4823,75 @@ SELECT 'orc', COUNT(*), CAST(SUM(n_chars) AS BIGINT),
   bit_xor({portable_hash64_sql('text')})
 FROM documents
 ORDER BY fmt
+""",
+)
+
+
+def _hybrid_rerank_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage lexical+semantic retrieval (similarity.hybrid_rerank):
+    BM25 candidates → broadcast join to embeddings (vec_id ↔ doc_id) →
+    cosine rerank against vec 7's embedding as the query vector."""
+    from dask_sql_spark.operators.similarity import hybrid_rerank
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return hybrid_rerank(
+        _table(spark, sf_dir, "documents"),
+        emb,
+        query="spark window merge",
+        query_emb=emb.where("vec_id = 7"),
+        k=10,
+        candidates=50,
+        alpha=0.5,
+    )
+
+
+_dfq(
+    "search_hybrid_rerank",
+    _hybrid_rerank_fn,
+    f"""
+WITH t AS (SELECT doc_id, unnest({_DOC_TOKS}) AS term FROM documents),
+lens AS (SELECT doc_id, len({_DOC_TOKS}) AS dl FROM documents),
+stats AS (SELECT SUM(dl) AS total_dl, COUNT(*) AS n_docs FROM lens),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM t
+  WHERE term IN ('merge', 'spark', 'window')
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+s AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ln(1.0 + (stats.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1.0 - 0.75
+              + 0.75 * lens.dl / (stats.total_dl / CAST(stats.n_docs AS DOUBLE)))),
+           9) AS DECIMAL(38,18)) AS term_score
+  FROM tf JOIN dft USING (term) JOIN lens USING (doc_id), stats
+),
+cands AS (
+  SELECT doc_id, ROUND(CAST(SUM(term_score) AS DOUBLE), 6) AS score
+  FROM s GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC
+  LIMIT 50
+),
+m AS (SELECT MAX(score) AS m FROM cands),
+qv AS (SELECT {_EMB_DOUBLE} AS vq FROM embeddings WHERE vec_id = 7),
+scored AS (
+  SELECT c.doc_id,
+    ROUND(c.score / m.m, 9) AS bm25_norm,
+    ROUND(
+      list_dot_product(e.v, qv.vq)
+      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.vq, qv.vq))),
+      9) AS cos_sim
+  FROM cands c
+  JOIN (SELECT vec_id, {_EMB_DOUBLE} AS v FROM embeddings) e
+    ON e.vec_id = c.doc_id, m, qv
+)
+SELECT doc_id, bm25_norm, cos_sim,
+  ROUND(0.5 * bm25_norm + 0.5 * cos_sim, 6) AS final_score
+FROM scored
+ORDER BY final_score DESC, doc_id ASC
+LIMIT 10
 """,
 )
 

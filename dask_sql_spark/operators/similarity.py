@@ -293,6 +293,69 @@ def semantic_contaminated(
     )
 
 
+def hybrid_rerank(
+    docs: DataFrame,
+    emb: DataFrame,
+    query: str,
+    query_emb: DataFrame,
+    k: int = 10,
+    candidates: int = 50,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    text_col: str = "text",
+) -> DataFrame:
+    """Two-stage retrieval: BM25 candidate generation over the corpus,
+    then embedding-cosine rerank of ONLY the candidate set —
+    ``final = alpha·(bm25/max_bm25) + (1−alpha)·cos(query_vec, doc_vec)``.
+    The standard hybrid lexical+semantic ranker for RAG / curation
+    pipelines. Output: (id, bm25_norm, cos_sim, final_score) top-k.
+
+    Scale shape: stage 1 is :func:`~dask_sql_spark.operators.text.
+    bm25_search` (exchange carries only query-term hits); the ≤
+    ``candidates`` survivors and the single-row query vector broadcast
+    against the embeddings table, so the expensive cosine math runs on
+    exactly ``candidates`` rows no matter the corpus size. Scores are
+    rounded (cos at 9, final at 6) for cross-engine determinism.
+    """
+    from dask_sql_spark.operators.text import bm25_search
+
+    cands = bm25_search(
+        docs, query, k=candidates, id_col=id_col, text_col=text_col
+    ).select(id_col, "score")
+    e = emb.select(
+        F.col(emb_id_col).alias(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    q = F.broadcast(
+        query_emb.select(F.col(vec_col).cast("array<double>").alias("__vq"))
+    )
+    m = cands.agg(F.max("score").alias("__m"))
+    scored = (
+        F.broadcast(cands)
+        .join(e, id_col)
+        .crossJoin(q)
+        .crossJoin(F.broadcast(m))
+        .withColumn("bm25_norm", F.round(F.col("score") / F.col("__m"), 9))
+        .withColumn("cos_sim", F.round(cosine(F.col("__v"), F.col("__vq")), 9))
+    )
+    return (
+        scored.select(
+            id_col,
+            "bm25_norm",
+            "cos_sim",
+            F.round(
+                F.lit(alpha) * F.col("bm25_norm")
+                + F.lit(1.0 - alpha) * F.col("cos_sim"),
+                6,
+            ).alias("final_score"),
+        )
+        .orderBy(F.col("final_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def centroid_similarity(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1370,3 +1370,31 @@ def test_bpe_pair_counts_word_internal_only(spark):
     assert counts == {"aa": 3, "ab": 3}
     # deterministic ordering: count desc then pair asc
     assert out["pair"].tolist() == ["aa", "ab"]
+
+
+def test_hybrid_rerank_blends_lexical_and_semantic(docs, emb, spark):
+    """Docs 0-4 have embeddings (vec_id == doc_id). Query terms hit the
+    fox docs; the query vector is vec 0's embedding, so doc 1 (high BM25
+    AND cos≈0.99 to vec 0) must outrank doc 4 (low lexical overlap,
+    mid cosine)."""
+    from dask_sql_spark.operators.similarity import hybrid_rerank
+
+    out = hybrid_rerank(
+        docs,
+        emb.withColumn("embedding", F.col("embedding").cast("array<double>")),
+        query="quick brown fox",
+        query_emb=emb.where("vec_id = 0"),
+        k=5,
+        candidates=10,
+        alpha=0.5,
+    ).toPandas()
+    assert set(out.columns) == {"doc_id", "bm25_norm", "cos_sim", "final_score"}
+    # only docs with BOTH a term hit and an embedding can appear
+    assert set(out.doc_id) <= {0, 1, 2}
+    # doc 0: max BM25 and cos(v0, v0) = 1 → must rank first; near-dup
+    # doc 1 (cos ≈ 0.99) must be present and beat orthogonal doc 2
+    ranked = out.sort_values("final_score", ascending=False).doc_id.tolist()
+    assert ranked[0] == 0
+    assert ranked.index(1) < ranked.index(2)
+    # scores within [0, 1] + rounding slack
+    assert (out.final_score <= 1.000001).all()
