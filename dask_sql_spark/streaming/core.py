@@ -73,6 +73,32 @@ def dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicates(id_cols)
 
 
+def incremental_dedup_stream(
+    stream: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    seen_hash_col: str = "content_hash",
+) -> DataFrame:
+    """Streaming half of the incremental-ingest dedup cycle
+    (operators/dedup.py:incremental_dedup is the batch half): arriving
+    documents are LEFT ANTI joined against the *static* historical
+    fingerprint store, so only never-seen content flows downstream.
+
+    Stream-static anti joins are stateless on the stream side — no
+    watermark state grows with the corpus; the store is re-read per
+    micro-batch (broadcast when small, else a shuffled join against the
+    store's bucketed layout). Within-batch repeats are left to the
+    downstream batch dedup (or chain :func:`dedup_stream` for exact
+    event-key repeats); appending each batch's survivor hashes back to
+    the store closes the loop via ``foreachBatch``.
+    """
+    from pyspark.sql import functions as F
+
+    hashed = stream.withColumn("content_hash", F.md5(F.col(text_col)))
+    store = seen.select(F.col(seen_hash_col).alias("content_hash"))
+    return hashed.join(store, "content_hash", "left_anti")
+
+
 def stateful_running_totals(
     stream: DataFrame,
     key_col: str = "user_id",

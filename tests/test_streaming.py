@@ -245,3 +245,32 @@ def test_transform_with_state_totals_multi_batch(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_incremental_dedup_stream_anti_joins_static_store(
+    spark, tmp_path_factory
+):
+    """Arriving docs stream against a static fingerprint store: seen
+    content is dropped, fresh content flows through."""
+    import pandas as pd
+
+    from dask_sql_spark.streaming.core import incremental_dedup_stream
+
+    d = tmp_path_factory.mktemp("inc_dedup_src")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12],
+            "text": ["already seen", "fresh one", "fresh two"],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(str(d / "data"))
+    store = spark.createDataFrame(
+        [("already seen",)], "t STRING"
+    ).selectExpr("md5(t) AS content_hash")
+
+    src = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(
+        str(d / "data")
+    )
+    out = incremental_dedup_stream(src, store)
+    rows = _run_stream(spark, out, "inc_dedup_out", mode="append")
+    assert sorted(r.doc_id for r in rows) == [11, 12]
