@@ -1398,3 +1398,37 @@ def test_hybrid_rerank_blends_lexical_and_semantic(docs, emb, spark):
     assert ranked.index(1) < ranked.index(2)
     # scores within [0, 1] + rounding slack
     assert (out.final_score <= 1.000001).all()
+
+
+def test_compaction_plan_and_compact_files(docs, spark, tmp_path):
+    """40 tiny files → audit flags compaction → rewrite lands the target
+    file count with identical content."""
+    from dask_sql_spark.operators.maintenance import (
+        compact_files,
+        compaction_plan,
+    )
+
+    src = str(tmp_path / "frag")
+    docs.repartition(40).write.mode("overwrite").parquet(src)
+
+    import glob as _glob
+
+    n_on_disk = len(_glob.glob(f"{src}/part-*.parquet"))
+    plan = compaction_plan(spark, src, target_bytes=1 << 20).toPandas()
+    assert plan.n_files[0] == n_on_disk > 1
+    assert bool(plan.needs_compaction[0])
+    assert plan.target_n_files[0] == 1  # tiny table fits one target file
+
+    dest = str(tmp_path / "compact")
+    after = compact_files(spark, src, dest, target_bytes=1 << 20).toPandas()
+    assert after.n_files[0] == 1
+    assert not bool(after.needs_compaction[0])
+    # content identical
+    a = spark.read.parquet(src).orderBy("doc_id").toPandas()
+    b = spark.read.parquet(dest).orderBy("doc_id").toPandas()
+    assert a.equals(b)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compact_files(spark, src, src)
