@@ -70,6 +70,7 @@ HEADLINE = [
     "llm_shuffle_shards",
     "curate_semantic_decon",
     "text_bpe_pairs",
+    "search_hybrid_rerank",
 ]
 
 # the 28 queries BENCH_r01 measured (total 27.48 s at sf0.1): their
