@@ -4699,14 +4699,14 @@ FROM h
 def _semantic_decon_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination (similarity.semantic_contaminated):
     vec_id % 20 = 0 plays the benchmark set (broadcast), the rest the
-    corpus; pairs with cosine ≥ 0.6 are leaked."""
+    corpus; pairs with cosine ≥ 0.4 are leaked."""
     from dask_sql_spark.operators.similarity import semantic_contaminated
 
     emb = _table(spark, sf_dir, "embeddings")
     return semantic_contaminated(
         emb.where("vec_id % 20 <> 0"),
         emb.where("vec_id % 20 = 0"),
-        threshold=0.6,
+        threshold=0.4,
     )
 
 
@@ -4719,7 +4719,7 @@ c AS (SELECT vec_id, v FROM e WHERE vec_id % 20 <> 0),
 b AS (SELECT vec_id, v FROM e WHERE vec_id % 20 = 0)
 SELECT a.vec_id AS corpus_id, b.vec_id AS bench_id
 FROM c a, b
-WHERE {_COS} >= 0.6
+WHERE {_COS} >= 0.4
 """,
 )
 
@@ -4894,6 +4894,64 @@ ORDER BY final_score DESC, doc_id ASC
 LIMIT 10
 """,
 )
+
+
+def _pagerank_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (graph.pagerank) over the event-type transition
+    graph: 10 fixed iterations, damping 0.85, per-iteration rounding for
+    cross-engine determinism; dangling mass redistributed uniformly."""
+    from dask_sql_spark.operators.events import event_transitions
+    from dask_sql_spark.operators.graph import pagerank
+
+    edges = event_transitions(_table(spark, sf_dir, "events")).where(
+        "to_type IS NOT NULL"
+    )
+    return pagerank(
+        edges, iterations=10, src="from_type", dst="to_type", weight="n"
+    ).orderBy("node")
+
+
+def _pagerank_oracle(iterations: int = 10, damping: float = 0.85) -> str:
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
+    # 10-deep rank chain referencing el/outw 3x per step would explode
+    # ~3^10 on inlining (measured: hang -> 0.1 s with materialization)
+    head = """
+WITH el AS MATERIALIZED (
+  SELECT from_type AS s, to_type AS d, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS to_type
+    FROM events
+  ) WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+),
+nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM el UNION SELECT DISTINCT d FROM el),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+outw AS MATERIALIZED (SELECT s, SUM(w) AS outw FROM el GROUP BY s),
+r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    steps = []
+    for k in range(iterations):
+        steps.append(f""",
+c{k} AS MATERIALIZED (
+  SELECT el.d AS node, SUM(r{k}.rank * el.w / outw.outw) AS contrib
+  FROM el JOIN outw USING (s) JOIN r{k} ON r{k}.node = el.s
+  GROUP BY el.d
+),
+dg{k} AS MATERIALIZED (
+  SELECT COALESCE(SUM(rank), 0.0) AS dm FROM r{k}
+  WHERE node NOT IN (SELECT s FROM outw)
+),
+r{k + 1} AS MATERIALIZED (
+  SELECT nodes.node,
+    ROUND((1.0 - {damping}) / nn.n
+      + {damping} * (COALESCE(c{k}.contrib, 0.0) + dg{k}.dm / nn.n),
+      12) AS rank
+  FROM nodes LEFT JOIN c{k} USING (node), nn, dg{k}
+)""")
+    tail = f"\nSELECT node, rank FROM r{iterations} ORDER BY node"
+    return head + "".join(steps) + tail
+
+
+_dfq("graph_pagerank", _pagerank_fn, _pagerank_oracle())
 
 
 # ==================================================================== #

@@ -119,3 +119,85 @@ def dedup_clusters(
         )
         out = labeled.join(keepers, "comp").select("id", "keeper_id")
     return out.withColumn("is_keeper", F.col("id") == F.col("keeper_id"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    round_digits: int = 12,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank over a directed edge list —
+    crawl-graph authority scoring, the signal web-corpus curation uses to
+    prioritize which domains/pages enter a training set (CCNet-style
+    pipelines rank crawl hosts exactly this way).
+
+    Deterministic by construction: a FIXED iteration count (no float
+    convergence test), ranks rounded to ``round_digits`` after every
+    update so engines agree bit-for-bit, dangling-node mass redistributed
+    uniformly. Per iteration: contributions flow src→dst through one join
+    + one groupBy-sum (both shuffles on node id), the dangling-mass scalar
+    rides as a broadcast 1-row cross join — no driver-side state. Lineage
+    is cut with localCheckpoint every few rounds (same discipline as
+    :func:`connected_components`). Output: (node, rank) summing to ~1.
+    """
+    w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
+    # the static frames are materialized ONCE (localCheckpoint): every
+    # iteration references them 2-3×, and without the lineage cut each
+    # round would re-derive the upstream edge computation — plan size and
+    # recompute both explode combinatorially by ~3^iterations otherwise
+    e = (
+        edges.select(
+            F.col(src).alias("_s"), F.col(dst).alias("_d"), w_col.alias("_w")
+        )
+        .where(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select("_d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()  # scalar cardinality, once, metadata-scale
+    out_w = e.groupBy("_s").agg(F.sum("_w").alias("_outw")).localCheckpoint()
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    base = (1.0 - damping) / n_nodes
+    for i in range(iterations):
+        contrib = (
+            e.join(out_w, "_s")
+            .join(ranks, F.col("_s") == F.col("node"))
+            .select(
+                F.col("_d").alias("node"),
+                (F.col("rank") * F.col("_w") / F.col("_outw")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        dangling = (
+            ranks.join(out_w, ranks.node == out_w._s, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_in"), F.lit(0.0))
+                        + F.col("_dm") / n_nodes
+                    ),
+                    round_digits,
+                ).alias("rank"),
+            )
+        )
+        # ranks are node-cardinality (tiny next to the edge set):
+        # checkpoint EVERY round so each iteration's plan is constant-size
+        ranks = ranks.localCheckpoint()
+    return ranks

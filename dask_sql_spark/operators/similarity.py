@@ -276,19 +276,30 @@ def semantic_contaminated(
     math is JVM-side (zip_with/aggregate). To drop the leaked docs, LEFT
     ANTI join the corpus on ``corpus_id``.
     """
+    def _norm(col: Column) -> Column:
+        return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, v: a + v * v))
+
+    # norms are precomputed per SIDE, so the per-pair work inside the
+    # broadcast nested loop is only the dot product (one array traversal
+    # per pair instead of three — bit-identical result, ~3× less math)
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).cast("array<double>").alias("vc"),
-    )
+    ).withColumn("nc", _norm(F.col("vc")))
     b = F.broadcast(
         bench.select(
             F.col(id_col).alias("bench_id"),
             F.col(vec_col).cast("array<double>").alias("vb"),
-        )
+        ).withColumn("nb", _norm(F.col("vb")))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("vc"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     return (
         c.crossJoin(b)
-        .where(cosine(F.col("vc"), F.col("vb")) >= threshold)
+        .where(dot / (F.col("nc") * F.col("nb")) >= threshold)
         .select("corpus_id", "bench_id")
     )
 

@@ -1432,3 +1432,24 @@ def test_compaction_plan_and_compact_files(docs, spark, tmp_path):
 
     with _pytest.raises(ValueError):
         compact_files(spark, src, src)
+
+
+def test_pagerank_properties(spark):
+    """Fixed-iteration PageRank: ranks sum to 1, a sink-fed hub outranks
+    its feeders, a dangling-only node keeps the uniform floor, and the
+    result is deterministic across reruns."""
+    from dask_sql_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "c", 1.0), ("c", "a", 1.0),
+         ("a", "c", 3.0), ("d", "a", 1.0)],
+        "src STRING, dst STRING, n DOUBLE",
+    )
+    out = {r.node: r.rank for r in pagerank(edges, weight="n").collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    # d has no in-edges: it keeps only the teleport floor, below everyone
+    assert out["d"] < min(out["a"], out["b"], out["c"])
+    # a is fed by both c and d; b only by a's weaker edge
+    assert out["a"] > out["b"]
+    again = {r.node: r.rank for r in pagerank(edges, weight="n").collect()}
+    assert out == again
