@@ -4954,6 +4954,45 @@ r{k + 1} AS MATERIALIZED (
 _dfq("graph_pagerank", _pagerank_fn, _pagerank_oracle())
 
 
+def _dataset_card_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card (llmprep.dataset_card): doc/distinct counts,
+    dup rate, token distribution, English share, source fan-out — one
+    global aggregate with map-side partials."""
+    from dask_sql_spark.operators.llmprep import dataset_card
+
+    return dataset_card(_table(spark, sf_dir, "documents"))
+
+
+def _dataset_card_oracle() -> str:
+    from dask_sql_spark.operators.text import STOPWORDS
+
+    s = {lang: _lang_in(ws) for lang, ws in STOPWORDS.items()}
+    g = f"greatest({s['en']}, {s['de']}, {s['fr']}, {s['es']})"
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, md5(text) AS h, {_DOC_TOKS} AS tk FROM documents
+),
+p AS (
+  SELECT doc_id, source, h, len(tk) AS nt,
+    CASE WHEN {g} > 0 AND {s['en']} = {g} THEN 1 ELSE 0 END AS en
+  FROM t
+)
+SELECT COUNT(*) AS n_docs,
+  COUNT(DISTINCT h) AS n_distinct_texts,
+  ROUND(1.0 - COUNT(DISTINCT h) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+  ROUND(AVG(nt), 6) AS mean_tokens,
+  ROUND(CAST(quantile_cont(nt, 0.5) AS DOUBLE), 6) AS p50_tokens,
+  ROUND(CAST(quantile_cont(nt, 0.95) AS DOUBLE), 6) AS p95_tokens,
+  ROUND(AVG(CAST(en AS DOUBLE)), 6) AS pct_en,
+  COUNT(DISTINCT source) AS n_sources
+FROM p
+"""
+
+
+_dfq("llm_dataset_card", _dataset_card_fn, _dataset_card_oracle())
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #

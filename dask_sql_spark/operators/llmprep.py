@@ -407,3 +407,58 @@ def stratified_sample(
         .where(F.col("__rn") <= F.col("alloc"))
         .select(strata_col, key_col, "alloc")
     )
+
+
+def dataset_card(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str | None = "source",
+) -> DataFrame:
+    """One-row dataset card — the summary table every training-corpus
+    release ships: document/distinct-content counts and exact-dup rate,
+    token totals and distribution (mean/p50/p95), English share by the
+    stopword language-ID, and source fan-out.
+
+    Cost model: a narrow projection (token count, lang score, content
+    hash are all scan-time expressions) into ONE global aggregate —
+    map-side partials collapse each partition to a single row, so the
+    shuffle is ~n_partitions rows at any corpus size. The exact
+    percentiles are the only memory-heavy part at 100 TB; swap
+    ``percentile`` for ``approx_percentile`` there (documented knob, the
+    card loses oracle-exactness but nothing else).
+    """
+    from dask_sql_spark.operators.text import STOPWORDS, tokens
+
+    toks = tokens(F.col(text_col))
+    en_hits = F.size(
+        F.filter(toks, lambda w: w.isin(STOPWORDS["en"]))
+    )
+    scores = {
+        lang: F.size(F.filter(toks, lambda w: w.isin(words)))
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    is_en = (best > 0) & (scores["en"] == best)  # en wins ties (priority)
+    proj = df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("__h"),
+        F.size(toks).alias("__nt"),
+        is_en.cast("int").alias("__en"),
+        *( [F.col(source_col)] if source_col else [] ),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("__h").alias("n_distinct_texts"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("__h") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.sum("__nt").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("__nt"), 6).alias("mean_tokens"),
+        F.round(F.expr("percentile(__nt, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(__nt, 0.95)"), 6).alias("p95_tokens"),
+        F.round(F.avg("__en"), 6).alias("pct_en"),
+    ]
+    if source_col:
+        aggs.append(F.countDistinct(source_col).alias("n_sources"))
+    return proj.agg(*aggs)

@@ -1453,3 +1453,18 @@ def test_pagerank_properties(spark):
     assert out["a"] > out["b"]
     again = {r.node: r.rank for r in pagerank(edges, weight="n").collect()}
     assert out == again
+
+
+def test_dataset_card_one_row_summary(docs, spark):
+    from dask_sql_spark.operators.llmprep import dataset_card
+
+    out = dataset_card(
+        docs.withColumn("source", F.lit("web")), source_col="source"
+    ).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r.n_docs == 8 and r.n_distinct_texts == 7  # one exact dup
+    assert abs(r.dup_rate - (1 - 7 / 8)) < 1e-6
+    assert r.n_sources == 1
+    assert 0 < r.pct_en < 1  # de/fr docs present
+    assert r.p50_tokens <= r.p95_tokens <= 10
