@@ -441,6 +441,66 @@ def bpe_pair_counts(
     )
 
 
+def bpe_learn_merges(
+    df: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Learn the first ``n_merges`` BPE merges over the corpus — the
+    actual tokenizer-training loop, distributed: documents explode to
+    words (merges never cross pre-tokenization boundaries), each word
+    becomes a space-joined character-symbol string, and every round runs
+
+    1. ONE map-side-combined pair-count aggregate over the corpus,
+    2. the argmax pair to the driver (two short strings — metadata scale,
+       the same driver traffic every BPE trainer has),
+    3. a narrow literal ``replace("l r" → "lr")`` rewrite of the symbol
+       strings (left-to-right non-overlapping, exactly BPE's greedy
+       application order).
+
+    Returns the ordered merge table [(left, right, count)]. Ties break
+    (count desc, left asc, right asc) so the learned vocabulary is
+    deterministic across runs, partitionings and engines. Total cost:
+    ``n_merges`` aggregate jobs over data that shrinks as merges apply —
+    the identical shape at 100 TB, where each round's shuffle carries
+    only distinct-pair partial counts.
+    """
+    syms = df.select(
+        F.explode(tokens(F.col(text_col))).alias("w")
+    ).select(F.array_join(F.split(F.col("w"), ""), " ").alias("s"))
+    syms = syms.localCheckpoint()  # loop base: cut upstream lineage once
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        arr = F.split(F.col("s"), " ")
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(arr) - 1, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.try_element_at(arr, i), F.try_element_at(arr, i + 1)
+            ),  # 1-symbol words: the null 2nd element drops the separator
+            # and the contains(" ") filter below discards the row
+        )
+        top = (
+            syms.select(F.explode(pairs).alias("p"))
+            .where(F.col("p").contains(" "))  # 1-symbol words emit no pair
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0].p, top[0].cnt
+        left, right = pair.split(" ", 1)
+        merges.append((left, right, cnt))
+        syms = syms.select(
+            F.replace(
+                F.col("s"), F.lit(pair), F.lit(left + right)
+            ).alias("s")
+        ).localCheckpoint()
+    return merges
+
+
 # Unicode script classes: (name, Java regex for Spark, RE2 regex for the
 # DuckDB oracle). Java spells scripts \p{IsLatin}; RE2 spells them
 # \p{Latin} — same chars matched, different dialect names.

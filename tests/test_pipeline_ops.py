@@ -1468,3 +1468,28 @@ def test_dataset_card_one_row_summary(docs, spark):
     assert r.n_sources == 1
     assert 0 < r.pct_en < 1  # de/fr docs present
     assert r.p50_tokens <= r.p95_tokens <= 10
+
+
+def test_bpe_learn_merges_matches_reference_algorithm(spark):
+    """Hand-checkable corpus: 'low low lower' → chars. Round 1 merges the
+    hottest pair deterministically; later rounds see the merged symbol."""
+    from dask_sql_spark.operators.text import bpe_learn_merges
+
+    df = spark.createDataFrame(
+        [(0, "low low lower")], "doc_id INT, text STRING"
+    )
+    merges = bpe_learn_merges(df, n_merges=3)
+    # pairs round 1: l-o x3, o-w x3 -> tie breaks to 'l o'
+    assert merges[0] == ("l", "o", 3)
+    # round 2: lo-w x3 wins
+    assert merges[1] == ("lo", "w", 3)
+    # round 3: low-e x1 / e-r x1 -> tie breaks to 'e r'
+    assert merges[2] == ("e", "r", 1)
+
+
+def test_bpe_learn_merges_stops_when_dry(spark):
+    from dask_sql_spark.operators.text import bpe_learn_merges
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id INT, text STRING")
+    # single-char words produce no pairs: loop stops early, no crash
+    assert bpe_learn_merges(df, n_merges=5) == []
