@@ -17,6 +17,8 @@ executes the rest as registry operations:
 | ANALYZE TABLE … COMPUTE STATISTICS          | analyze_table.py:15-70      |
 | CREATE MODEL / PREDICT / EXPORT MODEL /     | create_model.py:23-227,     |
 |   DESCRIBE MODEL / CREATE EXPERIMENT        | predict_model.py:18-94, …   |
+| OPTIMIZE t [WITH (target_bytes=…, dest=…)]  | additive (Delta/Iceberg-    |
+|   — small-file compaction, swap-on-publish  | style; no reference plugin) |
 
 Anything not matched returns ``None`` and flows to ``spark.sql``.
 """
@@ -121,6 +123,12 @@ _UPDATE_TABLE = re.compile(
 )
 _COPY_TO = re.compile(
     r"^\s*COPY\s+(\([\s\S]*\)|[\w.\"`]+)\s+TO\s+'([^']+)'"
+    r"(?:\s+WITH\s*\((.*)\))?\s*$",
+    _FLAGS,
+)
+# lakehouse-style small-file compaction (Delta/Iceberg OPTIMIZE surface)
+_OPTIMIZE_TABLE = re.compile(
+    r"^\s*OPTIMIZE\s+(?:TABLE\s+)?([\w.\"`]+)"
     r"(?:\s+WITH\s*\((.*)\))?\s*$",
     _FLAGS,
 )
@@ -465,6 +473,33 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
             **kwargs,
         )
         return context._empty_result()
+
+    m = _OPTIMIZE_TABLE.match(sql)
+    if m:
+        name, body = m.groups()
+        name = _unquote(name)
+        schema_name, table = _resolve(context, name)
+        if not context._table_exists(name):
+            raise RuntimeError(f"Table {name} does not exist")
+        location = context.schemas[schema_name].filepaths.get(table.lower())
+        if location is None:
+            raise RuntimeError(
+                f"OPTIMIZE requires a file-backed table; {name} has no "
+                "registered location"
+            )
+        kwargs = parse_kwargs(body) if body else {}
+        target = int(kwargs.pop("target_bytes", 128 * 1024 * 1024))
+        dest = str(
+            kwargs.pop("dest", None) or location.rstrip("/") + "_compacted"
+        )
+        if kwargs:
+            raise ValueError(f"unknown OPTIMIZE options: {sorted(kwargs)}")
+        from dask_sql_spark.operators.maintenance import compact_files
+
+        # write-audit-publish: compact to dest, then swap the registration
+        report = compact_files(spark, location, dest, target_bytes=target)
+        context.create_table(table, dest, schema_name=schema_name)
+        return report
 
     m = _CREATE_TABLE_AS.match(sql)
     if m:

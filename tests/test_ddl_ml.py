@@ -387,3 +387,27 @@ def test_threshold_classifier_learns_mean(context):
     ).collect()
     got = {r["x"]: r["target"] for r in rows}
     assert got == {0.0: 0.0, 2.0: 0.0, 4.0: 1.0, 6.0: 1.0}
+
+
+def test_optimize_table_compacts_and_swaps(context, tmp_path):
+    """OPTIMIZE: fragmented location → compacted dest, registration swaps
+    to the new location, content identical, report row returned."""
+    src = str(tmp_path / "frag_opt")
+    context.spark.range(0, 1000).selectExpr(
+        "id", "id * 2 AS v"
+    ).repartition(20).write.mode("overwrite").parquet(src)
+    context.create_table("opt_t", src)
+    before = context.sql("SELECT COUNT(*) AS n, SUM(v) AS s FROM opt_t").collect()[0]
+
+    report = context.sql(
+        f"OPTIMIZE opt_t WITH (target_bytes = 1048576, dest = '{tmp_path / 'opt_done'}')"
+    ).collect()[0]
+    assert report.n_files == 1 and not report.needs_compaction
+
+    after = context.sql("SELECT COUNT(*) AS n, SUM(v) AS s FROM opt_t").collect()[0]
+    assert (before.n, before.s) == (after.n, after.s)
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        context.sql("OPTIMIZE no_such_table")
