@@ -4379,6 +4379,38 @@ FROM orders
 )
 
 
+def _ml_predict_mean_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE MODEL → PREDICT with a regressor (ml/simple.MeanRegressor):
+    the learned constant is the training mean of a deterministic filter
+    subset, so DuckDB replays PREDICT as a scalar AVG subquery. ROUND
+    kills engine last-ulp mean differences."""
+    ctx = _ctx(spark, sf_dir)
+    ctx.sql(
+        """CREATE OR REPLACE MODEL oracle_mean WITH (
+             model_class = 'dask_sql_spark.ml.simple.MeanRegressor',
+             target_column = 'target'
+           ) AS SELECT CAST(o_totalprice AS DOUBLE) AS target
+                FROM orders WHERE o_orderkey % 100 = 0"""
+    )
+    return ctx.sql(
+        """SELECT o_orderkey, ROUND(target, 4) AS predicted FROM
+             PREDICT(MODEL oracle_mean,
+               SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0)"""
+    )
+
+
+_dfq(
+    "ml_predict_mean",
+    _ml_predict_mean_fn,
+    """
+SELECT o_orderkey,
+  ROUND((SELECT AVG(CAST(o_totalprice AS DOUBLE)) FROM orders
+         WHERE o_orderkey % 100 = 0), 4) AS predicted
+FROM orders WHERE o_orderkey % 10 = 0
+""",
+)
+
+
 def _merge_into_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO under the value-hash gate: base = every 5th order,
     source = every 3rd (doubled price) → UPDATE on overlap, INSERT for

@@ -411,3 +411,23 @@ def test_optimize_table_compacts_and_swaps(context, tmp_path):
 
     with _pytest.raises(RuntimeError):
         context.sql("OPTIMIZE no_such_table")
+
+
+def test_mean_regressor_statement_path(context):
+    context.sql(
+        """CREATE OR REPLACE MODEL mr WITH (
+             model_class = 'dask_sql_spark.ml.simple.MeanRegressor',
+             target_column = 'y'
+           ) AS SELECT CAST(v AS DOUBLE) AS y FROM (VALUES (2.0), (4.0)) t(v)"""
+    )
+    out = context.sql(
+        "SELECT target FROM PREDICT(MODEL mr, SELECT 1 AS x)"
+    ).collect()
+    assert out[0].target == 3.0
+
+    import pytest as _pytest
+
+    from dask_sql_spark.ml.simple import MeanRegressor
+
+    with _pytest.raises(ValueError):
+        MeanRegressor().fit([[1.0]])
