@@ -768,7 +768,7 @@ FROM events GROUP BY event_type
 """,
     """
 SELECT event_type,
-  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
   COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
         THEN 1 END) AS n_big,
   COUNT(CASE WHEN NOT json_valid(props) THEN 1 END) AS n_bad
@@ -1319,8 +1319,11 @@ WITH lagged AS (
                  THEN 1 ELSE 0 END AS is_new
   FROM lagged
 ), sess AS (
+  -- CAST: DuckDB types SUM(int) as HUGEINT -> pandas float64; BIGINT keeps
+  -- both engines int64 (no-op on Spark's LongType)
   SELECT user_id, ts, value,
-    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start,
@@ -2289,12 +2292,12 @@ GROUP BY l_returnflag
 """,
     """
 SELECT l_returnflag,
-  SUM(CASE WHEN DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30 THEN 1 ELSE 0 END) AS d30,
-  SUM(CASE WHEN DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30
-            AND DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 60 THEN 1 ELSE 0 END) AS d60,
-  SUM(CASE WHEN DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60
-            AND DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 90 THEN 1 ELSE 0 END) AS d90,
-  SUM(CASE WHEN DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90 THEN 1 ELSE 0 END) AS dmore
+  CAST(SUM(CASE WHEN DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+  CAST(SUM(CASE WHEN DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30
+            AND DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+  CAST(SUM(CASE WHEN DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60
+            AND DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+  CAST(SUM(CASE WHEN DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90 THEN 1 ELSE 0 END) AS BIGINT) AS dmore
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_returnflag
 """,
@@ -2342,13 +2345,13 @@ _sqlq(
     """
 WITH ch AS (
   SELECT 'urgent' AS channel, l_partkey,
-    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS rets,
+    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS rets,
     COUNT(*) AS n_orders
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE o_orderpriority = '1-URGENT' GROUP BY l_partkey
   UNION ALL
   SELECT 'low' AS channel, l_partkey,
-    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS rets,
+    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS rets,
     COUNT(*) AS n_orders
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE o_orderpriority = '5-LOW' GROUP BY l_partkey
@@ -2674,7 +2677,7 @@ WITH counted AS (
 )
 SELECT doc_id, n_tokens,
   CAST(FLOOR(CAST(SUM(n_tokens) OVER w - n_tokens AS DOUBLE) / 512) AS BIGINT) AS pack_id,
-  SUM(n_tokens) OVER w - n_tokens AS pack_offset
+  CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS pack_offset
 FROM counted
 WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
 """,
@@ -3379,7 +3382,7 @@ SELECT doc_id,
       FILTER (WHERE rn = 1),
     '') AS clean_text,
   COUNT(*) AS n_spans,
-  SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM flagged GROUP BY doc_id
 """,
 )
@@ -3423,7 +3426,7 @@ WITH t AS (SELECT doc_id, {_DOC_TOKS} AS tk FROM documents),
 tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
 tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
 tok_sig AS (
-  SELECT doc_id, SUM(c) AS n_tokens,
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
          1.0 - COUNT(*) / SUM(c) AS dup_token_frac,
          MAX(c) / SUM(c) AS top_token_frac
   FROM tc GROUP BY doc_id
@@ -3501,8 +3504,8 @@ WITH tagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), numbered AS (
   SELECT user_id, ts,
-    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                      ROWS UNBOUNDED PRECEDING) AS session_seq
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM tagged
 )
 SELECT user_id, session_seq,
@@ -3860,7 +3863,7 @@ WITH counted AS (
   FROM counted
   WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
 )
-SELECT pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+SELECT pack_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
   ROUND(SUM(n_tokens) / 512.0, 4) AS fill_ratio
 FROM packed GROUP BY pack_id
 """,
@@ -4284,8 +4287,8 @@ ranked AS (
   SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS r FROM tf
 )
 SELECT 50 AS vocab_size, COUNT(*) AS n_terms,
-  SUM(c) AS corpus_tokens,
-  SUM(CASE WHEN r <= 50 THEN c ELSE 0 END) AS covered_tokens,
+  CAST(SUM(c) AS BIGINT) AS corpus_tokens,
+  CAST(SUM(CASE WHEN r <= 50 THEN c ELSE 0 END) AS BIGINT) AS covered_tokens,
   ROUND(CAST(SUM(CASE WHEN r <= 50 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6)
     AS coverage
 FROM ranked

@@ -55,6 +55,19 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     a, b = norm(a.copy()), norm(b.copy())
     for c in a.columns:
         av, bv = a[c], b[c]
+        # dtype-KIND strictness: the driver hashes raw values, so an int64
+        # Spark column vs a float64 oracle column (e.g. DuckDB HUGEINT ->
+        # pandas float64) mismatches there even when values are equal.
+        # Refuse to be more tolerant than the driver.
+        a_int = pd.api.types.is_integer_dtype(av)
+        b_int = pd.api.types.is_integer_dtype(bv)
+        a_flt = pd.api.types.is_float_dtype(av)
+        b_flt = pd.api.types.is_float_dtype(bv)
+        if (a_int and b_flt) or (a_flt and b_int):
+            return (
+                f"col {c} DTYPE KIND mismatch: {av.dtype} vs {bv.dtype} "
+                "(int-vs-float hashes differently on the driver)"
+            )
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             avf = av.astype(float).to_numpy()
             bvf = bv.astype(float).to_numpy()
