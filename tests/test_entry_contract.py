@@ -88,3 +88,58 @@ def test_driver_window_covers_unverified_first():
             seen_verified = True
         else:
             assert not seen_verified, f"unverified {n} scheduled after verified"
+
+
+def test_verify_first_window_is_exact():
+    """_VERIFY_FIRST is sized to the driver's 50-row window, has no dups,
+    and every name is a registered query."""
+    import __spark_entry__ as e
+
+    assert len(e._VERIFY_FIRST) == 50
+    assert len(set(e._VERIFY_FIRST)) == 50
+    assert set(e._VERIFY_FIRST) <= set(e._QUERIES)
+
+
+def test_red_rows_reenter_window(monkeypatch, tmp_path):
+    """A driver row with hash_match=False must NOT count as verified —
+    round 2's events_sessionize red row has to re-enter the window."""
+    import json
+
+    import __spark_entry__ as e
+
+    rows = {
+        "greenq": {"rows_match": True, "schema_match": True,
+                   "hash_match": True, "err": None},
+        "redq": {"rows_match": True, "schema_match": True,
+                 "hash_match": False, "err": None},
+        "rowsonly_known": {"rows_match": None, "schema_match": None,
+                           "hash_match": None, "spark_rows": 3,
+                           "err": "no_oracle"},
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(rows))
+    # point the scanner at tmp_path instead of the repo root
+    monkeypatch.setattr(e, "__file__", str(tmp_path / "__spark_entry__.py"))
+    verified = e._driver_verified_names()
+    assert "greenq" in verified
+    assert "redq" not in verified
+    # rows-only counts as done only while the query still has no oracle
+    assert "rowsonly_known" in verified
+
+
+def test_previously_green_reappear_when_window_exceeds_unverified():
+    """Once the pending queue drains below the window size, already-green
+    names must fill the remaining slots (regression sampling) — i.e. the
+    schedule always contains every registered query exactly once."""
+    import __spark_entry__ as e
+
+    order = e._scheduled_order()
+    assert sorted(order) == sorted(e._QUERIES)
+    verified = e._driver_verified_names()
+    n_unverified = sum(1 for n in order if n not in verified)
+    # simulate a window larger than the unverified count: the prefix beyond
+    # the unverified names consists of previously-verified queries, led by
+    # the regression core
+    window = order[: n_unverified + 10]
+    tail = window[n_unverified:]
+    assert len(tail) == 10
+    assert all(n in verified for n in tail)
