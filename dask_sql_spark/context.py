@@ -174,6 +174,11 @@ class Context:
         schema.tables[table_name.lower()] = df
         if isinstance(input_table, str):
             schema.filepaths[table_name.lower()] = input_table
+            from dask_sql_spark.sources.location import _infer_format
+
+            schema.fileformats[table_name.lower()] = (
+                format or _infer_format(input_table)
+            ).lower()
         if statistics:
             schema.statistics[table_name.lower()] = statistics
         df.createOrReplaceTempView(self._view_name(table_name, schema_name))
@@ -227,6 +232,7 @@ class Context:
         )
         self.schemas[schema_name].tables.pop(table_name.lower(), None)
         self.schemas[schema_name].filepaths.pop(table_name.lower(), None)
+        self.schemas[schema_name].fileformats.pop(table_name.lower(), None)
         self.spark.catalog.dropTempView(self._view_name(table_name, schema_name))
 
     def create_schema(self, schema_name: str) -> None:

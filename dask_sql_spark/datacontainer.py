@@ -80,3 +80,6 @@ class SchemaContainer:
     models: dict[str, tuple[Any, list[str]]] = field(default_factory=dict)
     experiments: dict[str, Any] = field(default_factory=dict)
     filepaths: dict[str, str] = field(default_factory=dict)
+    # resolved source format per file-backed table (parquet/csv/json/orc…)
+    # so maintenance ops (OPTIMIZE) rewrite in the table's real format
+    fileformats: dict[str, str] = field(default_factory=dict)

@@ -431,9 +431,6 @@ def dataset_card(
     from dask_sql_spark.operators.text import STOPWORDS, tokens
 
     toks = tokens(F.col(text_col))
-    en_hits = F.size(
-        F.filter(toks, lambda w: w.isin(STOPWORDS["en"]))
-    )
     scores = {
         lang: F.size(F.filter(toks, lambda w: w.isin(words)))
         for lang, words in STOPWORDS.items()

@@ -87,6 +87,15 @@ def compact_files(
         raise ValueError("compact_files refuses in-place rewrite; give dest")
     total = sum(b for _, b in _list_files(spark, path))
     n = max(1, math.ceil(total / target_bytes))
-    df = spark.read.format(fmt).load(path)
-    df.repartition(n).write.mode("overwrite").format(fmt).save(dest)
+    # read_location, not a raw scan: csv/json get their reader defaults and
+    # parquet timestamp[ns] columns (read as BIGINT under nanosAsLong) are
+    # re-materialized as real TIMESTAMPs, so the compacted table keeps its
+    # timestamp schema after the catalog swap
+    from dask_sql_spark.sources.location import read_location
+
+    df = read_location(spark, path, format=fmt)
+    writer = df.repartition(n).write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    writer.save(dest)
     return compaction_plan(spark, dest, target_bytes=target_bytes)

@@ -11,6 +11,8 @@ designed per SURVEY.md §7 M6.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -107,7 +109,7 @@ def add_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     }
     best = F.greatest(*scores.values())
     expr = F.when(best == 0, F.lit("und"))
-    for lang in ["en", "de", "fr", "es"]:  # fixed priority for ties
+    for lang in STOPWORDS:  # insertion order = fixed priority for ties
         expr = expr.when(scores[lang] == best, F.lit(lang))
     return df.withColumn("lang_guess", expr)
 
@@ -454,9 +456,10 @@ def bpe_learn_merges(
     1. ONE map-side-combined pair-count aggregate over the corpus,
     2. the argmax pair to the driver (two short strings — metadata scale,
        the same driver traffic every BPE trainer has),
-    3. a narrow literal ``replace("l r" → "lr")`` rewrite of the symbol
-       strings (left-to-right non-overlapping, exactly BPE's greedy
-       application order).
+    3. a boundary-guarded ``regexp_replace`` rewrite of the symbol strings
+       (``(?<!\\S)l r(?!\\S)`` so the pair only matches whole symbols;
+       left-to-right non-overlapping, exactly BPE's greedy application
+       order).
 
     Returns the ordered merge table [(left, right, count)]. Ties break
     (count desc, left asc, right asc) so the learned vocabulary is
@@ -493,10 +496,15 @@ def bpe_learn_merges(
         pair, cnt = top[0].p, top[0].cnt
         left, right = pair.split(" ", 1)
         merges.append((left, right, cnt))
+        # Boundary-guarded application: a literal replace of "l o" would
+        # also fire across symbol boundaries once earlier merges create
+        # multi-char symbols (['h','al','o'] -> "h al o" contains "l o").
+        # The lookarounds pin both symbols to whole space-delimited tokens;
+        # regexp_replace stays left-to-right non-overlapping = BPE greedy.
+        pat = r"(?<!\S)" + re.escape(pair) + r"(?!\S)"
+        repl = (left + right).replace("\\", "\\\\").replace("$", r"\$")
         syms = syms.select(
-            F.replace(
-                F.col("s"), F.lit(pair), F.lit(left + right)
-            ).alias("s")
+            F.regexp_replace(F.col("s"), F.lit(pat), F.lit(repl)).alias("s")
         ).localCheckpoint()
     return merges
 

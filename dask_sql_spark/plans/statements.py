@@ -495,10 +495,20 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
         if kwargs:
             raise ValueError(f"unknown OPTIMIZE options: {sorted(kwargs)}")
         from dask_sql_spark.operators.maintenance import compact_files
+        from dask_sql_spark.sources.location import _infer_format
 
+        # rewrite in the table's REAL format (a csv/json table must not be
+        # recompacted as parquet); nano-timestamp parquet is re-materialized
+        # with true TIMESTAMP columns inside compact_files
+        fmt = (
+            context.schemas[schema_name].fileformats.get(table.lower())
+            or _infer_format(location)
+        )
         # write-audit-publish: compact to dest, then swap the registration
-        report = compact_files(spark, location, dest, target_bytes=target)
-        context.create_table(table, dest, schema_name=schema_name)
+        report = compact_files(
+            spark, location, dest, target_bytes=target, fmt=fmt
+        )
+        context.create_table(table, dest, format=fmt, schema_name=schema_name)
         return report
 
     m = _CREATE_TABLE_AS.match(sql)

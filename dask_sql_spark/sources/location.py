@@ -97,9 +97,13 @@ def _restore_nano_timestamps(spark: SparkSession, df: DataFrame, location: str) 
     if not nano_cols:
         return df
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     for c in nano_cols:
-        if c in df.columns:
+        # repair only when the reader actually produced epoch-nanos BIGINT
+        # (nanosAsLong set); a session that already read the column as a
+        # timestamp needs no fix
+        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` DIV 1000)"))
     return df
 

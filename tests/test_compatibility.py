@@ -120,8 +120,24 @@ def test_random_query_matches_duckdb(compat_ctx, compat_duck, idx):
 
     q = QUERIES[idx]
     sdf = compat_ctx.sql(q).toPandas()
-    odf = compat_duck.execute(q).df()
+    odf = _downcast_hugeint(compat_duck.sql(q))
     assert compare(sdf, odf) is None, q
+
+
+def _downcast_hugeint(rel):
+    """This harness runs the SAME SQL text on both engines, so DuckDB's
+    SUM(int)->HUGEINT->float64 conversion is inherent rather than an
+    oracle-authoring bug (those are swept by tests/test_oracle_types.py).
+    Exactly re-integerize such columns so compare()'s dtype-kind gate
+    tests real value parity, not DuckDB's pandas conversion."""
+    types = [str(t).upper() for t in rel.types]
+    odf = rel.df()
+    for col, typ in zip(rel.columns, types):
+        if "HUGEINT" in typ and col in odf:
+            vals = odf[col].dropna()
+            if (vals % 1 == 0).all():  # integral -> exact down-cast
+                odf[col] = odf[col].astype("Int64")
+    return odf
 
 
 # extra templates appended after the initial 40 (kept separate so the
@@ -162,7 +178,7 @@ def test_random_query_extra(compat_ctx, compat_duck, idx):
 
     q = EXTRA[idx]
     sdf = compat_ctx.sql(q).toPandas()
-    odf = compat_duck.execute(q).df()
+    odf = _downcast_hugeint(compat_duck.sql(q))
     assert compare(sdf, odf) is None, q
 
 
@@ -237,7 +253,7 @@ def test_random_query_ds_constructs(compat_ctx, compat_duck, idx):
 
     q = DS_EXTRA[idx]
     sdf = compat_ctx.sql(q).toPandas()
-    odf = compat_duck.execute(q).df()
+    odf = _downcast_hugeint(compat_duck.sql(q))
     assert compare(sdf, odf) is None, q
 
 

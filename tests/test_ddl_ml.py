@@ -413,6 +413,59 @@ def test_optimize_table_compacts_and_swaps(context, tmp_path):
         context.sql("OPTIMIZE no_such_table")
 
 
+def test_optimize_preserves_csv_format(context, tmp_path):
+    """OPTIMIZE on a csv-backed table must rewrite csv, not parquet."""
+    import glob
+
+    src = str(tmp_path / "frag_csv")
+    context.spark.range(0, 100).selectExpr("id", "id * 3 AS v").repartition(
+        5
+    ).write.mode("overwrite").option("header", True).csv(src)
+    context.create_table("opt_csv_t", src, format="csv")
+    before = context.sql("SELECT COUNT(*) AS n, SUM(v) AS s FROM opt_csv_t").collect()[0]
+
+    dest = tmp_path / "csv_done"
+    context.sql(f"OPTIMIZE opt_csv_t WITH (dest = '{dest}')").collect()
+    assert glob.glob(str(dest / "*.csv")), "dest must contain csv data files"
+    assert not glob.glob(str(dest / "*.parquet"))
+
+    after = context.sql("SELECT COUNT(*) AS n, SUM(v) AS s FROM opt_csv_t").collect()[0]
+    assert (before.n, before.s) == (after.n, after.s)
+
+
+def test_optimize_preserves_nano_timestamp_columns(context, tmp_path):
+    """A parquet table with timestamp[ns] columns (read as BIGINT under
+    nanosAsLong + repaired by read_location) must still expose TIMESTAMP
+    after OPTIMIZE swaps in the compacted location."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "nano_opt"
+    src.mkdir()
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00.123456789", "2024-01-02 12:34:56.987654321"]
+    )
+    table = pa.table(
+        {"ts": pa.array(ts, type=pa.timestamp("ns")), "v": [1, 2]}
+    )
+    pq.write_table(table, src / "part0.parquet")
+    context.create_table("nano_t", str(src))
+    before = context.sql(
+        "SELECT CAST(MIN(ts) AS STRING) AS lo, SUM(v) AS s FROM nano_t"
+    ).collect()[0]
+    assert dict(context.sql("SELECT * FROM nano_t").dtypes)["ts"] == "timestamp"
+
+    context.sql(
+        f"OPTIMIZE nano_t WITH (dest = '{tmp_path / 'nano_done'}')"
+    ).collect()
+    assert dict(context.sql("SELECT * FROM nano_t").dtypes)["ts"] == "timestamp"
+    after = context.sql(
+        "SELECT CAST(MIN(ts) AS STRING) AS lo, SUM(v) AS s FROM nano_t"
+    ).collect()[0]
+    assert (before.lo, before.s) == (after.lo, after.s)
+
+
 def test_mean_regressor_statement_path(context):
     context.sql(
         """CREATE OR REPLACE MODEL mr WITH (

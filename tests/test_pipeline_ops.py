@@ -1493,3 +1493,21 @@ def test_bpe_learn_merges_stops_when_dry(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id INT, text STRING")
     # single-char words produce no pairs: loop stops early, no crash
     assert bpe_learn_merges(df, n_merges=5) == []
+
+
+def test_bpe_merge_respects_symbol_boundaries(spark):
+    """A learned merge must only fuse WHOLE symbols.  After round 1 merges
+    (a,l), the word 'halo' is 'h al o' — its 'l o' substring spans the
+    multi-char symbol 'al' and must NOT be fused when round 2 merges
+    (l,o).  An unguarded literal replace corrupts it to 'h alo' and round
+    3 then learns the bogus pair (h,alo) instead of (al,o)."""
+    from dask_sql_spark.operators.text import bpe_learn_merges
+
+    corpus = " ".join(["al"] * 10 + ["halo"] * 3 + ["lo"] * 5)
+    df = spark.createDataFrame([(0, corpus)], "doc_id INT, text STRING")
+    merges = bpe_learn_merges(df, n_merges=3)
+    # round 1: (a,l) 10+3; round 2: (l,o) 5 standalone only; round 3:
+    # 'h al o' intact -> (al,o) x3 beats (h,al) x3 on pair-string tiebreak
+    assert merges[0] == ("a", "l", 13)
+    assert merges[1] == ("l", "o", 5)
+    assert merges[2] == ("al", "o", 3)
