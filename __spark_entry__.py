@@ -1933,11 +1933,58 @@ def _ann_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_sql_spark.operators.similarity import lsh_topk
 
     emb = _table(spark, sf_dir, "embeddings")
-    # approximate → no exact oracle; rows-only check
     return lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
 
 
-_dfq("ann_lsh_topk", _ann_lsh_fn)
+def _ann_lsh_oracle(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """LSH is approximate vs brute force but DETERMINISTIC given its seeded
+    hyperplanes (similarity._hyperplanes), so the full pipeline — sign-bit
+    signatures, 1-bit-flip multiprobe, bucket-join, exact cosine rerank —
+    replays in SQL with the planes embedded as literals (same discipline as
+    the minhash-permutation oracles).  dim=64 matches every generated
+    embeddings table (TESTDATA.md); repr() round-trips each double so both
+    engines fold bit-identical values."""
+    from dask_sql_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in plane)}])"
+        for j, plane in enumerate(planes)
+    )
+    cos = (
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {_EMB_DOUBLE} AS v FROM embeddings),
+planes(j, p) AS (VALUES {rows}),
+sigs AS (
+  SELECT e.vec_id,
+    CAST(SUM(CASE WHEN list_dot_product(e.v, pl.p) > 0
+             THEN 1 << pl.j ELSE 0 END) AS BIGINT) AS sig
+  FROM e CROSS JOIN planes pl GROUP BY e.vec_id
+),
+corpus AS (SELECT e.vec_id, e.v, s.sig FROM e JOIN sigs s USING (vec_id)),
+q AS (SELECT vec_id AS query_id, v, sig AS qsig FROM corpus WHERE vec_id < 5),
+qprobe AS (
+  SELECT query_id, v, qsig AS sig FROM q
+  UNION ALL
+  SELECT query_id, v, xor(qsig, CAST(1 << pl.j AS BIGINT)) AS sig
+  FROM q CROSS JOIN planes pl
+),
+scored AS (
+  SELECT a.query_id, b.vec_id AS id_b, {cos} AS cos
+  FROM qprobe a JOIN corpus b ON b.sig = a.sig AND b.vec_id <> a.query_id
+)
+SELECT query_id, id_b AS neighbor_id, rank FROM (
+  SELECT query_id, id_b,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, id_b) AS rank
+  FROM scored
+) t WHERE rank <= 10
+"""
+
+
+_dfq("ann_lsh_topk", _ann_lsh_fn, _ann_lsh_oracle())
 
 
 def _ann_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,7 +35,6 @@ def test_queries_oracles_consistent():
     # only known-nondeterministic/approximate ops may skip the oracle
     assert set(qs) - set(oracles) == {
         "sample_bernoulli",
-        "ann_lsh_topk",
         "ann_ivf_topk",
         "approx_aggregates",
         "dedup_embedding_lsh",
