@@ -3097,6 +3097,60 @@ def _resample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_fill(_table(spark, sf_dir, "events"))
 
 
+def _resample_fn_every(every: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dask_sql_spark.operators.events import resample_fill
+
+        return resample_fill(_table(spark, sf_dir, "events"), every=every)
+
+    return fn
+
+
+def _resample_oracle(step_seconds: int) -> str:
+    """Epoch-aligned bucket twin of resample_fill for any whole-second
+    step: bucket = make_timestamp(us - us % step_us), identical arithmetic
+    to the operator's timestamp_micros(us - us % step_us)."""
+    step_us = step_seconds * 1_000_000
+    bk = f"make_timestamp(epoch_us(ts) - epoch_us(ts) % {step_us})"
+    return f"""
+WITH bounds AS (
+  SELECT user_id,
+    make_timestamp(epoch_us(MIN(ts)) - epoch_us(MIN(ts)) % {step_us}) AS lo,
+    make_timestamp(epoch_us(MAX(ts)) - epoch_us(MAX(ts)) % {step_us}) AS hi
+  FROM events GROUP BY user_id
+),
+spine AS (
+  SELECT user_id,
+    unnest(generate_series(lo, hi, INTERVAL {step_seconds} SECOND)) AS bucket
+  FROM bounds
+),
+bucketed AS (
+  SELECT user_id, {bk} AS bucket, COUNT(*) AS n_events,
+         arg_max(value, ts) AS last_v
+  FROM events GROUP BY user_id, {bk}
+)
+SELECT s.user_id, s.bucket,
+  COALESCE(h.n_events, 0) AS n_events,
+  last_value(h.last_v IGNORE NULLS) OVER (
+    PARTITION BY s.user_id ORDER BY s.bucket ROWS UNBOUNDED PRECEDING
+  ) AS filled_value
+FROM spine s
+LEFT JOIN bucketed h ON s.user_id = h.user_id AND s.bucket = h.bucket
+"""
+
+
+_dfq(
+    "events_resample_15min",
+    _resample_fn_every("15 minutes"),
+    _resample_oracle(900),
+)
+_dfq(
+    "events_resample_1day",
+    _resample_fn_every("1 day"),
+    _resample_oracle(86400),
+)
+
+
 _dfq(
     "events_resample_fill",
     _resample_fn,

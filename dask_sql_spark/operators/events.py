@@ -157,6 +157,35 @@ def retention_cohorts(
     )
 
 
+_INTERVAL_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 7 * 86400,
+}
+
+
+def parse_interval_seconds(every: str) -> int:
+    """'15 minutes' / '1 hour' / '2 days' → whole seconds. Sub-second and
+    calendar (month/year) steps are rejected: months are variable-length,
+    so an epoch-aligned bucket grid cannot represent them."""
+    parts = every.strip().lower().split()
+    if len(parts) != 2:
+        raise ValueError(f"interval must be '<n> <unit>', got {every!r}")
+    n_str, unit = parts
+    unit = unit.rstrip("s")
+    if unit not in _INTERVAL_UNIT_SECONDS:
+        raise ValueError(
+            f"unsupported interval unit {unit!r}; one of "
+            f"{sorted(_INTERVAL_UNIT_SECONDS)}"
+        )
+    n = int(n_str)
+    if n <= 0:
+        raise ValueError(f"interval count must be positive, got {n}")
+    return n * _INTERVAL_UNIT_SECONDS[unit]
+
+
 def resample_fill(
     events: DataFrame,
     every: str = "1 hour",
@@ -170,6 +199,11 @@ def resample_fill(
     a key's first observation keep NULL. Output: (key, bucket, n_events,
     filled_value).
 
+    ``every`` is any whole-second interval ('30 seconds', '15 minutes',
+    '1 hour', '1 day', …); buckets are epoch-aligned
+    (``ts - ts % step``), which coincides with ``date_trunc`` for the
+    usual steps that divide a day evenly.
+
     Spark has no native resample/gap-fill; this is the idiomatic
     composition: per-key bounds aggregate → ``sequence`` + ``explode``
     spine (spine cardinality = time-range/step per key, generated on the
@@ -177,24 +211,30 @@ def resample_fill(
     aggregates → ``last(ignorenulls)`` forward-fill window. Shuffles only
     on the key.
     """
-    bucket = F.date_trunc("hour", F.col(ts_col))
-    if every != "1 hour":
-        raise NotImplementedError(
-            "resample_fill currently supports every='1 hour'"
-        )
+    step = parse_interval_seconds(every)
+    step_us = step * 1_000_000
+
+    def to_bucket(c: Column) -> Column:
+        us = _epoch_us(c)
+        return F.timestamp_micros(us - us % F.lit(step_us))
+
     from pyspark.sql.window import Window
 
     bounds = events.groupBy(user_col).agg(
-        F.date_trunc("hour", F.min(ts_col)).alias("__lo"),
-        F.date_trunc("hour", F.max(ts_col)).alias("__hi"),
+        to_bucket(F.min(ts_col)).alias("__lo"),
+        to_bucket(F.max(ts_col)).alias("__hi"),
     )
     spine = bounds.select(
         user_col,
         F.explode(
-            F.sequence(F.col("__lo"), F.col("__hi"), F.expr("INTERVAL 1 HOUR"))
+            F.sequence(
+                F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step} SECOND")
+            )
         ).alias("bucket"),
     )
-    hourly = events.groupBy(user_col, bucket.alias("bucket")).agg(
+    hourly = events.groupBy(
+        user_col, to_bucket(F.col(ts_col)).alias("bucket")
+    ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.max_by(value_col, ts_col).alias("__last_v"),
     )

@@ -763,6 +763,73 @@ def test_resample_fill_gaps_and_leading_nulls(spark):
     assert out.filled_value.tolist() == [2.0, 2.0, 2.0, 9.0]
 
 
+def test_resample_fill_arbitrary_steps(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from dask_sql_spark.operators.events import resample_fill
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            # user 1: 10:05, 10:40, 11:35 -> 15-min grid 10:00..11:30
+            "ts": [t(10, 5), t(10, 40), t(11, 35), t(9, 59)],
+            "value": [1.0, 2.0, 9.0, 5.0],
+        }
+    )
+    out = (
+        resample_fill(spark.createDataFrame(pdf), every="15 minutes")
+        .toPandas()
+        .sort_values(["user_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    u1 = out[out.user_id == 1]
+    assert len(u1) == 7  # 10:00, 10:15, ..., 11:30
+    assert u1.n_events.tolist() == [1, 0, 1, 0, 0, 0, 1]
+    assert u1.filled_value.tolist() == [1.0, 1.0, 2.0, 2.0, 2.0, 2.0, 9.0]
+    assert u1.bucket.iloc[0] == pd.Timestamp(2024, 1, 1, 10, 0)
+    u2 = out[out.user_id == 2]
+    assert len(u2) == 1 and u2.bucket.iloc[0] == pd.Timestamp(2024, 1, 1, 9, 45)
+
+    daily = (
+        resample_fill(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "user_id": [1, 1],
+                        "ts": [dt.datetime(2024, 1, 1, 23), dt.datetime(2024, 1, 4, 1)],
+                        "value": [3.0, 4.0],
+                    }
+                )
+            ),
+            every="1 day",
+        )
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert len(daily) == 4  # Jan 1..4, day-aligned
+    assert daily.n_events.tolist() == [1, 0, 0, 1]
+    assert daily.filled_value.tolist() == [3.0, 3.0, 3.0, 4.0]
+
+
+def test_parse_interval_seconds_validation():
+    import pytest as _pytest
+
+    from dask_sql_spark.operators.events import parse_interval_seconds
+
+    assert parse_interval_seconds("30 seconds") == 30
+    assert parse_interval_seconds("15 minutes") == 900
+    assert parse_interval_seconds("1 hour") == 3600
+    assert parse_interval_seconds("2 days") == 172800
+    assert parse_interval_seconds("1 week") == 604800
+    for bad in ("1 month", "hourly", "0 hours", "-1 day", "1.5 hours"):
+        with _pytest.raises(ValueError):
+            parse_interval_seconds(bad)
+
+
 def test_zorder_key_preserves_2d_locality(spark, tmp_path):
     import pandas as pd
 
