@@ -5,13 +5,23 @@ alongside typed metadata; decode / feature-extract / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` pipelines, so executors stream batches
 without materializing whole partitions.
 
-The actual codecs (PIL / torchaudio / av) are NOT in this container, so the
-decode step is STUBBED: :func:`decode_image` raises ``NotImplementedError``
-unless ``fake=True``, in which case a deterministic fake decoder derives
-(width, height, channels, mean_byte) from the payload bytes. The Spark-side
-plumbing — schema, batch iteration, partitioning — is real and tested; a
-deployment swaps `_fake_decode` for the real codec without touching the
-plan shape.
+Capability tiers (what is real vs stubbed):
+
+- **Header metadata is REAL, dependency-free byte parsing**:
+  :func:`parse_image_header` (PNG/JPEG/GIF dimensions + channels),
+  :func:`parse_wav_header` (RIFF/WAVE sample rate/channels/bits/duration),
+  :func:`parse_mp4_duration` (ISO-BMFF ``moov``/``mvhd`` timescale →
+  duration). :func:`decode_image` uses the header parse, falls back to a
+  PIL full decode when installed, and raises ``NotImplementedError`` only
+  for unknown formats without PIL.
+- **Pixel/sample decoding is STUBBED** (PIL / torchaudio / av are not in
+  this container): ``fake=True`` selects a deterministic md5-derived
+  decoder that the DuckDB oracle can mirror; frame *extraction* in
+  :func:`sample_video_frames` is a payload-offset slice.
+
+The Spark-side plumbing — schema, Arrow batch iteration, partitioning —
+is real and tested; a deployment swaps the stub for the real codec
+without touching the plan shape.
 """
 
 from __future__ import annotations
@@ -228,6 +238,100 @@ def extract_audio_meta(
     return df.select(id_col, payload_col).mapInPandas(_extract, out_schema)
 
 
+def parse_mp4_duration(payload: bytes) -> int | None:
+    """Video duration in ms from ISO-BMFF (MP4/MOV) header bytes — walks
+    top-level boxes to ``moov``, then its children to ``mvhd``, and divides
+    the declared duration by the timescale. Pure byte parsing, same
+    discipline as :func:`parse_image_header`; returns None for non-BMFF
+    payloads or a zero/absent timescale."""
+
+    def _boxes(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(buf[i : i + 4], "big")
+            btype = buf[i + 4 : i + 8]
+            header = 8
+            if size == 1:  # 64-bit largesize follows the type
+                if i + 16 > end:
+                    return
+                size = int.from_bytes(buf[i + 8 : i + 16], "big")
+                header = 16
+            elif size == 0:  # box extends to end of file
+                size = end - i
+            if size < header:
+                return
+            yield btype, i + header, min(i + size, end)
+            i += size
+
+    # sanity: ISO-BMFF files start with a box whose type is ftyp/moov/...
+    if len(payload) < 16 or not payload[4:8].isalpha():
+        return None
+    for btype, body_start, body_end in _boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, c_start, c_end in _boxes(payload, body_start, body_end):
+            if ctype != b"mvhd":
+                continue
+            if c_end - c_start < 20:
+                return None
+            version = payload[c_start]
+            if version == 1:
+                # version/flags(4) ctime(8) mtime(8) timescale(4) dur(8)
+                if c_end - c_start < 32:
+                    return None
+                timescale = int.from_bytes(
+                    payload[c_start + 20 : c_start + 24], "big"
+                )
+                duration = int.from_bytes(
+                    payload[c_start + 24 : c_start + 32], "big"
+                )
+            else:
+                # version/flags(4) ctime(4) mtime(4) timescale(4) dur(4)
+                timescale = int.from_bytes(
+                    payload[c_start + 12 : c_start + 16], "big"
+                )
+                duration = int.from_bytes(
+                    payload[c_start + 16 : c_start + 20], "big"
+                )
+            if not timescale:
+                return None
+            return (duration * 1000) // timescale
+    return None
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("is_bmff", T.BooleanType()),
+    ]
+)
+
+
+def extract_video_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, byte_len, duration_ms, is_bmff) via mapInPandas — real MP4
+    header durations where the payload parses as ISO-BMFF, NULL duration
+    otherwise."""
+    out_schema = T.StructType([df.schema[id_col]] + list(VIDEO_META_SCHEMA.fields))
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            durs = [parse_mp4_duration(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "byte_len": [len(p) for p in payloads],
+                    "duration_ms": durs,
+                    "is_bmff": [d is not None for d in durs],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_extract, out_schema)
+
+
 def sample_video_frames(
     df: DataFrame,
     payload_col: str = "payload",
@@ -237,8 +341,9 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled frame timestamp
     per video — the explode shape a real decoder (av/ffmpeg, not in this
-    container) drops into. With no codec, duration comes from
-    ``fake_duration_ms`` or a deterministic md5-derived stand-in; the
+    container) drops into. Duration precedence: ``fake_duration_ms`` if
+    given, else the real MP4 ``mvhd`` header duration when the payload
+    parses as ISO-BMFF, else a deterministic md5-derived stand-in; the
     frame extraction itself is STUBBED as a payload-offset slice."""
     out_schema = T.StructType(
         [
@@ -256,8 +361,10 @@ def sample_video_frames(
                 if fake_duration_ms is not None:
                     duration = fake_duration_ms
                 else:
-                    digest = hashlib.md5(payload).digest()
-                    duration = 1000 + int.from_bytes(digest[:2], "big") % 9000
+                    duration = parse_mp4_duration(payload)
+                    if duration is None:
+                        digest = hashlib.md5(payload).digest()
+                        duration = 1000 + int.from_bytes(digest[:2], "big") % 9000
                 for k, t in enumerate(range(0, duration, every_ms)):
                     ids.append(row[id_col])
                     ts.append(t)

@@ -321,6 +321,64 @@ def test_video_frame_sampling_plumbing(spark):
     assert all(r.doc_id == 5 for r in frames)
 
 
+def _mp4_bytes(timescale: int, duration: int, version: int = 0) -> bytes:
+    """Minimal valid ISO-BMFF: ftyp box + moov box containing an mvhd."""
+    ftyp = b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00"
+    if version == 0:
+        body = (
+            b"\x00\x00\x00\x00"  # version 0 + flags
+            + (0).to_bytes(4, "big") * 2  # ctime, mtime
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(4, "big")
+            + b"\x00" * 80  # rate/volume/matrix/next_track padding
+        )
+    else:
+        body = (
+            b"\x01\x00\x00\x00"
+            + (0).to_bytes(8, "big") * 2
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(8, "big")
+            + b"\x00" * 80
+        )
+    mvhd = (len(body) + 8).to_bytes(4, "big") + b"mvhd" + body
+    moov = (len(mvhd) + 8).to_bytes(4, "big") + b"moov" + mvhd
+    return ftyp + moov
+
+
+def test_mp4_mvhd_duration_parse(spark):
+    import pandas as pd
+
+    from dask_sql_spark.operators.multimodal import (
+        extract_video_meta,
+        parse_mp4_duration,
+        sample_video_frames,
+    )
+
+    # 90k-tick timescale, 270000 ticks = 3.0s; both mvhd versions
+    assert parse_mp4_duration(_mp4_bytes(90000, 270000)) == 3000
+    assert parse_mp4_duration(_mp4_bytes(600, 1500, version=1)) == 2500
+    assert parse_mp4_duration(b"not a video at all") is None
+    assert parse_mp4_duration(_mp4_bytes(0, 100)) is None  # zero timescale
+
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1], "payload": [_mp4_bytes(1000, 4500), b"junk-bytes"]}
+    )
+    rows = {
+        r.doc_id: r
+        for r in extract_video_meta(spark.createDataFrame(pdf)).collect()
+    }
+    assert rows[0].duration_ms == 4500 and rows[0].is_bmff
+    assert rows[1].duration_ms is None and not rows[1].is_bmff
+
+    # frame sampling uses the REAL header duration when the payload parses
+    frames = sample_video_frames(
+        spark.createDataFrame(pdf[pdf.doc_id == 0]), every_ms=1000
+    ).collect()
+    assert [r.frame_ts_ms for r in sorted(frames, key=lambda r: r.frame_idx)] == [
+        0, 1000, 2000, 3000, 4000
+    ]
+
+
 def test_embedding_lsh_near_dupes_recall(spark):
     """The LSH-bucketed scale path recovers the pairs the exact kernel
     finds on clustered vectors (multiprobe: >=80% recall by construction;
