@@ -70,6 +70,37 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+# (analyzed-plan semanticHash, vec_col) -> dim, so repeated plan
+# construction over the same source never relaunches the probe job
+_DIM_CACHE: dict[tuple[int, str], int] = {}
+
+
+def embedding_dim(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> int:
+    """Embedding dimensionality without a per-call Spark job where
+    avoidable: explicit ``dim=`` wins, then ``{"dim": N}`` column metadata
+    on the vector field, then a one-row probe memoized on the analyzed
+    plan's semanticHash (so building the same query twice costs one job,
+    not two).  Spark array columns don't carry length in the type, hence
+    the probe fallback at all."""
+    if dim is not None:
+        return int(dim)
+    md = df.schema[vec_col].metadata or {}
+    if "dim" in md:
+        return int(md["dim"])
+    try:
+        key = (df._jdf.queryExecution().analyzed().semanticHash(), vec_col)
+    except Exception:  # Spark Connect or API drift: probe uncached
+        key = None
+    if key is not None and key in _DIM_CACHE:
+        return _DIM_CACHE[key]
+    d = len(df.select(vec_col).first()[0])
+    if key is not None:
+        _DIM_CACHE[key] = d
+    return d
+
+
 def signature_col(vec: Column, planes: np.ndarray) -> Column:
     """Sign-bit LSH signature of a vector column against fixed hyperplanes,
     as a single integer — pure Catalyst expressions."""
@@ -159,6 +190,7 @@ def embedding_near_dupes_lsh(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine near-dup at scale: hyperplane LSH bucketing, exact
     numpy-matmul kernel WITHIN buckets only (the scale path that
@@ -174,8 +206,7 @@ def embedding_near_dupes_lsh(
     import pandas as pd
     from pyspark.sql import types as T
 
-    dim = len(emb.select(vec_col).first()[0])  # metadata-scale probe
-    planes = _hyperplanes(dim, n_planes, seed)
+    planes = _hyperplanes(embedding_dim(emb, vec_col, dim), n_planes, seed)
 
     c = emb.select(
         F.col(id_col).cast("long").alias("id"),
@@ -224,16 +255,14 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane bucketing, exact rerank
     within the query's bucket. Recall grows with fewer planes / multiple
     probes; this implementation also probes all buckets at Hamming
     distance 1 (flip each bit) to soften boundary effects.
     """
-    dim = len(
-        emb.select(vec_col).first()[0]
-    )  # one-row schema probe; metadata-scale, not data-scale
-    planes = _hyperplanes(dim, n_planes, seed)
+    planes = _hyperplanes(embedding_dim(emb, vec_col, dim), n_planes, seed)
 
     c = emb.select(
         F.col(id_col).alias("id_b"),

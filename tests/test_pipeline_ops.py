@@ -379,6 +379,50 @@ def test_mp4_mvhd_duration_parse(spark):
     ]
 
 
+def test_embedding_dim_probe_cached(spark, monkeypatch):
+    """Plan-construction paths must not launch a job per call: the dim
+    probe is explicit-kwarg > column metadata > ONE memoized first()."""
+    from pyspark.sql import types as T
+
+    from dask_sql_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3])], "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    S._DIM_CACHE.clear()
+    calls = {"n": 0}
+    real_first = type(df).first
+
+    def counting_first(self):
+        calls["n"] += 1
+        return real_first(self)
+
+    monkeypatch.setattr(type(df), "first", counting_first)
+
+    assert S.embedding_dim(df, "embedding", dim=7) == 7
+    assert calls["n"] == 0  # explicit kwarg: no job
+
+    meta_df = spark.createDataFrame(
+        [(1, [0.1, 0.2])],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.IntegerType()),
+                T.StructField(
+                    "embedding",
+                    T.ArrayType(T.DoubleType()),
+                    metadata={"dim": 2},
+                ),
+            ]
+        ),
+    )
+    assert S.embedding_dim(meta_df, "embedding") == 2
+    assert calls["n"] == 0  # schema metadata: no job
+
+    assert S.embedding_dim(df, "embedding") == 3
+    assert S.embedding_dim(df, "embedding") == 3
+    assert calls["n"] == 1  # probe ran once, then semanticHash cache hits
+
+
 def test_embedding_lsh_near_dupes_recall(spark):
     """The LSH-bucketed scale path recovers the pairs the exact kernel
     finds on clustered vectors (multiprobe: >=80% recall by construction;
