@@ -82,11 +82,17 @@ _R01_SET = set(HEADLINE[:28])
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # single-JVM local mode: spark.driver.memory IS the executor heap.
+    # The 1g default fits sf0.1 but not the sf1 scaling run (SCALING.md);
+    # 16g is still a sliver of the 128 GiB harness.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
 
     from dask_sql_spark.context import default_spark_session
 
     spark = default_spark_session(
-        master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        **{"spark.driver.memory": mem},
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -276,9 +276,11 @@ def test_shuffle_shards_single_exchange_no_global_sort(sf_tables):
     assert final.count("Exchange hashpartitioning") == 1, final[:3000]
 
 
-def test_semantic_decon_broadcasts_bench_side(sf_tables):
-    """The benchmark side must broadcast: the corpus scan is shuffle-free
-    (broadcast nested loop), the shape that survives a 100 TB corpus."""
+def test_semantic_decon_stays_narrow(sf_tables):
+    """The corpus scan must stay shuffle-free: the bench matrix ships
+    inside the mapInPandas closure (one BLAS matmul per Arrow batch), so
+    the plan is scan → MapInPandas with no exchange and no join — the
+    shape that survives a 100 TB corpus."""
     from dask_sql_spark.operators.similarity import semantic_contaminated
 
     emb = sf_tables._get_table("embeddings")
@@ -288,8 +290,22 @@ def test_semantic_decon_broadcasts_bench_side(sf_tables):
     )
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan, plan[:3000]
+    assert "MapInPandas" in plan, plan[:3000]
     assert "Exchange hashpartitioning" not in plan, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+
+
+def test_semantic_decon_rejects_oversized_bench(sf_tables, monkeypatch):
+    """The driver-side collect is bounded: a bench side above the guard
+    must raise instead of silently materializing."""
+    import pytest as _pytest
+
+    from dask_sql_spark.operators import similarity as S
+
+    emb = sf_tables._get_table("embeddings")
+    monkeypatch.setattr(S, "MAX_BENCH_ROWS", 10)
+    with _pytest.raises(ValueError, match="fixed-size eval set"):
+        S.semantic_contaminated(emb, emb, threshold=0.9)
 
 
 def test_bpe_pair_counts_partial_agg_before_shuffle(sf_tables):
