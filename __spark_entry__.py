@@ -3730,12 +3730,14 @@ _dfq(
     _range_join_fn,
     """
 WITH intervals AS (
+  -- CAST: DuckDB epoch() is DOUBLE, so // stays DOUBLE -> pandas float64
+  -- while Spark's floor() emits BIGINT; BIGINT keeps both engines int64
   SELECT o_orderkey AS interval_id,
-         epoch(o_orderdate) // 86400 AS lo,
-         epoch(o_orderdate) // 86400 + 30 AS hi
+         CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS lo,
+         CAST(epoch(o_orderdate) // 86400 + 30 AS BIGINT) AS hi
   FROM orders WHERE o_orderkey % 419 = 0
 ), points AS (
-  SELECT epoch(l_shipdate) // 86400 AS ship_day FROM lineitem
+  SELECT CAST(epoch(l_shipdate) // 86400 AS BIGINT) AS ship_day FROM lineitem
 )
 SELECT interval_id, COUNT(*) AS n_points,
        MIN(ship_day) AS first_day, MAX(ship_day) AS last_day

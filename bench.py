@@ -71,6 +71,10 @@ HEADLINE = [
     "curate_semantic_decon",
     "text_bpe_pairs",
     "search_hybrid_rerank",
+    # round-5 additions (driver round 3): arbitrary-step resample + the
+    # newly oracle-gated LSH top-k
+    "events_resample_15min",
+    "ann_lsh_topk",
 ]
 
 # the 28 queries BENCH_r01 measured (total 27.48 s at sf0.1): their
