@@ -5146,6 +5146,92 @@ FROM p
 _dfq("llm_dataset_card", _dataset_card_fn, _dataset_card_oracle())
 
 
+def _source_quality_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card slice (llmprep.source_quality_report):
+    the corpus-mixing table — doc/dup/token/language stats per source,
+    one groupBy(source) with map-side partials."""
+    from dask_sql_spark.operators.llmprep import source_quality_report
+
+    return source_quality_report(_table(spark, sf_dir, "documents"))
+
+
+def _source_quality_oracle() -> str:
+    s, g = _langid_exprs()
+    return f"""
+WITH t AS (
+  SELECT source, md5(text) AS h, {_DOC_TOKS} AS tk FROM documents
+),
+p AS (
+  SELECT source, h, len(tk) AS nt,
+    CASE WHEN {g} > 0 AND {s['en']} = {g} THEN 1 ELSE 0 END AS en
+  FROM t
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  COUNT(DISTINCT h) AS n_distinct_texts,
+  ROUND(1.0 - COUNT(DISTINCT h) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+  ROUND(AVG(nt), 6) AS mean_tokens,
+  ROUND(CAST(quantile_cont(nt, 0.5) AS DOUBLE), 6) AS p50_tokens,
+  ROUND(CAST(quantile_cont(nt, 0.95) AS DOUBLE), 6) AS p95_tokens,
+  ROUND(AVG(CAST(en AS DOUBLE)), 6) AS pct_en
+FROM p GROUP BY source
+"""
+
+
+_dfq("llm_source_quality", _source_quality_fn, _source_quality_oracle())
+
+
+def _filter_funnel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation attrition audit (pipeline.filter_funnel): cumulative
+    survivor counts for clean_corpus's scan-stage filters, computed in
+    ONE map-combined aggregate then unpivoted via stack()."""
+    from dask_sql_spark.operators.pipeline import filter_funnel
+
+    return filter_funnel(_table(spark, sf_dir, "documents"))
+
+
+def _filter_funnel_oracle() -> str:
+    from dask_sql_spark.operators.text import STOPWORDS
+
+    s, g = _langid_exprs()
+    en_list = ",".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH t AS (SELECT doc_id, text, {_DOC_TOKS} AS tk FROM documents),
+scored AS (
+  SELECT doc_id, text, len(tk) AS n_tokens,
+    CASE WHEN len(tk) > 0
+         THEN ROUND(len(list_filter(tk, w -> w IN ({en_list}))) / CAST(len(tk) AS DOUBLE), 4)
+         ELSE 0.0 END AS stopword_ratio,
+    {_langid_case(s, g)} AS lang_guess
+  FROM t
+),
+flags AS (
+  SELECT text,
+    n_tokens >= 10 AS s1,
+    n_tokens >= 10 AND stopword_ratio <= 0.6 AS s2,
+    n_tokens >= 10 AND stopword_ratio <= 0.6 AND lang_guess = 'en' AS s3
+  FROM scored
+),
+a AS (
+  SELECT COUNT(*) AS n_all,
+    CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_min_tokens,
+    CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword,
+    CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+    COUNT(DISTINCT CASE WHEN s3 THEN md5(text) END) AS n_exact_dedup
+  FROM flags
+)
+SELECT 0 AS stage_idx, 'all' AS stage, n_all AS n_pass FROM a
+UNION ALL SELECT 1, 'min_tokens', n_min_tokens FROM a
+UNION ALL SELECT 2, 'stopword_ratio', n_stopword FROM a
+UNION ALL SELECT 3, 'lang', n_lang FROM a
+UNION ALL SELECT 4, 'exact_dedup', n_exact_dedup FROM a
+"""
+
+
+_dfq("llm_filter_funnel", _filter_funnel_fn, _filter_funnel_oracle())
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #

@@ -459,3 +459,49 @@ def dataset_card(
     if source_col:
         aggs.append(F.countDistinct(source_col).alias("n_sources"))
     return proj.agg(*aggs)
+
+
+def source_quality_report(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source slice of :func:`dataset_card` — the mixing table every
+    multi-source corpus release ships: doc/distinct counts and dup rate,
+    token totals and p50/p95, English share, all keyed by source.
+
+    Same cost shape as the card: one narrow scan projection (token count,
+    en-flag and content hash are scan-time expressions) into a single
+    groupBy(source) — map-side partials mean the shuffle carries one row
+    per (partition, source). Exact percentiles are the documented memory
+    knob at 100 TB (swap for ``approx_percentile`` and lose only
+    oracle-exactness).
+    """
+    from dask_sql_spark.operators.text import STOPWORDS, tokens
+
+    toks = tokens(F.col(text_col))
+    scores = {
+        lang: F.size(F.filter(toks, lambda w: w.isin(words)))
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    is_en = (best > 0) & (scores["en"] == best)  # en wins ties (priority)
+    proj = df.select(
+        F.col(source_col).alias("source"),
+        F.md5(F.col(text_col)).alias("__h"),
+        F.size(toks).alias("__nt"),
+        is_en.cast("int").alias("__en"),
+    )
+    return proj.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("__h").alias("n_distinct_texts"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("__h") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.sum("__nt").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("__nt"), 6).alias("mean_tokens"),
+        F.round(F.expr("percentile(__nt, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(__nt, 0.95)"), 6).alias("p95_tokens"),
+        F.round(F.avg("__en"), 6).alias("pct_en"),
+    )

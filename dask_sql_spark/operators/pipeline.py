@@ -70,6 +70,57 @@ def clean_corpus(
     return cleaned.select(id_col, "n_tokens", "lang_guess")
 
 
+def filter_funnel(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_stopword_ratio: float = 0.6,
+    lang: str | None = "en",
+) -> DataFrame:
+    """Per-stage attrition audit of :func:`clean_corpus`'s scan-stage
+    filters — the report every curation run ships next to its output:
+    how many documents survive each cumulative stage (all → token floor →
+    stopword cap → language → exact-dedup keepers).
+
+    ONE aggregate over the scored projection: each stage is a conditional
+    count (exact-dedup survivors are a conditional COUNT(DISTINCT
+    content-hash)), so the full funnel costs a single map-combined pass
+    at any corpus size — no per-stage jobs, no materialization. The
+    near-dup stage is deliberately absent: it needs the LSH band join
+    (see clean_corpus); this audit covers everything computable in the
+    scan.
+    """
+    scored = add_langid(
+        add_quality_score(add_token_stats(docs, text_col), text_col), text_col
+    )
+    s1 = F.col("n_tokens") >= min_tokens
+    s2 = s1 & (F.col("stopword_ratio") <= max_stopword_ratio)
+    s3 = s2 & (F.col("lang_guess") == lang) if lang is not None else s2
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(s1.cast("long")).alias("n_min_tokens"),
+        F.sum(s2.cast("long")).alias("n_stopword"),
+        F.sum(s3.cast("long")).alias("n_lang"),
+        F.countDistinct(
+            F.when(s3, F.md5(F.col(text_col)))
+        ).alias("n_exact_dedup"),
+    )
+    # unpivot the single row into (stage_idx, stage, n_pass) — stack is a
+    # projection, not a shuffle
+    return agg.select(
+        F.expr(
+            "stack(5, "
+            "0, 'all', n_all, "
+            "1, 'min_tokens', n_min_tokens, "
+            "2, 'stopword_ratio', n_stopword, "
+            "3, 'lang', n_lang, "
+            "4, 'exact_dedup', n_exact_dedup) "
+            "AS (stage_idx, stage, n_pass)"
+        )
+    )
+
+
 def training_prep(
     docs: DataFrame,
     max_tokens: int = 512,

@@ -1527,6 +1527,63 @@ def test_semantic_contaminated_finds_paraphrase_pairs(emb, spark):
     assert set(loose.corpus_id) >= {1, 4}
 
 
+def test_filter_funnel_counts_are_cumulative(spark):
+    import pandas as pd
+
+    from dask_sql_spark.operators.pipeline import filter_funnel
+
+    # ~0.4 stopword ratio (cap is an UPPER bound: all-stopword text fails)
+    en = "the cat and dog of house to garden in town is good banana apple tree"
+    de = "der hund und die katze das haus ist nicht ein baum mit den zu haus"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                en,            # survives all stages
+                en,            # exact dup of doc 0
+                "short text",  # fails min_tokens
+                de,            # passes tokens+ratio, fails lang=en
+            ],
+        }
+    )
+    out = {
+        r.stage: r.n_pass
+        for r in filter_funnel(spark.createDataFrame(pdf)).collect()
+    }
+    assert out["all"] == 4
+    assert out["min_tokens"] == 3      # doc 2 drops
+    assert out["stopword_ratio"] == 3  # none dropped here
+    assert out["lang"] == 2            # doc 3 drops (de)
+    assert out["exact_dedup"] == 1     # docs 0/1 collapse to one hash
+    # monotone non-increasing through the cascade
+    order = ["all", "min_tokens", "stopword_ratio", "lang", "exact_dedup"]
+    vals = [out[s] for s in order]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_source_quality_report_per_source(spark):
+    import pandas as pd
+
+    from dask_sql_spark.operators.llmprep import source_quality_report
+
+    en = "the and of to in is that it was for"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "source": ["web", "web", "books"],
+            "text": [en, en, "xyzzy plugh"],
+        }
+    )
+    rows = {
+        r.source: r
+        for r in source_quality_report(spark.createDataFrame(pdf)).collect()
+    }
+    assert rows["web"].n_docs == 2 and rows["web"].n_distinct_texts == 1
+    assert rows["web"].dup_rate == 0.5 and rows["web"].pct_en == 1.0
+    assert rows["books"].n_docs == 1 and rows["books"].pct_en == 0.0
+    assert rows["books"].total_tokens == 2
+
+
 def test_bpe_pair_counts_word_internal_only(spark):
     from dask_sql_spark.operators.text import bpe_pair_counts
 
