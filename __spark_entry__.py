@@ -776,6 +776,21 @@ FROM events GROUP BY event_type
 """,
 )
 
+# time-based RANGE frame: INTERVAL offsets over a timestamp order key —
+# the moving-aggregate construct (tie rows included by RANGE semantics,
+# so the result is deterministic under duplicate timestamps)
+_sqlq(
+    "window_range_interval",
+    """
+SELECT user_id, event_id, ts,
+  COUNT(*) OVER w AS n_1h,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+)
+
 # named WINDOW clause shared by several functions
 _sqlq(
     "window_named_clause",
