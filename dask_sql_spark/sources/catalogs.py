@@ -5,7 +5,9 @@ scrapes DESCRIBE FORMATTED to find storage locations; input_utils/intake.py
 opens intake catalogs). Spark-first: Hive goes through the session's
 metastore support (``enableHiveSupport()``) — no location scraping needed,
 partition pruning and statistics come from the metastore natively. Intake
-is import-gated (not installed in this environment).
+file-driver catalogs (csv/parquet/json/orc) are parsed natively from the
+YAML and read as distributed Spark file sources; only exotic drivers
+(sql/zarr/plugins) are gated on the optional intake package.
 """
 
 from __future__ import annotations
@@ -35,14 +37,46 @@ def read_hive_table(
 def read_intake_catalog(
     spark: SparkSession, catalog_path: str, entry: str, **kwargs: Any
 ) -> DataFrame:
-    """Load an intake catalog entry and convert to a Spark DataFrame
-    (reference intake.py). Import-gated: intake is optional."""
-    try:
+    """Load an intake catalog entry as a Spark DataFrame (reference
+    input_utils/intake.py).
+
+    File-driver entries (csv/parquet/json/orc — the dominant catalog
+    shape) are resolved NATIVELY: the YAML is parsed directly and the
+    ``urlpath`` goes through ``read_location``, so the scan stays a
+    distributed Spark file source with pushdown — no intake dependency
+    and no pandas materialization. Exotic drivers (sql, zarr, plugins)
+    fall back to the real intake package when installed.
+    """
+    import yaml
+
+    with open(catalog_path) as f:
+        cat = yaml.safe_load(f) or {}
+    src = (cat.get("sources") or {}).get(entry)
+    if src is None:
+        raise KeyError(
+            f"entry {entry!r} not in catalog {catalog_path!r}; "
+            f"available: {sorted((cat.get('sources') or {}))}"
+        )
+    driver = str(src.get("driver", "")).rsplit(".", 1)[-1].lower()
+    args = dict(src.get("args") or {})
+    urlpath = args.pop("urlpath", None)
+    if driver in ("csv", "parquet", "json", "orc", "textfiles") and urlpath:
+        from dask_sql_spark.sources.location import read_location
+
+        fmt = "text" if driver == "textfiles" else driver
+        # intake's pandas-reader kwargs that translate to Spark options
+        options = dict(kwargs)
+        csv_kwargs = args.pop("csv_kwargs", {}) or {}
+        if "sep" in csv_kwargs:
+            options.setdefault("sep", csv_kwargs["sep"])
+        return read_location(spark, str(urlpath), format=fmt, **options)
+    try:  # non-file drivers need the real package
         import intake  # noqa: F401
     except ImportError as e:  # pragma: no cover
         raise RuntimeError(
-            "intake is not installed; `pip install intake` to read intake "
-            "catalogs"
+            f"catalog entry {entry!r} uses driver {driver!r}, which needs "
+            "the intake package (`pip install intake`); file drivers "
+            "(csv/parquet/json/orc) are supported natively"
         ) from e
     catalog = intake.open_catalog(catalog_path)  # pragma: no cover
     pdf = catalog[entry].read()  # pragma: no cover
