@@ -1738,6 +1738,72 @@ FROM bands a JOIN bands b
 _dfq("dedup_minhash_lsh", _minhash_fn, _minhash_oracle())
 
 
+def _incr_near_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest (dedup.incremental_near_dedup):
+    doc_id % 5 = 0 plays the already-ingested corpus (its LSH band
+    buckets are 'the store'), the rest the nightly batch; survivors =
+    batch docs with no store bucket collision that also win the
+    intra-batch keeper rule. Output: distinct surviving doc ids."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.dedup import (
+        incremental_near_dedup,
+        minhash_band_buckets,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    store = minhash_band_buckets(
+        docs.where("doc_id % 5 = 0"), num_perm=16, bands=8
+    )
+    out = incremental_near_dedup(
+        docs.where("doc_id % 5 <> 0"), store, num_perm=16, bands=8
+    )
+    return out.select("doc_id").distinct().orderBy("doc_id")
+
+
+def _incr_near_oracle(num_perm: int = 16, bands: int = 8) -> str:
+    from dask_sql_spark.operators.hashing import MINHASH_PERMS, MINHASH_PRIME
+
+    rows_per_band = num_perm // bands
+    perm_values = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS[:num_perm])
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+hashes AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {MINHASH_PRIME} AS h
+  FROM sh
+),
+perms(perm, a, b) AS (VALUES {perm_values}),
+sig AS (
+  SELECT doc_id, perm, MIN((a * h + b) % {MINHASH_PRIME}) AS minhash
+  FROM hashes, perms GROUP BY doc_id, perm
+),
+allbands AS (
+  SELECT doc_id, perm // {rows_per_band} AS band,
+    string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY perm) AS bucket
+  FROM sig GROUP BY doc_id, perm // {rows_per_band}
+),
+store AS (SELECT DISTINCT band, bucket FROM allbands WHERE doc_id % 5 = 0),
+batch AS (SELECT * FROM allbands WHERE doc_id % 5 <> 0),
+hist_hits AS (
+  SELECT DISTINCT b.doc_id FROM batch b JOIN store s
+    ON b.band = s.band AND b.bucket = s.bucket
+),
+losers AS (
+  SELECT DISTINCT b.doc_id FROM batch a JOIN batch b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT DISTINCT doc_id FROM batch
+WHERE doc_id NOT IN (SELECT doc_id FROM hist_hits)
+  AND doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY doc_id
+"""
+
+
+_dfq("dedup_incremental_near", _incr_near_fn, _incr_near_oracle())
+
+
 def _simhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_sql_spark.operators.dedup import simhash_pairs
 

@@ -308,7 +308,7 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def minhash_band_buckets(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -316,13 +316,10 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via LSH banding.
-
-    num_perm/bands rows per band; documents agreeing on ALL minhashes in
-    any band land in the same bucket and become a candidate pair. With
-    r = num_perm/bands rows per band, P(candidate) = 1-(1-s^r)^bands — the
-    standard S-curve. Bucket join is per (band, signature) — never N².
-    """
+    """(id, band, bucket) LSH band signatures — the compact near-dup
+    fingerprint a store keeps per document (bands × ~40 bytes, never the
+    text). Shared by :func:`minhash_lsh_pairs` (self-join) and
+    :func:`incremental_near_dedup` (batch-vs-store join)."""
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
     band_structs = F.array(
@@ -340,17 +337,85 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def incremental_near_dedup(
+    new_batch: DataFrame,
+    seen_buckets: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup companion to :func:`incremental_dedup`: survivors of a new
+    batch against a historical LSH band-bucket store, the nightly-append
+    pattern where re-deduping the whole corpus per ingest is a
+    non-starter.
+
+    A batch document drops if (a) ANY of its band buckets collides with
+    the store — a suspected near-dup of history — or (b) it loses the
+    intra-batch keeper rule (same bucket, higher id; identical greedy
+    rule to :func:`minhash_lsh_pairs`-based cleaning). Returns the
+    surviving documents' (id, band, bucket) rows — exactly the delta to
+    append to the store to complete the cycle.
+
+    Scale shape: the store carries (band, bucket) only; the batch-vs-store
+    check is a LEFT SEMI join on (band, bucket) — co-partitioned with the
+    store's layout when the store is bucketed by those keys — and the
+    intra-batch pass is the standard bucket self-join, Σ bucket², never
+    batch × history. Documents yielding no shingles (empty/whitespace
+    text) produce no buckets and pass through untouched — compose with
+    :func:`incremental_dedup` for the exact-hash tier.
+    """
+    from pyspark import StorageLevel
+
+    batch = minhash_band_buckets(
+        new_batch, id_col, text_col, num_perm, bands, shingle_n
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    store = seen_buckets.select("band", "bucket").distinct()
+    hist_hits = (
+        batch.join(store, ["band", "bucket"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    a = batch.alias("a")
+    b = batch.alias("b")
+    losers = (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    dropped = hist_hits.union(losers).distinct()
+    return batch.join(dropped, on=id_col, how="left_anti")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    num_perm/bands rows per band; documents agreeing on ALL minhashes in
+    any band land in the same bucket and become a candidate pair. With
+    r = num_perm/bands rows per band, P(candidate) = 1-(1-s^r)^bands — the
+    standard S-curve. Bucket join is per (band, signature) — never N².
+    """
     from pyspark import StorageLevel
 
     # one (doc, band) row per band — tiny; persisted because the bucket
     # self-join reads it twice (else the whole minhash pipeline runs 2×)
-    band_sigs = (
-        sig.select(F.col(id_col), F.explode(band_structs).alias("bb"))
-        .select(
-            id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    band_sigs = minhash_band_buckets(
+        df, id_col, text_col, num_perm, bands, shingle_n
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = band_sigs.alias("a")
     b = band_sigs.alias("b")
     return (

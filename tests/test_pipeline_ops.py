@@ -1527,6 +1527,42 @@ def test_semantic_contaminated_finds_paraphrase_pairs(emb, spark):
     assert set(loose.corpus_id) >= {1, 4}
 
 
+def test_incremental_near_dedup(spark):
+    import pandas as pd
+
+    from dask_sql_spark.operators.dedup import (
+        incremental_near_dedup,
+        minhash_band_buckets,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    seen = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": [base]})
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    base,  # near-dup of history -> drops
+                    "completely different content about spark and catalyst plans",
+                    "completely different content about spark and catalyst plans",
+                    # ^ intra-batch dup of doc 2 -> doc 3 drops, doc 2 keeps
+                    "a third unrelated document mentioning bucketed shuffle joins",
+                ],
+            }
+        )
+    )
+    store = minhash_band_buckets(seen, num_perm=16, bands=8)
+    out = incremental_near_dedup(batch, store, num_perm=16, bands=8)
+    survivors = sorted(
+        r.doc_id for r in out.select("doc_id").distinct().collect()
+    )
+    assert survivors == [2, 4]
+    # the output IS the store delta: band buckets for every survivor
+    assert set(out.select("band").distinct().toPandas()["band"]) == set(range(8))
+
+
 def test_filter_funnel_counts_are_cumulative(spark):
     import pandas as pd
 
