@@ -1461,6 +1461,45 @@ FROM events GROUP BY 1, 2
 )
 
 
+def _sliding_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window twin of _tumbling_fn: 1-hour windows every 15
+    minutes — each event lands in exactly 4 overlapping windows (Spark
+    F.window(ts, '1 hour', '15 minutes'), epoch-aligned starts)."""
+    from dask_sql_spark.streaming.core import windowed_counts
+
+    ev = _table(spark, sf_dir, "events")
+    out = windowed_counts(
+        ev.drop("props"), window="1 hour", slide="15 minutes",
+        watermark="2 hours",
+    )
+    from pyspark.sql import functions as F
+
+    return out.select(
+        "window_start", "event_type", "n",
+        F.round(F.col("total_value"), 4).alias("total_value"),
+    )
+
+
+_dfq(
+    "stream_sliding_window",
+    _sliding_fn,
+    # each event belongs to the 4 epoch-aligned 15-min slides covering it:
+    # start_k = 15min-bucket(ts) - k*15min, k = 0..3
+    """
+WITH hits AS (
+  SELECT make_timestamp(
+           epoch_us(ts) - epoch_us(ts) % 900000000 - k.k * 900000000
+         ) AS window_start,
+         event_type, value
+  FROM events, (SELECT unnest(range(0, 4)) AS k) k
+)
+SELECT window_start, event_type,
+  COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+FROM hits GROUP BY 1, 2
+""",
+)
+
+
 def _session_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_sql_spark.streaming.core import sessionized
 
