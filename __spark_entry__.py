@@ -4256,6 +4256,53 @@ SELECT 'accepted:o_orderstatus',
 )
 
 
+def _key_skew_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key heavy-hitter diagnosis (dq.key_skew_report): top-20
+    lineitem partkeys by row count with table share — groupBy partials +
+    broadcast grand total + TakeOrderedAndProject."""
+    from dask_sql_spark.operators.dq import key_skew_report
+
+    return key_skew_report(_table(spark, sf_dir, "lineitem"), "l_partkey", k=20)
+
+
+_dfq(
+    "dq_key_skew",
+    _key_skew_fn,
+    """
+WITH c AS (
+  SELECT l_partkey AS key, COUNT(*) AS n_rows FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM c)
+SELECT key, n_rows, ROUND(n_rows / CAST(total AS DOUBLE), 6) AS share
+FROM c, t
+ORDER BY n_rows DESC, key
+LIMIT 20
+""",
+)
+
+
+# hypertable-style multi-resolution rollup: hour and day grains of the
+# same aggregate in ONE pass via GROUPING SETS (the continuous-aggregate
+# shape; maint_refresh_aggregate is the incremental-maintenance side)
+_sqlq(
+    "events_rollup_multires",
+    """
+SELECT
+  CASE WHEN GROUPING(d) = 1 THEN 'hour' ELSE 'day' END AS grain,
+  COALESCE(d, h) AS bucket_start,
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM (
+  SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+         event_type, value
+  FROM events
+) t
+GROUP BY GROUPING SETS ((h, event_type), (d, event_type))
+""",
+)
+
+
 def _entropy_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram Shannon entropy per document (text.add_unigram_entropy):
     the low-entropy spam/template screen; one explode + two aggregates."""

@@ -109,6 +109,35 @@ def dq_report(checks: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), checks)
 
 
+def key_skew_report(
+    df: DataFrame, key_col: str, k: int = 20
+) -> DataFrame:
+    """Heavy-hitter profile of a join/partition key: the top-``k`` keys by
+    row count with their share of the table — the report you run BEFORE a
+    100 TB join to decide whether a key needs salting or an AQE skew
+    split (operators/skew.py is the remediation; this is the diagnosis).
+
+    Shape: one groupBy(key) count (map-side partials), the grand total as
+    a 1-row broadcast cross join (never a single-partition window), and
+    the top-k via orderBy+limit — Catalyst plans TakeOrderedAndProject,
+    so only k rows ever leave the executors.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key"))
+        .limit(k)
+    )
+
+
 def write_with_metrics(
     df: DataFrame,
     path: str,

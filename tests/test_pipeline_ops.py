@@ -1527,6 +1527,22 @@ def test_semantic_contaminated_finds_paraphrase_pairs(emb, spark):
     assert set(loose.corpus_id) >= {1, 4}
 
 
+def test_key_skew_report_shares(spark):
+    import pandas as pd
+
+    from dask_sql_spark.operators.dq import key_skew_report
+
+    pdf = pd.DataFrame({"k": ["hot"] * 8 + ["warm"] * 2 + ["a", "b"]})
+    out = key_skew_report(spark.createDataFrame(pdf), "k", k=2).collect()
+    assert [(r.key, r.n_rows, r.share) for r in out] == [
+        ("hot", 8, round(8 / 12, 6)),
+        ("warm", 2, round(2 / 12, 6)),
+    ]
+    # top-k must plan as TakeOrderedAndProject (no global sort)
+    df = key_skew_report(spark.createDataFrame(pdf), "k", k=2)
+    assert "TakeOrderedAndProject" in df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_incremental_near_dedup(spark):
     import pandas as pd
 
