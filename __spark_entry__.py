@@ -5313,6 +5313,30 @@ FROM p
 _dfq("llm_dataset_card", _dataset_card_fn, _dataset_card_oracle())
 
 
+def _blocklist_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-blocklist screening (text.blocklist_filter): whole-token
+    matches against a literal list, scan-time expression only."""
+    from dask_sql_spark.operators.text import blocklist_filter
+
+    return blocklist_filter(
+        _table(spark, sf_dir, "documents"), ["slow", "spill", "skew"]
+    ).select("doc_id", "n_blocked", "blocked")
+
+
+_dfq(
+    "curate_blocklist",
+    _blocklist_fn,
+    f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS tk FROM documents)
+SELECT doc_id,
+  CAST(len(list_filter(tk, w -> w IN ('slow', 'spill', 'skew'))) AS INT)
+    AS n_blocked,
+  len(list_filter(tk, w -> w IN ('slow', 'spill', 'skew'))) > 0 AS blocked
+FROM t
+""",
+)
+
+
 def _source_quality_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dataset-card slice (llmprep.source_quality_report):
     the corpus-mixing table — doc/dup/token/language stats per source,

@@ -169,6 +169,31 @@ def redact_pii(
     )
 
 
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Term-blocklist screening — the safety/compliance stage every
+    curation pipeline runs: per-document count of blocklisted tokens and
+    a keep/drop flag. Matching is whole-token (the same lowercase
+    whitespace tokenization as every text operator here), so 'assembly'
+    never trips a block on 'ass'.
+
+    Pure JVM column math: tokens → ``array_intersect``-style filter
+    against a literal array — one scan-time expression, no shuffle, no
+    UDF; at 100 TB the blocklist rides inside the codegen'd projection.
+    For 100k+ term lists, broadcast-join an exploded token frame instead.
+    """
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+    terms = [t.lower() for t in blocklist]
+    hits = F.size(F.filter(tokens(F.col(text_col)), lambda w: w.isin(terms)))
+    return df.withColumn("n_blocked", hits.cast("int")).withColumn(
+        "blocked", hits > 0
+    )
+
+
 def contaminated_docs(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -1527,6 +1527,31 @@ def test_semantic_contaminated_finds_paraphrase_pairs(emb, spark):
     assert set(loose.corpus_id) >= {1, 4}
 
 
+def test_blocklist_filter_whole_token(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from dask_sql_spark.operators.text import blocklist_filter
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "the assembly of parts",      # substring 'ass' must NOT hit
+                "bad Ass content ass",        # 2 whole-token hits (case-insens)
+                "clean text here",
+            ],
+        }
+    )
+    out = {
+        r.doc_id: (r.n_blocked, r.blocked)
+        for r in blocklist_filter(spark.createDataFrame(pdf), ["ass"]).collect()
+    }
+    assert out == {0: (0, False), 1: (2, True), 2: (0, False)}
+    with _pytest.raises(ValueError):
+        blocklist_filter(spark.createDataFrame(pdf), [])
+
+
 def test_key_skew_report_shares(spark):
     import pandas as pd
 
