@@ -4805,6 +4805,48 @@ FROM s GROUP BY doc_id
 )
 
 
+def _bigram_lm_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive perplexity screen (text.bigram_lm_bits): bits per
+    bigram under the corpus's own add-alpha bigram LM — catches word
+    salad that unigram perplexity scores as normal."""
+    from dask_sql_spark.operators.text import bigram_lm_bits
+
+    return bigram_lm_bits(_table(spark, sf_dir, "documents"))
+
+
+_dfq(
+    "text_bigram_lm_bits",
+    _bigram_lm_fn,
+    f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS tk FROM documents),
+bg AS (
+  SELECT doc_id, tk[i] AS p, tk[i+1] AS c
+  FROM t, UNNEST(range(1, len(tk))) r(i)
+  WHERE len(tk) >= 2
+),
+tf AS (SELECT doc_id, p, c, COUNT(*) AS tf FROM bg GROUP BY doc_id, p, c),
+cbg AS (SELECT p, c, SUM(tf) AS cnt FROM tf GROUP BY p, c),
+ctx AS (SELECT p, SUM(cnt) AS ctx FROM cbg GROUP BY p),
+voc AS (
+  SELECT COUNT(DISTINCT term) AS vocab
+  FROM (SELECT unnest(tk) AS term FROM t)
+),
+s AS (
+  SELECT doc_id, tf.tf,
+    CAST(ROUND(tf.tf * -log2((cbg.cnt + 0.5) / (ctx.ctx + 0.5 * voc.vocab)), 9)
+         AS DECIMAL(38,18)) AS bg_bits
+  FROM tf
+  JOIN cbg ON tf.p = cbg.p AND tf.c = cbg.c
+  JOIN ctx ON tf.p = ctx.p
+  CROSS JOIN voc
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(bg_bits) AS DOUBLE) / SUM(tf), 6) AS bits_per_bigram
+FROM s GROUP BY doc_id
+""",
+)
+
+
 def _stratified_sample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-remainder stratified eval-set sampling
     (llmprep.stratified_sample): exact-k across languages, integer-only

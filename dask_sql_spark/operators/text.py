@@ -750,6 +750,83 @@ def unigram_lm_bits(
     )
 
 
+def bigram_lm_bits(
+    df: DataFrame,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document cross-entropy (bits/bigram) under the corpus's own
+    add-``alpha``-smoothed BIGRAM language model — the order-sensitive
+    companion to :func:`unigram_lm_bits`: word-salad documents score
+    near-average on unigrams but far above it on bigrams, so the pair is
+    the standard two-stage CCNet-style quality screen.
+
+    ``bits(doc) = Σ_bg tf_bg · -log2((c(u,w)+α) / (c(u,·)+α·V)) / n_bg``
+    with c(u,w) the corpus bigram count, c(u,·) the context total and V
+    the unigram vocabulary size.
+
+    Plan: ONE bigram explode + (doc, prev, cur) groupBy with map-side
+    combine; corpus bigram and context counts are two window sums over
+    that same aggregate (exchange reuse, no second scan); V rides along
+    as a broadcast 1-row cross join. Per-bigram bits round to 9 digits
+    then sum as DECIMAL(38,18) — order-independent, engine-portable.
+    Documents with fewer than two tokens have no bigrams and are absent
+    from the output (same contract as the oracle).
+    """
+    from pyspark.sql.window import Window
+
+    df = ensure_parallelism(df)
+    toks = tokens(F.col(text_col))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("p"),
+            F.element_at(toks, i + 1).alias("c"),
+        ),
+    )
+    tf = (
+        df.where(F.size(toks) >= 2)
+        .select(id_col, F.explode(bigrams).alias("bg"))
+        .select(id_col, F.col("bg.p").alias("p"), F.col("bg.c").alias("c"))
+        .groupBy(id_col, "p", "c")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = (
+        df.select(F.explode(toks).alias("term"))
+        .agg(F.count_distinct("term").alias("vocab"))
+    )
+    scored = (
+        tf.withColumn("cnt", F.sum("tf").over(Window.partitionBy("p", "c")))
+        .withColumn("ctx", F.sum("tf").over(Window.partitionBy("p")))
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "bg_bits",
+            F.round(
+                F.col("tf")
+                * -F.log2(
+                    (F.col("cnt") + F.lit(alpha))
+                    / (F.col("ctx") + F.lit(alpha) * F.col("vocab"))
+                ),
+                9,
+            ).cast("decimal(38,18)"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.sum("bg_bits").alias("sum_bits"),
+    )
+    return per_doc.select(
+        id_col,
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.col("sum_bits").cast("double") / F.col("n_bigrams"),
+            round_digits,
+        ).alias("bits_per_bigram"),
+    )
+
+
 def bm25_search(
     df: DataFrame,
     query: str,

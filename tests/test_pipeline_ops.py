@@ -1527,6 +1527,31 @@ def test_semantic_contaminated_finds_paraphrase_pairs(emb, spark):
     assert set(loose.corpus_id) >= {1, 4}
 
 
+def test_bigram_lm_flags_word_salad(spark):
+    """Bigram perplexity separates shuffled text from fluent text even
+    when their unigram distributions are identical."""
+    import pandas as pd
+
+    from dask_sql_spark.operators.text import bigram_lm_bits
+
+    fluent = "the cat sat on the mat " * 10
+    salad = "mat the on sat cat the " * 10  # same unigrams, broken order
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": [fluent, fluent, salad]}
+    )
+    out = {
+        r.doc_id: r.bits_per_bigram
+        for r in bigram_lm_bits(spark.createDataFrame(pdf)).collect()
+    }
+    assert out[0] == out[1]          # identical docs score identically
+    assert out[2] > out[0]           # word salad is more surprising
+    # one-token docs produce no bigrams and are absent
+    tiny = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "text": ["hello"]})
+    )
+    assert bigram_lm_bits(tiny).count() == 0
+
+
 def test_blocklist_filter_whole_token(spark):
     import pandas as pd
     import pytest as _pytest
