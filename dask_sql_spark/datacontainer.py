@@ -83,3 +83,5 @@ class SchemaContainer:
     # resolved source format per file-backed table (parquet/csv/json/orc…)
     # so maintenance ops (OPTIMIZE) rewrite in the table's real format
     fileformats: dict[str, str] = field(default_factory=dict)
+    # locations superseded by OPTIMIZE's swap-on-publish, awaiting VACUUM
+    stale_locations: dict[str, list[str]] = field(default_factory=dict)

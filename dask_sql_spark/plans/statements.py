@@ -19,6 +19,8 @@ executes the rest as registry operations:
 |   DESCRIBE MODEL / CREATE EXPERIMENT        | predict_model.py:18-94, …   |
 | OPTIMIZE t [WITH (target_bytes=…, dest=…)]  | additive (Delta/Iceberg-    |
 |   — small-file compaction, swap-on-publish  | style; no reference plugin) |
+| VACUUM t [WITH (dry_run=true)] — reclaim    | additive; deletes only      |
+|   locations superseded by OPTIMIZE          | tracked stale locations     |
 
 Anything not matched returns ``None`` and flows to ``spark.sql``.
 """
@@ -129,6 +131,12 @@ _COPY_TO = re.compile(
 # lakehouse-style small-file compaction (Delta/Iceberg OPTIMIZE surface)
 _OPTIMIZE_TABLE = re.compile(
     r"^\s*OPTIMIZE\s+(?:TABLE\s+)?([\w.\"`]+)"
+    r"(?:\s+WITH\s*\((.*)\))?\s*$",
+    _FLAGS,
+)
+# retention cleanup of locations superseded by OPTIMIZE's swap-on-publish
+_VACUUM_TABLE = re.compile(
+    r"^\s*VACUUM\s+(?:TABLE\s+)?([\w.\"`]+)"
     r"(?:\s+WITH\s*\((.*)\))?\s*$",
     _FLAGS,
 )
@@ -504,12 +512,55 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
             context.schemas[schema_name].fileformats.get(table.lower())
             or _infer_format(location)
         )
-        # write-audit-publish: compact to dest, then swap the registration
+        # write-audit-publish: compact to dest, then swap the registration;
+        # the superseded location is retained for time-travel/rollback
+        # until an explicit VACUUM reclaims it
         report = compact_files(
             spark, location, dest, target_bytes=target, fmt=fmt
         )
         context.create_table(table, dest, format=fmt, schema_name=schema_name)
+        context.schemas[schema_name].stale_locations.setdefault(
+            table.lower(), []
+        ).append(location)
         return report
+
+    m = _VACUUM_TABLE.match(sql)
+    if m:
+        name, body = m.groups()
+        name = _unquote(name)
+        schema_name, table = _resolve(context, name)
+        if not context._table_exists(name):
+            raise RuntimeError(f"Table {name} does not exist")
+        kwargs = parse_kwargs(body) if body else {}
+        dry_run = bool(kwargs.pop("dry_run", False))
+        if kwargs:
+            raise ValueError(f"unknown VACUUM options: {sorted(kwargs)}")
+        schema = context.schemas[schema_name]
+        stale = schema.stale_locations.get(table.lower(), [])
+        current = schema.filepaths.get(table.lower())
+        rows = []
+        remaining: list[str] = []
+        for loc in stale:
+            if current and loc.rstrip("/") == current.rstrip("/"):
+                # never delete the live location, whatever the ledger says
+                remaining.append(loc)
+                rows.append((loc, "skipped_live", False))
+                continue
+            if dry_run:
+                remaining.append(loc)
+                rows.append((loc, "would_delete", False))
+                continue
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(loc)
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            deleted = bool(fs.delete(p, True))
+            rows.append((loc, "deleted" if deleted else "missing", deleted))
+        if not dry_run:
+            schema.stale_locations[table.lower()] = remaining
+        return spark.createDataFrame(
+            rows or [(None, "nothing_to_vacuum", False)],
+            "location STRING, action STRING, deleted BOOLEAN",
+        )
 
     m = _CREATE_TABLE_AS.match(sql)
     if m:

@@ -413,6 +413,42 @@ def test_optimize_table_compacts_and_swaps(context, tmp_path):
         context.sql("OPTIMIZE no_such_table")
 
 
+def test_vacuum_reclaims_superseded_location(context, tmp_path):
+    """OPTIMIZE retains the old location for rollback; VACUUM dry_run
+    lists it, real VACUUM deletes it, and the live location survives."""
+    import os
+
+    src = str(tmp_path / "vac_src")
+    context.spark.range(0, 100).selectExpr("id", "id * 2 AS v").repartition(
+        4
+    ).write.mode("overwrite").parquet(src)
+    context.create_table("vac_t", src)
+    dest = str(tmp_path / "vac_done")
+    context.sql(f"OPTIMIZE vac_t WITH (dest = '{dest}')").collect()
+    assert os.path.isdir(src)  # retained until VACUUM
+
+    dry = context.sql("VACUUM vac_t WITH (dry_run = true)").collect()
+    assert [(r.location, r.action) for r in dry] == [(src, "would_delete")]
+    assert os.path.isdir(src)
+
+    real = context.sql("VACUUM vac_t").collect()
+    assert [(r.location, r.action, r.deleted) for r in real] == [
+        (src, "deleted", True)
+    ]
+    assert not os.path.exists(src)
+    assert os.path.isdir(dest)  # live location untouched
+    assert context.sql("SELECT COUNT(*) AS n FROM vac_t").collect()[0].n == 100
+
+    # ledger drained: second VACUUM is a no-op report
+    again = context.sql("VACUUM vac_t").collect()
+    assert [(r.action,) for r in again] == [("nothing_to_vacuum",)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        context.sql("VACUUM no_such_table")
+
+
 def test_optimize_preserves_csv_format(context, tmp_path):
     """OPTIMIZE on a csv-backed table must rewrite csv, not parquet."""
     import glob
