@@ -416,6 +416,118 @@ GROUP BY cntrycode
 """,
 )
 
+# Q2/Q11/Q20 use lineitem as the part-supplier bridge (the driver schema
+# ships no partsupp table; same adaptation as q16/q17 above), keeping each
+# query's signature construct intact: Q2's correlated min-cost subquery,
+# Q11's HAVING-vs-global-scalar fraction, Q20's nested IN + grouped HAVING.
+# Q12 keeps the conditional two-way CASE count over a date-lag predicate
+# (l_returnflag stands in for the absent l_shipmode).  Reference runs the
+# full TPC-H suite (reference tests/unit/test_queries.py); these four
+# close the 22-query set.
+_sqlq(
+    "q2_min_cost_supplier",
+    """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+    MIN(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+FROM part
+JOIN ps ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size IN (17, 23, 36) AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+
+_sqlq(
+    "q11_important_stock",
+    """
+SELECT l_partkey AS ps_partkey,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)))
+    AS DOUBLE) AS part_value
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_0'
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)))
+    AS DOUBLE) > (
+  SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)))
+      AS DOUBLE) * 0.001
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_0'
+)
+ORDER BY part_value DESC, ps_partkey
+""",
+)
+
+_sqlq(
+    "q12_priority_shipping",
+    """
+SELECT l_returnflag AS shipmode,
+  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                  OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+    AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                 AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END)
+    AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY shipmode
+""",
+)
+
+_sqlq(
+    "q20_part_promotion",
+    """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    JOIN (
+      SELECT l_partkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS tot_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey
+    ) t ON l.l_partkey = t.l_partkey
+    WHERE l.l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+      )
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_suppkey, l.l_partkey, t.tot_qty
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      > 0.1 * t.tot_qty
+  )
+ORDER BY s_name, s_acctbal
+""",
+)
+
 # ==================================================================== #
 # 2. join matrix (SURVEY §2.2)                                         #
 # ==================================================================== #
