@@ -5099,6 +5099,41 @@ WHERE greatest(c_ab, c_ba) >= 0.3
 )
 
 
+def _fuzzy_lev_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-edit-distance near-identical pairs
+    (dedup.fuzzy_levenshtein_pairs): PassJoin-style prefix-segment
+    blocking (3 windows of 20 chars), length-difference prune, native
+    levenshtein verify — identical builtin in DuckDB, so value-gated."""
+    from dask_sql_spark.operators.dedup import fuzzy_levenshtein_pairs
+
+    return fuzzy_levenshtein_pairs(
+        _table(spark, sf_dir, "documents"), max_dist=8
+    )
+
+
+_dfq(
+    "dedup_fuzzy_levenshtein",
+    _fuzzy_lev_fn,
+    """
+WITH seg AS (
+  SELECT doc_id, text, length(text) AS len, i,
+         substring(lower(text), 1 + i * 20, 20) AS s
+  FROM documents, (SELECT unnest([0, 1, 2]) AS i)
+  WHERE substring(lower(text), 1 + i * 20, 20) <> ''
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.text AS text_a, b.text AS text_b
+  FROM seg a JOIN seg b ON a.i = b.i AND a.s = b.s
+  WHERE a.doc_id < b.doc_id AND abs(a.len - b.len) <= 8
+)
+SELECT id_a, id_b, CAST(levenshtein(text_a, text_b) AS INT) AS dist
+FROM cand
+WHERE levenshtein(text_a, text_b) <= 8
+""",
+)
+
+
 def _incremental_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nightly-ingest dedup (dedup.incremental_dedup): docs with
     doc_id % 3 = 0 play the historical fingerprint store; the rest are

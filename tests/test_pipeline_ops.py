@@ -1839,3 +1839,22 @@ def test_bpe_merge_respects_symbol_boundaries(spark):
     assert merges[0] == ("a", "l", 13)
     assert merges[1] == ("l", "o", 5)
     assert merges[2] == ("al", "o", 3)
+
+
+def test_fuzzy_levenshtein_pairs(docs):
+    from dask_sql_spark.operators.dedup import fuzzy_levenshtein_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_levenshtein_pairs(docs, max_dist=6).collect()
+    }
+    # dog/cat swap = 3 edits; exact dup = 0; " today" suffix = 6
+    assert pairs[(0, 1)] == 3
+    assert pairs[(0, 2)] == 0
+    assert pairs[(1, 2)] == 3
+    assert pairs[(0, 7)] == 6
+    assert pairs[(2, 7)] == 6
+    # beyond the bound: cat-variant vs today-variant is 9 edits
+    assert (1, 7) not in pairs
+    # unrelated text never becomes a candidate (different first segments)
+    assert not any(3 in p or 4 in p or 5 in p or 6 in p for p in pairs)
