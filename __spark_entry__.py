@@ -2159,6 +2159,78 @@ SELECT query_id, id_b AS neighbor_id, rank FROM (
 )
 
 
+def _mmr_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified rerank (similarity.mmr_rerank): greedy
+    relevance-vs-redundancy selection, k=5 from 20 broadcast-cosine
+    candidates per query, lam=0.5 (dyadic so 1-lam is IEEE-exact in both
+    engines; selection order value-gated with no rounding)."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.similarity import mmr_rerank
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb, emb.where(F.col("vec_id") < 5), k=5, n_candidates=20, lam=0.5
+    )
+
+
+def _mmr_oracle(k: int = 5, n_cand: int = 20, lam: str = "0.5") -> str:
+    """Unrolled k-step greedy MMR as chained CTEs (same discipline as the
+    pagerank materialized-CTE oracle): each step anti-joins the picks so
+    far, takes MAX cosine to the selected set, and argmaxes
+    lam*cos - (1-lam)*msim with an (score DESC, id) tie-break identical
+    to the Spark window."""
+    sim = (
+        "list_dot_product(r.vb, s.vb) / (sqrt(list_dot_product(r.vb, r.vb))"
+        " * sqrt(list_dot_product(s.vb, s.vb)))"
+    )
+    sql = f"""
+WITH e AS (SELECT vec_id, {_EMB_DOUBLE} AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 5),
+cand AS (
+  SELECT query_id, id_b, cos, vb FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS id_b, {_COS} AS cos, b.v AS vb,
+      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                         ORDER BY {_COS} DESC, b.vec_id) AS rk
+    FROM q a JOIN e b ON b.vec_id <> a.vec_id) t
+  WHERE rk <= {n_cand}
+),
+sel1 AS (
+  SELECT query_id, id_b, cos, vb, 1 AS step FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, id_b) AS rk
+    FROM cand) t WHERE rk = 1
+),
+all1 AS (SELECT * FROM sel1)"""
+    for t in range(2, k + 1):
+        sql += f""",
+rem{t} AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN all{t - 1} s ON c.query_id = s.query_id AND c.id_b = s.id_b
+  WHERE s.id_b IS NULL
+),
+m{t} AS (
+  SELECT r.query_id, r.id_b, MAX({sim}) AS msim,
+         MIN(r.cos) AS cos, MIN(r.vb) AS vb
+  FROM rem{t} r JOIN all{t - 1} s ON r.query_id = s.query_id
+  GROUP BY r.query_id, r.id_b
+),
+sel{t} AS (
+  SELECT query_id, id_b, cos, vb, {t} AS step FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY {lam} * cos - (1 - {lam}) * msim DESC, id_b) AS rk
+    FROM m{t}) t WHERE rk = 1
+),
+all{t} AS (SELECT * FROM all{t - 1} UNION ALL SELECT * FROM sel{t})"""
+    sql += f"""
+SELECT query_id, id_b AS selected_id, step FROM all{k}
+"""
+    return sql
+
+
+_dfq("search_mmr_rerank", _mmr_fn, _mmr_oracle())
+
+
 def _ann_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 

@@ -594,3 +594,96 @@ def quantized_brute_topk(
         )
     )
     return _rank_topk(scored, k)
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: per query, greedily select
+    ``k`` results maximizing ``lam·rel(d) − (1−lam)·max_{s∈S} sim(d, s)``
+    — the classic Carbonell-Goldstein diversification used to keep
+    retrieved context windows (RAG) and eval panels from collapsing onto
+    near-duplicate passages.
+
+    Plan shape: candidate generation is the broadcast cosine scan of
+    :func:`brute_force_topk` truncated at ``n_candidates`` (swap in
+    :func:`lsh_topk` buckets upstream at 100 TB — the rerank below only
+    ever touches ``n_candidates`` rows per query). The greedy loop is
+    unrolled into ``k`` lazy DataFrame steps (argmax via a per-query
+    row_number window, then an anti-join removes the pick); all arithmetic
+    stays in JVM fold expressions, which DuckDB's sequential
+    ``list_dot_product`` reproduces bit-for-bit, so selection order is
+    value-gated cross-engine with no rounding. Keep ``lam`` dyadic
+    (0.5, 0.25…) so ``1−lam`` is IEEE-exact in both engines.
+
+    Output: (query_id, selected_id, step) with step 1..k in selection
+    order; step 1 is the plain relevance argmax.
+    """
+    one_minus = 1.0 - lam
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("vq"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    wrel = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("id_b").asc()
+    )
+    cand = (
+        c.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("id_b"))
+        .withColumn("cos", cosine(F.col("vq"), F.col("vb")))
+        .withColumn("rk", F.row_number().over(wrel))
+        .where(F.col("rk") <= n_candidates)
+        .select("query_id", "id_b", "cos", "vb")
+    )
+    # every unrolled step references cand and the selection chain; a lazy
+    # localCheckpoint (no action here — materialized once at first use)
+    # keeps the broadcast corpus scan from re-running per branch
+    cand = cand.localCheckpoint(eager=False)
+    sel = (
+        cand.withColumn("rk", F.row_number().over(wrel))
+        .where(F.col("rk") == 1)
+        .select("query_id", "id_b", "cos", "vb", F.lit(1).alias("step"))
+    )
+    for step in range(2, k + 1):
+        rem = cand.join(
+            sel.select("query_id", "id_b"), ["query_id", "id_b"], "left_anti"
+        )
+        picked = sel.select(
+            "query_id", F.col("vb").alias("sel_vb")
+        )
+        wmmr = Window.partitionBy("query_id").orderBy(
+            F.col("mmr").desc(), F.col("id_b").asc()
+        )
+        nxt = (
+            rem.join(picked, "query_id")
+            .withColumn("sim", cosine(F.col("vb"), F.col("sel_vb")))
+            .groupBy("query_id", "id_b")
+            .agg(
+                F.max("sim").alias("msim"),
+                F.first("cos").alias("cos"),
+                F.first("vb").alias("vb"),
+            )
+            .withColumn(
+                "mmr",
+                F.lit(lam) * F.col("cos") - F.lit(one_minus) * F.col("msim"),
+            )
+            .withColumn("rk", F.row_number().over(wmmr))
+            .where(F.col("rk") == 1)
+            .select("query_id", "id_b", "cos", "vb", F.lit(step).alias("step"))
+        )
+        # k·queries rows total — checkpointing the chain keeps later
+        # steps from re-deriving every earlier argmax
+        sel = sel.unionByName(nxt).localCheckpoint(eager=False)
+    return sel.select(
+        "query_id", F.col("id_b").alias("selected_id"), "step"
+    )

@@ -1858,3 +1858,29 @@ def test_fuzzy_levenshtein_pairs(docs):
     assert (1, 7) not in pairs
     # unrelated text never becomes a candidate (different first segments)
     assert not any(3 in p or 4 in p or 5 in p or 6 in p for p in pairs)
+
+
+def test_mmr_rerank_diversifies(spark, emb):
+    import numpy as np
+
+    from dask_sql_spark.operators.similarity import mmr_rerank
+
+    q = emb.where("vec_id = 0")
+    out = mmr_rerank(q.unionByName(emb.where("vec_id <> 0")), q,
+                     k=3, n_candidates=4, lam=0.5)
+    got = {r.step: r.selected_id for r in out.collect()}
+    # replicate the greedy selection with numpy
+    vecs = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+    cos = lambda a, b: float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    rel = {i: cos(vecs[0], vecs[i]) for i in vecs if i != 0}
+    sel = [max(rel, key=lambda i: (rel[i], -i))]
+    for _ in range(2):
+        remaining = [i for i in rel if i not in sel]
+        score = {
+            i: 0.5 * rel[i] - 0.5 * max(cos(vecs[i], vecs[s]) for s in sel)
+            for i in remaining
+        }
+        sel.append(max(score, key=lambda i: (score[i], -i)))
+    assert [got[s] for s in (1, 2, 3)] == sel
+    # step 1 is the pure-relevance argmax (the near-dup of the query)
+    assert got[1] == 1
