@@ -5268,6 +5268,46 @@ FROM h
 )
 
 
+def _curriculum_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order (llmprep.curriculum_order): 4 quality
+    stages from exact dyadic token-count percentiles (scalar agg
+    broadcast, no global NTILE sort), md5-shuffled into 8 shards within
+    each stage."""
+    from dask_sql_spark.operators.llmprep import curriculum_order
+
+    return curriculum_order(
+        _table(spark, sf_dir, "documents"), n_stages=4, n_shards=8
+    )
+
+
+_dfq(
+    "llm_curriculum_order",
+    _curriculum_fn,
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+        t -> t <> '')) AS difficulty
+  FROM documents
+),
+th AS (SELECT quantile_cont(difficulty, [0.25, 0.5, 0.75]) AS th FROM toks),
+staged AS (
+  SELECT doc_id, difficulty,
+    CAST(1 + len(list_filter(th.th, t -> difficulty >= t)) AS INT) AS stage,
+    {portable_hash64_sql("'curriculum-0:' || CAST(doc_id AS VARCHAR)")}
+      AS shuffle_key
+  FROM toks, th
+)
+SELECT doc_id, CAST(difficulty AS INT) AS difficulty, stage,
+  CAST(shuffle_key % 8 AS INT) AS shard,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY stage, shuffle_key % 8 ORDER BY shuffle_key, doc_id
+  ) AS INT) AS shard_pos
+FROM staged
+""",
+)
+
+
 def _semantic_decon_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination (similarity.semantic_contaminated):
     vec_id % 20 = 0 plays the benchmark set (broadcast), the rest the

@@ -505,3 +505,68 @@ def source_quality_report(
         F.round(F.expr("percentile(__nt, 0.95)"), 6).alias("p95_tokens"),
         F.round(F.avg("__en"), 6).alias("pct_en"),
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    n_stages: int = 4,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "curriculum-0",
+) -> DataFrame:
+    """Curriculum-learning training order: documents staged easy→hard by
+    token-count quantile, deterministically shuffled *within* each stage.
+    Training loops that warm up on short documents before long ones read
+    shards in (stage, shard, shard_pos) order.
+
+    Scale design: staging does NOT use NTILE — a global NTILE is an
+    all-rows window over one ORDER BY (single-partition at 100 TB).
+    Instead the exact stage thresholds come from ONE map-combinable
+    ``percentile`` scalar aggregate, broadcast back as a 1-row cross
+    join, and each doc's stage is a threshold count. The within-stage
+    shuffle reuses the :func:`shuffle_shards` discipline (md5 order,
+    bounded (stage, shard) window partitions — never one global sort).
+    Dyadic quantiles (k/n_stages with n_stages a power of 2) interpolate
+    IEEE-exactly over integer token counts, so stage assignment
+    reproduces bit-for-bit in the DuckDB oracle.
+
+    Output: (id, difficulty, stage 1..n_stages, shard, shard_pos).
+    """
+    if n_stages < 2 or (n_stages & (n_stages - 1)) != 0:
+        raise ValueError("n_stages must be a power of two >= 2")
+    from dask_sql_spark.operators.hashing import portable_hash64
+    from dask_sql_spark.operators.text import token_count
+    from dask_sql_spark.operators.util import ensure_parallelism
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col), token_count(F.col(text_col)).alias("difficulty")
+    )
+    qs = [i / n_stages for i in range(1, n_stages)]
+    th = base.agg(
+        F.percentile("difficulty", F.array(*[F.lit(q) for q in qs])).alias(
+            "th"
+        )
+    )
+    h = portable_hash64(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("stage", "shard").orderBy("shuffle_key", id_col)
+    return (
+        base.join(F.broadcast(th))
+        .withColumn(
+            "stage",
+            (
+                F.size(
+                    F.filter("th", lambda t: F.col("difficulty") >= t)
+                )
+                + 1
+            ).cast("int"),
+        )
+        .withColumn("shuffle_key", h)
+        .withColumn(
+            "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
+        )
+        .withColumn("shard_pos", F.row_number().over(w))
+        .select(id_col, "difficulty", "stage", "shard", "shard_pos")
+    )

@@ -1884,3 +1884,34 @@ def test_mmr_rerank_diversifies(spark, emb):
     assert [got[s] for s in (1, 2, 3)] == sel
     # step 1 is the pure-relevance argmax (the near-dup of the query)
     assert got[1] == 1
+
+
+def test_curriculum_order_stages(docs):
+    from dask_sql_spark.operators.llmprep import curriculum_order
+
+    rows = curriculum_order(docs, n_stages=2, n_shards=2).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert len(rows) == 8
+    # "short" (1 token) lands in stage 1; the longest doc in stage 2
+    assert by_id[6].stage == 1
+    assert by_id[7].stage == 2
+    # stages are monotone in difficulty
+    max_s1 = max(r.difficulty for r in rows if r.stage == 1)
+    min_s2 = min(r.difficulty for r in rows if r.stage == 2)
+    assert max_s1 <= min_s2
+    # shard_pos is 1..n within each (stage, shard)
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for r in rows:
+        groups[(r.stage, r.shard)].append(r.shard_pos)
+    for pos in groups.values():
+        assert sorted(pos) == list(range(1, len(pos) + 1))
+
+
+def test_curriculum_order_rejects_bad_stage_count(docs):
+    import pytest as _pytest
+
+    from dask_sql_spark.operators.llmprep import curriculum_order
+
+    with _pytest.raises(ValueError):
+        curriculum_order(docs, n_stages=3)
