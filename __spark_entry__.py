@@ -3191,6 +3191,46 @@ LEFT JOIN s3 ON s1.user_id = s3.user_id
 )
 
 
+def _attribution_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution (events.touch_attribution): one
+    user-partitioned running window with IGNORE NULLS carries touch
+    id+ts to each purchase; 7-day credit window in exact integer
+    microseconds."""
+    from dask_sql_spark.operators.events import touch_attribution
+
+    return touch_attribution(_table(spark, sf_dir, "events"))
+
+
+_dfq(
+    "events_attribution",
+    _attribution_fn,
+    """
+WITH o AS (
+  SELECT event_id, user_id, ts, event_type, value,
+    FIRST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                IGNORE NULLS) OVER w AS first_touch_id,
+    LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+               IGNORE NULLS) OVER w AS last_id,
+    LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+               IGNORE NULLS) OVER w AS last_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, value, first_touch_id,
+  CASE WHEN last_ts IS NOT NULL
+        AND epoch_us(ts) - epoch_us(last_ts) <= 604800000000
+       THEN last_id END AS last_touch_id,
+  CASE WHEN last_ts IS NOT NULL
+        AND epoch_us(ts) - epoch_us(last_ts) <= 604800000000
+       THEN (epoch_us(ts) - epoch_us(last_ts)) / 1000000 END
+    AS last_touch_lag_s
+FROM o
+WHERE event_type = 'purchase'
+""",
+)
+
+
 def _retention_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 

@@ -75,6 +75,12 @@ HEADLINE = [
     # newly oracle-gated LSH top-k
     "events_resample_15min",
     "ann_lsh_topk",
+    # round-6 additions (driver round 3, second session): TPC-H closure +
+    # fuzzy/diversity/curriculum operators
+    "q2_min_cost_supplier",
+    "dedup_fuzzy_levenshtein",
+    "search_mmr_rerank",
+    "llm_curriculum_order",
 ]
 
 # the 28 queries BENCH_r01 measured (total 27.48 s at sf0.1): their

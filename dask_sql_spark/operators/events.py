@@ -308,3 +308,64 @@ def session_paths(
         .orderBy(F.col("n_sessions").desc(), F.col("path"))
         .limit(k)
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    conversion: str = "purchase",
+    touch: str = "click",
+    max_lag_s: int = 7 * 86400,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Marketing attribution for conversion events: per ``conversion``
+    event, the user's lifetime FIRST ``touch`` event and the LAST touch
+    at-or-before the conversion, the latter credited only when it falls
+    within ``max_lag_s`` seconds (the attribution window).
+
+    Plan shape: ONE shuffle on ``user_col`` serves a single running
+    window (ROWS UNBOUNDED PRECEDING .. CURRENT ROW) carrying
+    first/last touch id and timestamp with IGNORE NULLS — no
+    self-join of the events table, no per-conversion range scan. Lag
+    math is integer microseconds (``unix_micros`` / DuckDB
+    ``epoch_us``), exact on sub-second timestamps where seconds-level
+    ``unix_timestamp`` truncation would diverge cross-engine.
+
+    Output: (event_id, user_id, ts, value, first_touch_id,
+    last_touch_id, last_touch_lag_s) — touch columns NULL when the user
+    has no prior touch / none within the window.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col(type_col) == touch
+    touch_id = F.when(is_touch, F.col(id_col))
+    touch_ts = F.when(is_touch, F.col(ts_col))
+    lag_us = _epoch_us(ts_col) - _epoch_us(F.col("last_ts"))
+    in_window = F.col("last_ts").isNotNull() & (
+        lag_us <= max_lag_s * 1_000_000
+    )
+    return (
+        events.withColumn("first_touch_id", F.first(touch_id, True).over(w))
+        .withColumn("last_id", F.last(touch_id, True).over(w))
+        .withColumn("last_ts", F.last(touch_ts, True).over(w))
+        .where(F.col(type_col) == conversion)
+        .withColumn(
+            "last_touch_id", F.when(in_window, F.col("last_id"))
+        )
+        .withColumn(
+            "last_touch_lag_s",
+            F.when(in_window, (lag_us / F.lit(1_000_000)).cast("double")),
+        )
+        .select(
+            id_col, user_col, ts_col, value_col,
+            "first_touch_id", "last_touch_id", "last_touch_lag_s",
+        )
+    )

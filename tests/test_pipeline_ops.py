@@ -1915,3 +1915,38 @@ def test_curriculum_order_rejects_bad_stage_count(docs):
 
     with _pytest.raises(ValueError):
         curriculum_order(docs, n_stages=3)
+
+
+def test_touch_attribution_windows(spark):
+    import datetime as dt
+
+    from dask_sql_spark.operators.events import touch_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: click -> purchase 1h later (credited), then a second
+        # purchase 10 days after the click (first-touch only)
+        (1, t0, 1, "click", 0.0),
+        (2, t0 + dt.timedelta(hours=1), 1, "purchase", 5.0),
+        (3, t0 + dt.timedelta(days=10), 1, "purchase", 7.0),
+        # user 2: purchase with no touch at all
+        (4, t0, 2, "purchase", 3.0),
+        # user 2: later click then purchase same instant (click id sorts
+        # first at the tied timestamp, so it IS visible to the window)
+        (5, t0 + dt.timedelta(days=1), 2, "click", 0.0),
+        (6, t0 + dt.timedelta(days=1), 2, "purchase", 9.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, "
+              "event_type STRING, value DOUBLE"
+    )
+    out = {r.event_id: r for r in touch_attribution(ev).collect()}
+    assert set(out) == {2, 3, 4, 6}
+    assert out[2].first_touch_id == 1 and out[2].last_touch_id == 1
+    assert out[2].last_touch_lag_s == 3600.0
+    # outside the 7-day window: last-touch credit dropped, lifetime
+    # first-touch retained
+    assert out[3].first_touch_id == 1 and out[3].last_touch_id is None
+    assert out[3].last_touch_lag_s is None
+    assert out[4].first_touch_id is None and out[4].last_touch_id is None
+    assert out[6].last_touch_id == 5 and out[6].last_touch_lag_s == 0.0
