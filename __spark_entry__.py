@@ -3231,6 +3231,87 @@ WHERE event_type = 'purchase'
 )
 
 
+# Rolling per-user anomaly screen: trailing-20-event z-score of `value`.
+# The sliding mean/std come from DECIMAL sums (exact in any summation
+# order — Spark's incremental frame evaluation and DuckDB's segment trees
+# add doubles in different orders, so raw double window sums are NOT
+# cross-engine-stable); every downstream double op is then the identical
+# IEEE expression on identical inputs, so the z-score needs no rounding.
+_sqlq(
+    "events_rolling_anomaly",
+    """
+WITH s AS (
+  SELECT event_id, user_id, ts, value,
+    COUNT(value) OVER w AS n,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+         OVER w AS DOUBLE) AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts, value,
+  (value - s1 / n)
+    / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS zscore,
+  ABS(value - s1 / n)
+    > 3.0 * sqrt((s2 - s1 * s1 / n) / (n - 1)) AS is_anomaly
+FROM s
+WHERE n >= 5 AND s2 - s1 * s1 / n > 0
+""",
+)
+
+
+def _late_audit_sql(intdiv: str, hash_sql: str, epoch_us: str) -> str:
+    """Watermark late-data audit, micro-batch semantics in batch form:
+    arrival time = event time + deterministic md5 network jitter (≤30
+    min), arrival stream cut into 10-minute micro-batches, watermark =
+    max event-ts over all PRIOR batches minus a 10-min allowed lateness
+    — exactly the Structured Streaming bookkeeping
+    (streaming/core.py twins), audited deterministically. Scale shape:
+    one per-batch aggregate, a running max over the tiny batch table,
+    broadcast back — never a global row-order window. All time math is
+    integer microseconds."""
+    return f"""
+WITH base AS (
+  SELECT event_id,
+    {epoch_us} AS ev_us,
+    {epoch_us} + ({hash_sql} % 1800) * 1000000 AS arr_us
+  FROM events
+), b AS (
+  SELECT arr_us {intdiv} 600000000 AS batch_id, MAX(ev_us) AS bmax
+  FROM base GROUP BY arr_us {intdiv} 600000000
+), wm AS (
+  SELECT batch_id,
+    MAX(bmax) OVER (ORDER BY batch_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
+  FROM b
+)
+SELECT e.arr_us {intdiv} 600000000 AS batch_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN w.hw IS NOT NULL
+                 AND e.ev_us < w.hw - 600000000
+            THEN 1 ELSE 0 END) AS BIGINT) AS late_count
+FROM base e JOIN wm w ON e.arr_us {intdiv} 600000000 = w.batch_id
+GROUP BY e.arr_us {intdiv} 600000000
+"""
+
+
+_sqlq(
+    "stream_late_data_audit",
+    _late_audit_sql(
+        "DIV",
+        "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)",
+        "unix_micros(CAST(ts AS TIMESTAMP))",
+    ),
+    _late_audit_sql(
+        "//",
+        portable_hash64_sql("CAST(event_id AS VARCHAR)"),
+        "epoch_us(ts)",
+    ),
+)
+
+
 def _retention_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 

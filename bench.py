@@ -116,7 +116,13 @@ def main() -> None:
     def run(name: str) -> float:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return round(time.time() - t0, 3)
+        dt = round(time.time() - t0, 3)
+        # operators that persist() intermediates (LSH band buckets,
+        # incremental stores) would otherwise pile blocks up across the
+        # 2x full-list sweep and tax later queries with GC/evictions;
+        # each query pays for its own materialization inside its timing
+        spark.catalog.clearCache()
+        return dt
 
     # steady-state methodology: one untimed warm pass (codegen compile,
     # page cache), then the timed pass
