@@ -4119,6 +4119,71 @@ FROM purchases p ASOF LEFT JOIN clicks c
 )
 
 
+def _nearest_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest click to each purchase in EITHER direction within 2h
+    (operators/joins.nearest_join): both directional fills share one
+    tagged-union exchange; ties prefer backward. Oracle: two DuckDB
+    ASOF joins + a microsecond argmin."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.joins import nearest_join
+
+    ev = _table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = nearest_join(
+        purchases, clicks, on="ts", by="user_id",
+        tolerance_seconds=7200, right_prefix="near_",
+    )
+    return out.select(
+        "user_id", "ts", "purchase_value",
+        F.col("near_ts").alias("near_click_ts"),
+        F.col("near_click_value").alias("near_click_value"),
+    )
+
+
+_dfq(
+    "join_nearest",
+    _nearest_join_fn,
+    """
+WITH purchases AS (
+  SELECT user_id, ts, value AS purchase_value FROM events
+  WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, MAX(value) AS click_value FROM events
+  WHERE event_type = 'click' GROUP BY user_id, ts
+), scored AS (
+  SELECT p.user_id, p.ts, p.purchase_value,
+    b.ts AS b_ts, b.click_value AS b_val,
+    f.ts AS f_ts, f.click_value AS f_val,
+    b.ts IS NOT NULL AND (f.ts IS NULL
+      OR epoch_us(p.ts) - epoch_us(b.ts) <= epoch_us(f.ts) - epoch_us(p.ts))
+      AS use_b
+  FROM purchases p
+  ASOF LEFT JOIN clicks b ON p.user_id = b.user_id AND p.ts >= b.ts
+  ASOF LEFT JOIN clicks f ON p.user_id = f.user_id AND p.ts <= f.ts
+)
+SELECT user_id, ts, purchase_value,
+  CASE WHEN gap <= 7200000000 THEN near_ts END AS near_click_ts,
+  CASE WHEN gap <= 7200000000 THEN near_val END AS near_click_value
+FROM (
+  SELECT user_id, ts, purchase_value,
+    CASE WHEN use_b THEN b_ts ELSE f_ts END AS near_ts,
+    CASE WHEN use_b THEN b_val ELSE f_val END AS near_val,
+    CASE WHEN use_b THEN epoch_us(ts) - epoch_us(b_ts)
+         ELSE epoch_us(f_ts) - epoch_us(ts) END AS gap
+  FROM scored
+) t
+""",
+)
+
+
 def _range_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: lineitem ship-days against 30-day order windows.
     operators/joins.range_join buckets intervals onto a fixed grid so

@@ -56,30 +56,9 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     by_cols = [by] if isinstance(by, str) else list(by or [])
-    payload = [c for c in right.columns if c not in by_cols and c != on]
-    matched_on = right_prefix + on
-
-    # Tag and align the two sides into one frame: left keeps its columns,
-    # right contributes (prefixed) payload columns that are NULL on left
-    # rows so last_value(ignorenulls) forward-fills them.
-    l_tag = left.select(
-        *[F.col(c) for c in left.columns],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(right_prefix + c)
-          for c in payload],
-        F.lit(None).cast(right.schema[on].dataType).alias(matched_on),
-        F.lit(1).alias("__side"),
+    unioned, payload, matched_on = _asof_tagged_union(
+        left, right, on, by_cols, right_prefix
     )
-    r_tag = right.select(
-        *[F.col(c) for c in by_cols],
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
-          for c in left.columns if c not in by_cols and c != on],
-        F.col(on),
-        *[F.col(c).alias(right_prefix + c) for c in payload],
-        F.col(on).alias(matched_on),
-        F.lit(0).alias("__side"),
-    ).select(*[F.col(c) for c in l_tag.columns])  # same column order
-
-    unioned = l_tag.unionByName(r_tag)
 
     # Right rows sort BEFORE left rows at an equal timestamp (side 0 < 1)
     # so boundary ties are included, matching ASOF semantics.
@@ -114,6 +93,106 @@ def asof_join(
             ]
         )
     return filled
+
+
+def _asof_tagged_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by_cols: list[str],
+    right_prefix: str,
+) -> tuple[DataFrame, list[str], str]:
+    """Shared construction for the union-then-window as-of family."""
+    payload = [c for c in right.columns if c not in by_cols and c != on]
+    matched_on = right_prefix + on
+
+    # Tag and align the two sides into one frame: left keeps its columns,
+    # right contributes (prefixed) payload columns that are NULL on left
+    # rows so last_value(ignorenulls) forward-fills them.
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(right_prefix + c)
+          for c in payload],
+        F.lit(None).cast(right.schema[on].dataType).alias(matched_on),
+        F.lit(1).alias("__side"),
+    )
+    r_tag = right.select(
+        *[F.col(c) for c in by_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in by_cols and c != on],
+        F.col(on),
+        *[F.col(c).alias(right_prefix + c) for c in payload],
+        F.col(on).alias(matched_on),
+        F.lit(0).alias("__side"),
+    ).select(*[F.col(c) for c in l_tag.columns])  # same column order
+
+    return l_tag.unionByName(r_tag), payload, matched_on
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | str | None = None,
+    tolerance_seconds: float | None = None,
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """As-of join taking the temporally NEAREST right row in EITHER
+    direction (pandas ``merge_asof(direction='nearest')``): sensor/trade
+    alignment where the closest reading matters, not the latest one.
+
+    Same union-then-window shape as :func:`asof_join` — both directional
+    fills run over ONE tagged union inside one ``by``-partition exchange
+    (two Sort operators, ascending and descending, share the shuffle) —
+    then each left row keeps whichever side's match is nearer in integer
+    microseconds. Exact ties prefer the backward match, pandas-style.
+    Left rows with no candidate (or none within ``tolerance_seconds``)
+    keep NULL right columns.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    unioned, payload, matched_on = _asof_tagged_union(
+        left, right, on, by_cols, right_prefix
+    )
+    wb = (
+        Window.partitionBy(*[F.col(c) for c in by_cols])
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*[F.col(c) for c in by_cols])
+        .orderBy(F.col(on).desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fill_cols = [matched_on] + [right_prefix + c for c in payload]
+    both = unioned.select(
+        *[F.col(c) for c in unioned.columns],
+        *[F.last(c, ignorenulls=True).over(wb).alias("__b_" + c)
+          for c in fill_cols],
+        *[F.last(c, ignorenulls=True).over(wf).alias("__f_" + c)
+          for c in fill_cols],
+    ).where(F.col("__side") == 1)
+
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    b_gap = us(on) - us("__b_" + matched_on)
+    f_gap = us("__f_" + matched_on) - us(on)
+    use_b = F.col("__b_" + matched_on).isNotNull() & (
+        F.col("__f_" + matched_on).isNull() | (b_gap <= f_gap)
+    )
+    gap = F.when(use_b, b_gap).otherwise(f_gap)
+    within = (
+        F.lit(True)
+        if tolerance_seconds is None
+        else gap <= F.lit(int(tolerance_seconds * 1_000_000))
+    )
+    picked = [
+        F.when(
+            within,
+            F.when(use_b, F.col("__b_" + c)).otherwise(F.col("__f_" + c)),
+        ).alias(c)
+        for c in fill_cols
+    ]
+    keep = [c for c in left.columns]
+    return both.select(*[F.col(c) for c in keep], *picked)
 
 
 def range_join(

@@ -212,3 +212,44 @@ def test_scd2_apply_closes_and_versions(spark):
     assert rows[(2, "MACHINERY")] == (d0, None)                 # no-op kept
     assert rows[(3, "AUTOMOBILE")] == (d0, None)                # untouched
     assert rows[(9, "NEWSEG")] == (up, None)                    # insert
+
+
+def test_nearest_join_directions_and_tolerance(spark):
+    import datetime as dt
+
+    from dask_sql_spark.operators.joins import nearest_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(minutes=10)),   # nearer to r@9 than r@12
+            (1, t0 + dt.timedelta(minutes=11, seconds=30)),  # nearer to r@12
+            (1, t0 + dt.timedelta(hours=9)),       # beyond 2h tolerance
+            (2, t0),                               # user with no right rows
+        ],
+        "user_id LONG, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(minutes=9), 90.0),
+            (1, t0 + dt.timedelta(minutes=12), 120.0),
+        ],
+        "user_id LONG, ts TIMESTAMP, val DOUBLE",
+    )
+    out = {
+        (r.user_id, r.ts): r
+        for r in nearest_join(
+            left, right, on="ts", by="user_id", tolerance_seconds=7200
+        ).collect()
+    }
+    assert out[(1, t0 + dt.timedelta(minutes=10))].right_val == 90.0
+    assert out[(1, t0 + dt.timedelta(minutes=11, seconds=30))].right_val == 120.0
+    assert out[(1, t0 + dt.timedelta(hours=9))].right_val is None
+    assert out[(2, t0)].right_val is None
+    # exact tie prefers the backward match
+    tie = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=10, seconds=30))],
+        "user_id LONG, ts TIMESTAMP",
+    )
+    r = nearest_join(tie, right, on="ts", by="user_id").collect()[0]
+    assert r.right_val == 90.0
