@@ -3296,6 +3296,101 @@ GROUP BY e.arr_us {intdiv} 600000000
 """
 
 
+# OHLC resample bars (finance/sensor rollup): open/close picked by
+# row_number inside each hour bucket (deterministic (ts, event_id)
+# tie-break), volume routed through DECIMAL so the group sum is exact in
+# any combine order. One shuffle on the bucket key.
+_sqlq(
+    "events_ohlc_bars",
+    """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS bar_ts, value,
+    ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                       ORDER BY ts, event_id) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT bar_ts,
+  MAX(CASE WHEN rn_a = 1 THEN value END) AS open_px,
+  MAX(value) AS high_px,
+  MIN(value) AS low_px,
+  MAX(CASE WHEN rn_d = 1 THEN value END) AS close_px,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,6))) AS DOUBLE) AS volume
+FROM b
+GROUP BY bar_ts
+""",
+)
+
+
+# Gaps-and-islands: maximal runs of the same event_type per user via the
+# two-row_number difference trick — the canonical sequential-SQL
+# construct (streak detection, sensor-state segmentation). Both
+# row_numbers share the user_id partition exchange.
+_sqlq(
+    "events_gaps_islands",
+    """
+WITH r AS (
+  SELECT user_id, event_type, ts,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn,
+    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS rn_t
+  FROM events
+)
+SELECT user_id, event_type,
+  CAST(rn - rn_t AS BIGINT) AS island_id,
+  CAST(COUNT(*) AS BIGINT) AS run_len,
+  MIN(ts) AS run_start,
+  MAX(ts) AS run_end
+FROM r
+GROUP BY user_id, event_type, rn - rn_t
+HAVING COUNT(*) >= 2
+""",
+)
+
+
+def _twap_sql(epoch_us: str, strty: str) -> str:
+    """Per-user time-weighted average value over irregular event spacing:
+    each reading holds until the user's next event (step interpolation),
+    TWAP = Σ value·dur / Σ dur. Products and sums route through tight
+    DECIMAL types — DECIMAL(18,6)×DECIMAL(20,0) stays inside precision
+    38's representable range in BOTH engines (DuckDB widths >18 use
+    int128 arithmetic; Spark's nominal precision cap never rounds because
+    the raw product scale is already 6), so the group sums are exact in
+    any combine order. The big decimal reaches double THROUGH A STRING
+    cast: decimal→string is exact digits and string→double is correctly
+    rounded in both engines, where DuckDB's direct decimal→double
+    (int128→double, then ÷10^scale) double-rounds and can be 1 ulp off
+    Spark's BigDecimal conversion. The final ratio is then one double
+    division on identical inputs. One user_id exchange shared by
+    the lead() window and the aggregate."""
+    return f"""
+WITH seg AS (
+  SELECT user_id, value,
+    LEAD({epoch_us}) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      - {epoch_us} AS dur_us
+  FROM events
+)
+SELECT user_id,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(dur_us AS DECIMAL(20,0)))
+            AS {strty}) AS DOUBLE)
+    / CAST(SUM(CAST(dur_us AS DECIMAL(20,0))) AS DOUBLE) AS twap,
+  CAST(COUNT(*) AS BIGINT) AS n_segments
+FROM seg
+WHERE dur_us IS NOT NULL AND dur_us > 0
+GROUP BY user_id
+"""
+
+
+_sqlq(
+    "events_twap",
+    _twap_sql("unix_micros(CAST(ts AS TIMESTAMP))", "STRING"),
+    _twap_sql("epoch_us(ts)", "VARCHAR"),
+)
+
+
 _sqlq(
     "stream_late_data_audit",
     _late_audit_sql(
