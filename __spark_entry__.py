@@ -2231,6 +2231,65 @@ SELECT query_id, id_b AS selected_id, step FROM all{k}
 _dfq("search_mmr_rerank", _mmr_fn, _mmr_oracle())
 
 
+def _knn_confusion_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality eval: 1-NN label confusion matrix over a
+    10% query subsample (similarity.brute_force_topk, k=1, self
+    excluded). Diagonal mass = label coherence of the space; off-diagonal
+    cells name the label pairs the embedding confuses — the standard
+    pre-training sanity check before trusting embeddings for dedup or
+    retrieval. Scale: swap the brute scan for lsh_topk buckets; the
+    confusion aggregate itself is label-cardinality sized."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.similarity import brute_force_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    nn = brute_force_topk(emb, emb.where("vec_id % 10 = 0"), k=1)
+    lbl = emb.select("vec_id", "label")
+    return (
+        nn.join(
+            lbl.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("label_q"),
+            ),
+            "query_id",
+        )
+        .join(
+            lbl.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("label_n"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("label_q", "label_n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+_dfq(
+    "emb_knn_label_confusion",
+    _knn_confusion_fn,
+    f"""
+WITH e AS (SELECT vec_id, label, {_EMB_DOUBLE} AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+nn AS (
+  SELECT query_id, id_b FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS id_b,
+      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                         ORDER BY {{_COS}} DESC, b.vec_id) AS rnk
+    FROM q a JOIN e b ON b.vec_id <> a.vec_id) t
+  WHERE rnk = 1
+)
+SELECT ql.label AS label_q, nl.label AS label_n,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM nn
+JOIN embeddings ql ON nn.query_id = ql.vec_id
+JOIN embeddings nl ON nn.id_b = nl.vec_id
+GROUP BY ql.label, nl.label
+""".replace("{_COS}", _COS),
+)
+
+
 def _ann_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -5703,6 +5762,56 @@ def portable_hash64_spark_expr(col: str) -> str:
     from dask_sql_spark.operators.hashing import portable_hash64_spark_sql
 
     return portable_hash64_spark_sql(col)
+
+
+def _partitioned_prune_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink + partition-pruned read-back: documents
+    written ``partitionBy(lang)`` (same deterministic-dir/marker
+    discipline as the format roundtrip), then read with a lang predicate
+    that must prune to one directory — the layout feature that turns a
+    100 TB scan into a per-partition one. The value gate proves the
+    partitioned write is lossless including the restored partition
+    column; `tests/test_plans.py` audits PartitionFilters in the plan."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    docs = _table(spark, sf_dir, "documents")
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_part_{sf_tag}")
+    done_marker = os.path.join(base, "_WRITTEN")
+    if not os.path.exists(done_marker):
+        docs.write.mode("overwrite").partitionBy("lang").parquet(
+            f"{base}/bylang"
+        )
+        with open(done_marker, "w") as f:
+            f.write("ok")
+    back = spark.read.parquet(f"{base}/bylang").where(F.col("lang") == "en")
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.expr(f"bit_xor({portable_hash64_spark_expr('text')})").alias(
+                "text_xor"
+            ),
+        )
+    )
+
+
+_dfq(
+    "sink_partitioned_prune",
+    _partitioned_prune_fn,
+    f"""
+SELECT source, COUNT(*) AS n_rows,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  bit_xor({portable_hash64_sql('text')}) AS text_xor
+FROM documents
+WHERE lang = 'en'
+GROUP BY source
+""",
+)
 
 
 _dfq(
