@@ -903,6 +903,29 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """,
 )
 
+def _rolling_median_sql(pctl: str) -> str:
+    """Rolling median smoothing (trailing-10 frame per user). An
+    interpolated median is cross-engine-exact without any decimal
+    routing: odd frames select an element verbatim; even frames are one
+    add + one divide on two identical doubles. Spark spells it
+    ``percentile``, DuckDB ``quantile_cont`` — same linear-interpolation
+    definition."""
+    return f"""
+SELECT event_id, user_id, ts, value,
+  {pctl}(value, 0.5) OVER w AS rolling_median,
+  COUNT(*) OVER w AS n_in_frame
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+"""
+
+
+_sqlq(
+    "window_rolling_median",
+    _rolling_median_sql("percentile"),
+    _rolling_median_sql("quantile_cont"),
+)
+
 # named WINDOW clause shared by several functions
 _sqlq(
     "window_named_clause",
@@ -3038,6 +3061,55 @@ def _components_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, num_perm=16, bands=8)
     return dedup_clusters(pairs, docs)
+
+
+def _triangle_audit_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-graph structure audit (graph.triangle_audit) over the
+    LSH candidate-pair graph: per-node degree, wedges, triangles,
+    clustering coefficient — corroborated-cluster vs hub-artifact
+    telemetry for the dedup pipeline."""
+    from dask_sql_spark.operators.dedup import minhash_lsh_pairs
+    from dask_sql_spark.operators.graph import triangle_audit
+
+    pairs = minhash_lsh_pairs(
+        _table(spark, sf_dir, "documents"), num_perm=16, bands=8
+    )
+    return triangle_audit(pairs)
+
+
+_dfq(
+    "graph_triangle_audit",
+    _triangle_audit_fn,
+    f"""
+WITH pairs AS ({_minhash_oracle()}),
+e AS (SELECT DISTINCT id_a AS a, id_b AS b FROM pairs),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+  ) t GROUP BY node
+),
+tri AS (
+  SELECT ab.a AS ta, ab.b AS tb, bc.b AS tc
+  FROM e ab JOIN e bc ON ab.b = bc.a
+  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+),
+tn AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT ta AS node FROM tri
+    UNION ALL SELECT tb AS node FROM tri
+    UNION ALL SELECT tc AS node FROM tri
+  ) t GROUP BY node
+)
+SELECT deg.node, deg.degree,
+  CAST(deg.degree * (deg.degree - 1) / 2 AS BIGINT) AS n_wedges,
+  COALESCE(tn.n_triangles, 0) AS n_triangles,
+  CASE WHEN deg.degree >= 2
+       THEN 2.0 * COALESCE(tn.n_triangles, 0)
+            / (CAST(deg.degree AS DOUBLE) * (CAST(deg.degree AS DOUBLE) - 1.0))
+       ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN tn ON deg.node = tn.node
+""",
+)
 
 
 _dfq(

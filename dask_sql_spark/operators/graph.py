@@ -201,3 +201,68 @@ def pagerank(
         # checkpoint EVERY round so each iteration's plan is constant-size
         ranks = ranks.localCheckpoint()
     return ranks
+
+
+def triangle_audit(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-node structure audit of a similarity graph (e.g. LSH candidate
+    pairs): degree, wedge count (2-paths centered here), triangle count,
+    and local clustering coefficient. Dedup pipelines read this as
+    cluster-quality telemetry — triangles are corroborated near-dup
+    groups, high-degree low-clustering nodes are suspect hub artifacts
+    (boilerplate shingles, hot buckets).
+
+    Edges must be canonical (src < dst, deduped) — true of every pair
+    operator in operators/dedup.py. Triangles close the classic two-join:
+    (a,b)+(b,c) wedges against the (a,c) edge list, each triangle found
+    exactly once since a<b<c. At scale, orient edges low-degree →
+    high-degree first (the standard compact-forward trick) so wedge
+    volume is Σ d(v)·d̂ rather than Σ d(v)²; candidate pair graphs are
+    id-canonical and sparse, so the plain form suffices here. The
+    clustering coefficient 2·tri/(deg·(deg−1)) is one double division of
+    exact integers — cross-engine stable.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.b") == F.col("bc.a"))
+        .join(
+            ac,
+            (F.col("ac.a") == F.col("ab.a"))
+            & (F.col("ac.b") == F.col("bc.b")),
+        )
+        .select(
+            F.col("ab.a").alias("ta"),
+            F.col("ab.b").alias("tb"),
+            F.col("bc.b").alias("tc"),
+        )
+    )
+    tri_nodes = (
+        tri.select(F.explode(F.array("ta", "tb", "tc")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    d = F.col("degree").cast("double")
+    return (
+        deg.join(tri_nodes, "node", "left")
+        .withColumn("n_triangles", F.coalesce("n_triangles", F.lit(0)))
+        .withColumn(
+            "n_wedges",
+            (F.col("degree") * (F.col("degree") - 1) / 2).cast("bigint"),
+        )
+        .withColumn(
+            "clustering",
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * F.col("n_triangles") / (d * (d - 1.0)),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("node", "degree", "n_wedges", "n_triangles", "clustering")
+    )
