@@ -4275,6 +4275,87 @@ FROM numbered GROUP BY user_id, session_seq
 )
 
 
+# CDC changelog application (lakehouse ingest primitive): last-write-wins
+# per key with delete tombstones — one key-partitioned row_number window,
+# no join. The events stream plays the change log: 'error' rows are
+# deletes, everything else upserts its value.
+_sqlq(
+    "maint_cdc_apply",
+    """
+WITH log AS (
+  SELECT user_id AS key, ts, event_id,
+    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+    value AS payload
+  FROM events
+), latest AS (
+  SELECT key, op, payload, ts FROM (
+    SELECT key, op, payload, ts,
+      ROW_NUMBER() OVER (PARTITION BY key
+                         ORDER BY ts DESC, event_id DESC) AS rn
+    FROM log) t
+  WHERE rn = 1
+)
+SELECT key AS user_id, payload AS final_value, ts AS last_updated
+FROM latest
+WHERE op <> 'delete'
+""",
+)
+
+
+def _basket_sql(epoch_us: str) -> str:
+    """Session market-basket mining: event-type co-occurrence within
+    30-min sessions, with support and lift. Sessionization is the
+    standard gap-tag + running-sum pair of user-partitioned windows;
+    the pair join runs per session key (bounded by the distinct item
+    count per session — ≤ |event_type| — never row²). Lift arithmetic
+    is explicit-cast doubles over exact integer counts, the same
+    literal expression in both engines."""
+    return f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN {epoch_us} - LAG({epoch_us}) OVER w IS NULL
+           OR {epoch_us} - LAG({epoch_us}) OVER w > 1800 * 1000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_type,
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM tagged
+), items AS (
+  SELECT DISTINCT user_id, session_seq, event_type FROM numbered
+), totals AS (
+  SELECT CAST(COUNT(DISTINCT user_id * 1000000 + session_seq) AS BIGINT)
+    AS n_sessions
+  FROM items
+), sup AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS s FROM items GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b,
+    CAST(COUNT(*) AS BIGINT) AS support
+  FROM items a
+  JOIN items b ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+    AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT item_a, item_b, support,
+  (CAST(support AS DOUBLE) * CAST(t.n_sessions AS DOUBLE))
+    / (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)) AS lift
+FROM pairs
+JOIN sup sa ON sa.event_type = item_a
+JOIN sup sb ON sb.event_type = item_b
+CROSS JOIN totals t
+"""
+
+
+_sqlq(
+    "events_market_basket",
+    _basket_sql("unix_micros(CAST(ts AS TIMESTAMP))"),
+    _basket_sql("epoch_us(ts)"),
+)
+
+
 def _transitions_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_sql_spark.operators.events import event_transitions
 
