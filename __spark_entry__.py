@@ -4356,6 +4356,65 @@ _sqlq(
 )
 
 
+def _rake_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrases (text.rake_keyphrases): stopword-delimited runs
+    scored by integer micro-unit degree/frequency sums — exact-integer
+    aggregates everywhere, so the corpus top-20 is hash-gated."""
+    from dask_sql_spark.operators.text import rake_keyphrases
+
+    return rake_keyphrases(_table(spark, sf_dir, "documents"), k=20)
+
+
+def _rake_oracle(k: int = 20, max_len: int = 3) -> str:
+    from dask_sql_spark.operators.text import STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    punct = r"[.,;:!?''\"()\[\]{}-]"  # '' = escaped quote inside SQL string
+    return f"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, ws[i] AS word
+  FROM (
+    SELECT doc_id,
+      list_filter(string_split_regex(lower(trim(
+        regexp_replace(text, '{punct}', ' zzrakebreakzz ', 'g'))), '\\s+'),
+        t -> t <> '') AS ws
+    FROM documents
+  ), UNNEST(range(1, len(ws) + 1)) AS t(i)
+), runs AS (
+  SELECT doc_id, pos, word,
+    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM toks WHERE word NOT IN ({stop}, 'zzrakebreakzz')
+), phrases AS (
+  SELECT string_agg(word, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS INT) AS n_words
+  FROM runs GROUP BY doc_id, island
+  HAVING COUNT(*) <= {max_len}
+), words AS (
+  SELECT phrase, n_words, UNNEST(string_split(phrase, ' ')) AS word
+  FROM phrases
+), wscore AS (
+  SELECT word, (SUM(n_words) * 1000000) // COUNT(*) AS wscore
+  FROM words GROUP BY word
+), totals AS (
+  SELECT w.phrase, CAST(MIN(w.n_words) AS INT) AS n_words,
+    CAST(SUM(s.wscore) AS BIGINT) AS _total
+  FROM words w JOIN wscore s ON w.word = s.word
+  GROUP BY w.phrase
+), occ AS (
+  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM phrases GROUP BY phrase
+)
+SELECT t.phrase, t.n_words, o.n_occurrences,
+  CAST(t._total // o.n_occurrences AS BIGINT) AS score_micro
+FROM totals t JOIN occ o ON t.phrase = o.phrase
+ORDER BY score_micro DESC, t.phrase
+LIMIT {k}
+"""
+
+
+_dfq("text_rake_keyphrases", _rake_fn, _rake_oracle())
+
+
 def _transitions_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_sql_spark.operators.events import event_transitions
 

@@ -912,3 +912,92 @@ def bm25_search(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    max_phrase_len: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al.): candidate phrases are
+    maximal runs of non-stopword tokens (length-capped), each scored by
+    the sum of its words' degree/frequency ratios, corpus-wide top-k.
+
+    Scale + determinism: phrase runs come from the gaps-and-islands
+    row_number difference on one doc-partitioned exchange (no Python);
+    word scores are INTEGER micro-units — ``floor(degree·10⁶ / freq)``
+    via integer division — so every aggregate here sums exact integers,
+    sidestepping the float summation-order divergence a naive
+    sum-of-double-ratios has across engines. Top-k is a single
+    TakeOrderedAndProject on (score DESC, phrase).
+
+    Output: (phrase, n_words, n_occurrences, score_micro) — score in
+    millionths of the classic RAKE score.
+    """
+    from pyspark.sql.window import Window
+
+    stop = STOPWORDS[lang]
+    # punctuation is a phrase BOUNDARY, not whitespace: it becomes a
+    # break token that is excluded like a stopword, so token positions
+    # still advance across it and the island grouping splits there
+    brk = "zzrakebreakzz"
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            tokens(F.regexp_replace(F.col(text_col), _PUNCT_CLASS, f" {brk} "))
+        ).alias("pos", "word"),
+    )
+    runs = toks.where(~F.col("word").isin(stop + [brk]))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    phrases = (
+        runs.withColumn("island", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "island")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("word")))
+            ).alias("ws")
+        )
+        .select(
+            F.concat_ws(
+                " ", F.transform(F.col("ws"), lambda s: s.word)
+            ).alias("phrase"),
+            F.size("ws").alias("n_words"),
+        )
+        .where(F.col("n_words") <= max_phrase_len)
+    )
+    words = phrases.select(
+        "phrase", "n_words", F.explode(F.split("phrase", " ")).alias("word")
+    )
+    wscore = (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("n_words").alias("degree"),
+        )
+        .select(
+            "word",
+            F.expr("(degree * 1000000) DIV freq").alias("wscore"),
+        )
+    )
+    return (
+        words.join(wscore, "word")
+        .groupBy("phrase", "n_words")
+        .agg(F.sum("wscore").cast("bigint").alias("_total"))
+        .join(
+            phrases.groupBy("phrase").agg(
+                F.count(F.lit(1)).alias("n_occurrences")
+            ),
+            "phrase",
+        )
+        .select(
+            "phrase",
+            F.col("n_words").cast("int").alias("n_words"),
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+            F.expr("_total DIV n_occurrences").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(k)
+    )

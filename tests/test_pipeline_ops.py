@@ -1950,3 +1950,33 @@ def test_touch_attribution_windows(spark):
     assert out[3].last_touch_lag_s is None
     assert out[4].first_touch_id is None and out[4].last_touch_id is None
     assert out[6].last_touch_id == 5 and out[6].last_touch_lag_s == 0.0
+
+
+def test_rake_keyphrases_scoring(spark):
+    import pandas as pd
+
+    from dask_sql_spark.operators.text import rake_keyphrases
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [
+                    "deep learning is the best, deep learning wins",
+                    "learning rates matter in deep learning",
+                ],
+            }
+        )
+    )
+    out = {r.phrase: r for r in rake_keyphrases(docs, k=10).collect()}
+    # phrases: doc0 -> [deep learning], [best], [deep learning wins]
+    #          doc1 -> [learning rates matter], [deep learning]
+    # (comma is a boundary; stopwords is/the/in split runs)
+    assert out["deep learning"].n_occurrences == 2
+    # deep: freq 3, degree 2+2+3=7 -> 2333333; learning: freq 4,
+    # degree 2+2+3+3=10 -> 2500000
+    assert out["deep learning"].score_micro == 2_333_333 + 2_500_000
+    # the 3-word run outranks everything; singletons score 1.0
+    assert out["deep learning wins"].score_micro == 7_833_333
+    assert out["best"].score_micro == 1_000_000
+    assert out["deep learning"].score_micro > out["best"].score_micro
