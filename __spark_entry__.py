@@ -4085,6 +4085,52 @@ def _centroid_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_similarity(_table(spark, sf_dir, "embeddings"))
 
 
+def _centroid_drift_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor (similarity.centroid_drift): per-label
+    centroid cosine between the even-id and odd-id halves of the corpus
+    (standing in for yesterday's vs today's snapshot). Exact-DECIMAL
+    reductions; label×dim join."""
+    from dask_sql_spark.operators.similarity import centroid_drift
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return centroid_drift(
+        emb.where("vec_id % 2 = 0"), emb.where("vec_id % 2 = 1")
+    )
+
+
+_dfq(
+    "emb_drift_centroid_shift",
+    _centroid_drift_fn,
+    """
+WITH ex AS (
+  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+),
+ca AS (
+  SELECT label, pos,
+    CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS ca
+  FROM ex WHERE vec_id % 2 = 0 GROUP BY label, pos
+),
+cb AS (
+  SELECT label, pos,
+    CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS cb
+  FROM ex WHERE vec_id % 2 = 1 GROUP BY label, pos
+),
+j AS (
+  SELECT ca.label, ca.ca, cb.cb FROM ca JOIN cb
+    ON ca.label = cb.label AND ca.pos = cb.pos
+)
+SELECT label, CAST(COUNT(*) AS INT) AS n_dims,
+  ROUND(
+    CAST(SUM(CAST(ca * cb AS DECIMAL(38,18))) AS DOUBLE)
+    / sqrt(CAST(SUM(CAST(ca * ca AS DECIMAL(38,18))) AS DOUBLE)
+         * CAST(SUM(CAST(cb * cb AS DECIMAL(38,18))) AS DOUBLE)), 9)
+    AS drift_cos
+FROM j GROUP BY label
+""",
+)
+
+
 _dfq(
     "emb_centroid_cosine",
     _centroid_fn,
@@ -4353,6 +4399,54 @@ _sqlq(
     "events_market_basket",
     _basket_sql("unix_micros(CAST(ts AS TIMESTAMP))"),
     _basket_sql("epoch_us(ts)"),
+)
+
+
+def _conv_latency_sql(pctl: str, us) -> str:
+    """Funnel conversion-latency distribution: for click→view→purchase
+    (same step semantics as events_funnel), the p25/p50/p75 of each
+    step-to-step latency. Percentiles interpolate over INTEGER
+    microsecond gaps with dyadic quantiles — 0.25/0.5/0.75 of sub-2⁵³
+    integers is IEEE-exact in both engines — and convert to seconds with
+    one final division; percentiles over pre-divided doubles would NOT
+    be cross-engine-stable ((1−g)a+gb vs a+(b−a)g round differently)."""
+    return f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+), lat AS (
+  SELECT s1.user_id,
+    {us("t2")} - {us("t1")} AS d12_us,
+    {us("t3")} - {us("t2")} AS d23_us
+  FROM s1
+  LEFT JOIN s2 ON s1.user_id = s2.user_id
+  LEFT JOIN s3 ON s2.user_id = s3.user_id
+)
+SELECT
+  CAST(COUNT(d12_us) AS BIGINT) AS n_step2,
+  CAST(COUNT(d23_us) AS BIGINT) AS n_step3,
+  {pctl}(d12_us, 0.25) / 1000000.0 AS p25_click_view_s,
+  {pctl}(d12_us, 0.5) / 1000000.0 AS p50_click_view_s,
+  {pctl}(d12_us, 0.75) / 1000000.0 AS p75_click_view_s,
+  {pctl}(d23_us, 0.5) / 1000000.0 AS p50_view_purchase_s
+FROM lat
+"""
+
+
+_sqlq(
+    "events_conversion_latency",
+    _conv_latency_sql(
+        "percentile", lambda c: f"unix_micros(CAST({c} AS TIMESTAMP))"
+    ),
+    _conv_latency_sql("quantile_cont", lambda c: f"epoch_us({c})"),
 )
 
 

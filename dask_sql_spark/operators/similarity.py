@@ -687,3 +687,51 @@ def mmr_rerank(
     return sel.select(
         "query_id", F.col("id_b").alias("selected_id"), "step"
     )
+
+
+def centroid_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Embedding drift monitor: per label, the cosine between the label's
+    centroid in snapshot A and in snapshot B — THE cheap production check
+    that a re-embedded / newly ingested corpus still lives in the same
+    space (drift_cos ≈ 1 healthy; a dip flags encoder or pipeline
+    regressions before anything downstream retrains).
+
+    Same exact-DECIMAL reduction discipline as
+    :func:`centroid_similarity`: centroid components from DECIMAL sums,
+    dot/norms from DECIMAL sums of double products, one rounded output.
+    Plan: each side is one (label, pos) aggregate after posexplode; the
+    final join is label×dim sized — broadcastable at any corpus scale.
+    """
+    dec27 = "decimal(27,12)"
+    dec38 = "decimal(38,18)"
+
+    def cent(df: DataFrame, out: str) -> DataFrame:
+        ex = df.select(
+            label_col, F.posexplode(F.col(vec_col)).alias("pos", "val")
+        ).withColumn("val", F.col("val").cast("double"))
+        return ex.groupBy(label_col, "pos").agg(
+            (
+                F.sum(F.col("val").cast(dec27)).cast("double")
+                / F.count(F.lit(1))
+            ).alias(out)
+        )
+    joined = cent(df_a, "ca").join(cent(df_b, "cb"), [label_col, "pos"])
+    per_label = joined.groupBy(label_col).agg(
+        F.sum((F.col("ca") * F.col("cb")).cast(dec38)).cast("double").alias("dot"),
+        F.sum((F.col("ca") * F.col("ca")).cast(dec38)).cast("double").alias("na"),
+        F.sum((F.col("cb") * F.col("cb")).cast(dec38)).cast("double").alias("nb"),
+        F.count(F.lit(1)).cast("int").alias("n_dims"),
+    )
+    return per_label.select(
+        label_col,
+        "n_dims",
+        F.round(
+            F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), round_digits
+        ).alias("drift_cos"),
+    )
