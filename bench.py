@@ -125,10 +125,14 @@ def main() -> None:
         return dt
 
     # steady-state methodology: one untimed warm pass (codegen compile,
-    # page cache), then the timed pass
+    # page cache), then two timed passes taking the per-query MIN — the
+    # harness VM shows multi-second stolen-CPU stalls that land on random
+    # queries, and min-of-2 keeps one stall from misreporting a query
     for name in HEADLINE:
         run(name)
     timings = {name: run(name) for name in HEADLINE}
+    for name in HEADLINE:
+        timings[name] = min(timings[name], run(name))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
