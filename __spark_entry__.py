@@ -4950,6 +4950,129 @@ FROM events GROUP BY event_type
 )
 
 
+def _pit_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (feature-store correctness op): each order
+    picks the SCD2 dimension version valid AT ORDER TIME via the as-of
+    machinery (operators/joins.asof_join backward on valid_from per
+    key) — no leakage from future versions. The oracle checks the same
+    semantics INDEPENDENTLY as an interval-containment join
+    (valid_from <= ts < valid_to), so agreement proves the as-of pick
+    equals interval lookup. Versioned dim: every customer from
+    1995-01-01; k%7 keys re-versioned to MACHINERY at 1998-01-01, which
+    the 1995-2001 order dates straddle."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.joins import asof_join
+
+    cust = _table(spark, sf_dir, "customer")
+    v1 = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").cast("timestamp").alias("vts"),
+    )
+    v2 = cust.where(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("MACHINERY").alias("segment"),
+        F.lit("1998-01-01").cast("timestamp").alias("vts"),
+    )
+    versions = v1.unionByName(v2)
+    facts = _table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("vts"),
+        "o_totalprice",
+    )
+    pit = asof_join(facts, versions, on="vts", by="k", right_prefix="dim_")
+    return pit.groupBy(F.col("dim_segment").alias("segment_at_order")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+_dfq(
+    "join_point_in_time",
+    _pit_join_fn,
+    """
+WITH versions AS (
+  SELECT c_custkey AS k, c_mktsegment AS segment,
+    TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+    CASE WHEN c_custkey % 7 = 0
+         THEN TIMESTAMP '1998-01-01 00:00:00' END AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'MACHINERY',
+    TIMESTAMP '1998-01-01 00:00:00', NULL
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT v.segment AS segment_at_order,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o
+JOIN versions v ON o.o_custkey = v.k
+  AND o.o_orderdate >= v.valid_from
+  AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+GROUP BY v.segment
+""",
+)
+
+
+def _source_matrix_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup contamination matrix: LSH candidate pairs
+    rolled up to (source, source) counts — which corpora copy from
+    which, the governance view a mixing policy needs before weighting
+    sources. Two broadcast joins onto the pair list, canonical
+    least/greatest source ordering."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_perm=16, bands=8)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+_dfq(
+    "dedup_source_matrix",
+    _source_matrix_fn,
+    f"""
+WITH pairs AS ({{_MINHASH}}),
+j AS (
+  SELECT least(da.source, db.source) AS source_x,
+         greatest(da.source, db.source) AS source_y
+  FROM pairs p
+  JOIN documents da ON p.id_a = da.doc_id
+  JOIN documents db ON p.id_b = db.doc_id
+)
+SELECT source_x, source_y, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM j GROUP BY source_x, source_y
+""".replace("{_MINHASH}", _minhash_oracle()),
+)
+
+
 def _scd2_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension maintenance (operators/scd.scd2_apply):
     customers whose key divides by 7 switch segment to MACHINERY — rows
