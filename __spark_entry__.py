@@ -2373,64 +2373,6 @@ SELECT query_id, id_b AS neighbor_id, rank FROM (
 _dfq("ann_lsh_topk", _ann_lsh_fn, _ann_lsh_oracle())
 
 
-def _lsh_recall_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality harness as a gated query: recall@10 of the seeded
-    hyperplane LSH against exact brute force over the same 5 queries.
-    Both sides are deterministic, so the recall NUMBER itself
-    value-gates — the pytest recall bound (≥0.8) graduates to a
-    driver-checked report. One row: n_queries, n_truth, n_hits,
-    recall (exact integer ratio in double)."""
-    from pyspark.sql import functions as F
-
-    from dask_sql_spark.operators.similarity import brute_force_topk, lsh_topk
-
-    emb = _table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 5)
-    brute = brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
-    lsh = (
-        lsh_topk(emb, q, k=10).select("query_id", "neighbor_id").distinct()
-    )
-    hits = brute.join(lsh, ["query_id", "neighbor_id"], "left_semi")
-    t = brute.agg(
-        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
-        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
-    )
-    h = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
-    return t.crossJoin(h).select(
-        "n_queries", "n_truth", "n_hits",
-        (F.col("n_hits").cast("double") / F.col("n_truth")).alias("recall"),
-    )
-
-
-_dfq(
-    "ann_lsh_recall_report",
-    _lsh_recall_fn,
-    f"""
-WITH brute AS (
-  WITH e AS (SELECT vec_id, {_EMB_DOUBLE} AS v FROM embeddings),
-  q AS (SELECT * FROM e WHERE vec_id < 5)
-  SELECT query_id, id_b AS neighbor_id FROM (
-    SELECT a.vec_id AS query_id, b.vec_id AS id_b,
-      ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                         ORDER BY {_COS} DESC, b.vec_id) AS rnk
-    FROM q a JOIN e b ON b.vec_id <> a.vec_id) t
-  WHERE rnk <= 10
-),
-lsh AS (SELECT DISTINCT query_id, neighbor_id FROM ({_ann_lsh_oracle()}) l),
-hits AS (
-  SELECT b.query_id, b.neighbor_id
-  FROM brute b JOIN lsh USING (query_id, neighbor_id)
-)
-SELECT
-  (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM brute) AS n_queries,
-  (SELECT CAST(COUNT(*) AS BIGINT) FROM brute) AS n_truth,
-  (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
-  (SELECT CAST(COUNT(*) AS BIGINT) FROM hits)
-    / CAST((SELECT COUNT(*) FROM brute) AS DOUBLE) AS recall
-""",
-)
-
-
 def _ann_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
