@@ -1789,6 +1789,34 @@ FROM t
 _dfq("text_langid", _langid_fn, _langid_oracle())
 
 
+def _lang_confusion_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: confusion matrix of the stored ``lang`` label
+    against the stopword-heuristic ``lang_guess`` — off-diagonal mass is
+    mislabeled or ambiguous data a mixing policy should quarantine.
+    Composes add_langid with one small aggregate."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.text import add_langid
+
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        add_langid(docs)
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+_dfq(
+    "text_lang_confusion",
+    _lang_confusion_fn,
+    f"""
+WITH g AS ({_langid_oracle()})
+SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM g GROUP BY lang, lang_guess
+""",
+)
+
+
 def _fingerprint_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dask_sql_spark.operators.text import add_fingerprint
 
@@ -4439,6 +4467,96 @@ SELECT
   {pctl}(d23_us, 0.5) / 1000000.0 AS p50_view_purchase_s
 FROM lat
 """
+
+
+def _interarrival_sql(epoch_us: str, strty: str) -> str:
+    """Per-event-type inter-arrival statistics over per-user streams:
+    n, mean gap, and the squared coefficient of variation (CV² ≈ 1 ⇒
+    Poisson arrivals; ≫1 ⇒ bursty). Gaps are integer microseconds;
+    S₁/S₂ are DECIMAL sums (S₂ reaches ~10²⁴, far past double's 2⁵³, so
+    it reaches double through the string-cast route like events_twap);
+    every downstream double op is the same literal expression."""
+    return f"""
+WITH g AS (
+  SELECT event_type,
+    {epoch_us} - LAG({epoch_us}) OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+), s AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(gap_us AS DECIMAL(19,0))) AS DOUBLE) AS s1,
+    CAST(CAST(SUM(CAST(gap_us AS DECIMAL(19,0)) * CAST(gap_us AS DECIMAL(19,0)))
+              AS {strty}) AS DOUBLE) AS s2
+  FROM g WHERE gap_us IS NOT NULL AND gap_us > 0
+  GROUP BY event_type
+)
+SELECT event_type, n,
+  s1 / n / 1000000.0 AS mean_gap_s,
+  ((s2 - s1 * s1 / n) / (n - 1)) / ((s1 / n) * (s1 / n)) AS cv_squared
+FROM s
+"""
+
+
+_sqlq(
+    "events_interarrival_stats",
+    _interarrival_sql("unix_micros(CAST(ts AS TIMESTAMP))", "STRING"),
+    _interarrival_sql("epoch_us(ts)", "VARCHAR"),
+)
+
+
+def _rfm_sql(pctl: str, days_between) -> str:
+    """RFM customer segmentation: recency (days since last order vs the
+    corpus max date), frequency (order count), monetary (exact decimal
+    cents) — each cut at dyadic quartiles over INTEGERS (IEEE-exact
+    interpolation), coded 1-4, rolled up to segment-cell counts. The
+    threshold table is one scalar-aggregate row broadcast back; no
+    global NTILE sort (same scale argument as llm_curriculum_order)."""
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+    {days_between("MAX(o_orderdate)", "(SELECT MAX(o_orderdate) FROM orders)")}
+      AS r_days,
+    CAST(COUNT(*) AS BIGINT) AS f_orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS m_cents
+  FROM orders GROUP BY o_custkey
+), th AS (
+  SELECT
+    {pctl}(r_days, 0.25) AS r1, {pctl}(r_days, 0.5) AS r2,
+    {pctl}(r_days, 0.75) AS r3,
+    {pctl}(f_orders, 0.25) AS f1, {pctl}(f_orders, 0.5) AS f2,
+    {pctl}(f_orders, 0.75) AS f3,
+    {pctl}(m_cents, 0.25) AS m1, {pctl}(m_cents, 0.5) AS m2,
+    {pctl}(m_cents, 0.75) AS m3
+  FROM per_cust
+)
+SELECT
+  CAST(1 + CASE WHEN r_days >= r1 THEN 1 ELSE 0 END
+         + CASE WHEN r_days >= r2 THEN 1 ELSE 0 END
+         + CASE WHEN r_days >= r3 THEN 1 ELSE 0 END AS INT) AS r_code,
+  CAST(1 + CASE WHEN f_orders >= f1 THEN 1 ELSE 0 END
+         + CASE WHEN f_orders >= f2 THEN 1 ELSE 0 END
+         + CASE WHEN f_orders >= f3 THEN 1 ELSE 0 END AS INT) AS f_code,
+  CAST(1 + CASE WHEN m_cents >= m1 THEN 1 ELSE 0 END
+         + CASE WHEN m_cents >= m2 THEN 1 ELSE 0 END
+         + CASE WHEN m_cents >= m3 THEN 1 ELSE 0 END AS INT) AS m_code,
+  CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM per_cust CROSS JOIN th
+GROUP BY 1, 2, 3
+"""
+
+
+_sqlq(
+    "orders_rfm_segmentation",
+    _rfm_sql(
+        "percentile",
+        lambda last, ref: f"CAST(datediff({ref}, {last}) AS BIGINT)",
+    ),
+    _rfm_sql(
+        "quantile_cont",
+        lambda last, ref: f"CAST(date_diff('day', {last}, {ref}) AS BIGINT)",
+    ),
+)
 
 
 _sqlq(
