@@ -5845,6 +5845,48 @@ SELECT CAST(r_regionkey + 100 AS BIGINT) AS k, r_name AS name FROM region
 )
 
 
+def _optimize_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE under the value-hash gate: documents fragmented into 16
+    small files, registered, compacted through the statement path
+    (swap-on-publish to a new location), then read back THROUGH the
+    swapped registration and content-hashed per source. Proves the
+    compaction rewrite is lossless — not just that the statement runs
+    (tests/test_ddl_ml.py covers the report/rollback surface)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    ctx = _ctx(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="opt_rt_")
+    _table(spark, sf_dir, "documents").repartition(16).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/frag")
+    ctx.create_table("opt_rt", f"{base}/frag")
+    ctx.sql(
+        f"OPTIMIZE opt_rt WITH (target_bytes = 268435456, dest = '{base}/done')"
+    ).collect()
+    return ctx.sql(
+        f"""
+SELECT source, COUNT(*) AS n_rows,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  bit_xor({portable_hash64_spark_expr('text')}) AS text_xor
+FROM opt_rt GROUP BY source
+"""
+    )
+
+
+_dfq(
+    "stmt_optimize_roundtrip",
+    _optimize_roundtrip_fn,
+    f"""
+SELECT source, COUNT(*) AS n_rows,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  bit_xor({portable_hash64_sql('text')}) AS text_xor
+FROM documents GROUP BY source
+""",
+)
+
+
 def _unigram_lm_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity quality screen (text.unigram_lm_bits):
     bits/token under the corpus's own add-alpha unigram LM. One
