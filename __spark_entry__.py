@@ -5852,12 +5852,17 @@ def _optimize_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     swapped registration and content-hashed per source. Proves the
     compaction rewrite is lossless — not just that the statement runs
     (tests/test_ddl_ml.py covers the report/rollback surface)."""
+    import os
+    import shutil
     import tempfile
 
-    from pyspark.sql import functions as F
-
     ctx = _ctx(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="opt_rt_")
+    # deterministic per-sf dir, cleared on entry: the statement must RUN
+    # each invocation (that is what's under test), but repeated runs
+    # reuse one directory instead of leaking a mkdtemp per call
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_optrt_{sf_tag}")
+    shutil.rmtree(base, ignore_errors=True)
     _table(spark, sf_dir, "documents").repartition(16).write.mode(
         "overwrite"
     ).parquet(f"{base}/frag")
