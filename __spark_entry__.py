@@ -903,6 +903,42 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """,
 )
 
+# Running DISTINCT count per user (breadth-of-engagement telemetry).
+# Spark has no COUNT(DISTINCT) OVER — the standard emulation is
+# size(collect_set()) over the running frame; DuckDB runs the native
+# windowed distinct aggregate, so the gate also proves the emulation
+# exactly matches the native semantics.
+def _cumdistinct_sql(expr: str) -> str:
+    return f"""
+SELECT event_id, user_id, ts,
+  CAST({expr} AS BIGINT) AS distinct_types_so_far
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+_sqlq(
+    "window_cumulative_distinct",
+    _cumdistinct_sql("size(collect_set(event_type) OVER w)"),
+    _cumdistinct_sql("COUNT(DISTINCT event_type) OVER w"),
+)
+
+
+# ratio_to_report: each event's share of its user's total — the share
+# denominator routes through a DECIMAL sum (combine-order-exact), the
+# final division is one double op on identical inputs
+_sqlq(
+    "window_ratio_to_report",
+    """
+SELECT event_id, user_id, value,
+  value / CAST(SUM(CAST(value AS DECIMAL(18,6)))
+               OVER (PARTITION BY user_id) AS DOUBLE) AS share_of_user
+FROM events
+""",
+)
+
+
 def _rolling_median_sql(pctl: str) -> str:
     """Rolling median smoothing (trailing-10 frame per user). An
     interpolated median is cross-engine-exact without any decimal
