@@ -1490,6 +1490,22 @@ WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
 """,
 )
 
+# correlated EXISTS / IN as PROJECTED booleans (not WHERE predicates) —
+# Calcite plans these as left-semi-derived flags; Catalyst decorrelates
+# them into existence joins
+_sqlq(
+    "scalar_exists_projection",
+    """
+SELECT c_custkey,
+  EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    AS has_big_order,
+  c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+    AS in_region0
+FROM customer
+""",
+)
+
 # ==================================================================== #
 # 8. events: sessionize / pivot / JSON                                 #
 # ==================================================================== #
