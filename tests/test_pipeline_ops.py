@@ -1980,3 +1980,41 @@ def test_rake_keyphrases_scoring(spark):
     assert out["deep learning wins"].score_micro == 7_833_333
     assert out["best"].score_micro == 1_000_000
     assert out["deep learning"].score_micro > out["best"].score_micro
+
+
+def test_triangle_audit_handcrafted(spark):
+    from dask_sql_spark.operators.graph import triangle_audit
+
+    # 0-1-2 is a triangle; 3 hangs off 0; 4-5 is an isolated edge
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (0, 3), (4, 5)], "id_a LONG, id_b LONG"
+    )
+    out = {r.node: r for r in triangle_audit(edges).collect()}
+    assert out[0].degree == 3 and out[0].n_triangles == 1
+    assert out[1].n_triangles == 1 and out[2].n_triangles == 1
+    assert out[3].degree == 1 and out[3].n_triangles == 0
+    assert out[0].n_wedges == 3  # C(3,2)
+    # clustering: node0 = 2*1/(3*2) = 1/3; triangle-only nodes = 1.0
+    assert abs(out[0].clustering - 1 / 3) < 1e-12
+    assert out[1].clustering == 1.0
+    assert out[4].clustering == 0.0 and out[5].clustering == 0.0
+
+
+def test_centroid_drift_identical_and_rotated(spark):
+    from dask_sql_spark.operators.similarity import centroid_drift
+
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.0], 1), (1, [1.0, 0.2], 1), (2, [0.0, 1.0], 2)],
+        "vec_id INT, embedding ARRAY<DOUBLE>, label INT",
+    )
+    # identical snapshots -> drift_cos == 1 for every label
+    same = {r.label: r for r in centroid_drift(a, a).collect()}
+    assert all(abs(r.drift_cos - 1.0) < 1e-9 for r in same.values())
+    # label-2 centroid rotated 90 degrees -> drift 0; label 1 untouched
+    b = spark.createDataFrame(
+        [(0, [1.0, 0.0], 1), (1, [1.0, 0.2], 1), (2, [1.0, 0.0], 2)],
+        "vec_id INT, embedding ARRAY<DOUBLE>, label INT",
+    )
+    rot = {r.label: r for r in centroid_drift(a, b).collect()}
+    assert abs(rot[1].drift_cos - 1.0) < 1e-9
+    assert abs(rot[2].drift_cos) < 1e-9
