@@ -320,3 +320,82 @@ def test_bpe_pair_counts_partial_agg_before_shuffle(sf_tables):
         plan[:3000]
     )
     assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_nearest_join_plans_without_join_operator(sf_tables):
+    """nearest_join shares the as-of discipline: both directional fills
+    compile to windows over ONE tagged union — no join operator."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.joins import nearest_join
+
+    ev = sf_tables.spark.table("events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("cv")
+    )
+    df = nearest_join(purchases, clicks, on="ts", by="user_id")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in (
+        "BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin",
+        "ShuffledHashJoin", "BroadcastHashJoin",
+    ):
+        assert bad not in plan, f"{bad} in nearest_join plan:\n{plan}"
+    assert "Window" in plan
+
+
+def test_fuzzy_levenshtein_plans_as_equi_join(sf_tables):
+    """The PassJoin segment blocking must reach Catalyst as an equi join
+    on (segment-index, segment-text) — never a nested loop over the
+    corpus cross product."""
+    from dask_sql_spark.operators.dedup import fuzzy_levenshtein_pairs
+
+    df = fuzzy_levenshtein_pairs(sf_tables.spark.table("documents"))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_curriculum_order_no_single_partition_window(sf_tables):
+    """Staging must come from the broadcast threshold row, not a global
+    NTILE: no window exchange may collapse to SinglePartition."""
+    from dask_sql_spark.operators.llmprep import curriculum_order
+
+    df = curriculum_order(sf_tables.spark.table("documents"))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    windows = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert windows, plan
+    assert not re.search(r"Exchange SinglePartition[\s\S]*?Window", plan) or \
+        "hashpartitioning(stage" in plan, plan
+
+
+def test_touch_attribution_single_user_exchange(sf_tables):
+    """Attribution is one user-partitioned running window: exactly one
+    data exchange, hash-partitioned on user_id."""
+    from dask_sql_spark.operators.events import touch_attribution
+
+    df = touch_attribution(sf_tables.spark.table("events"))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # AQE's toString prints the final AND the initial plan, so exchanges
+    # appear once per copy — assert the INVARIANT instead of the count:
+    # every exchange is a hash partition on user_id (no second shuffle
+    # key, no SinglePartition collapse), and windows chain over it
+    exchanges = re.findall(r"Exchange (\w+)\(([^)]*)", plan)
+    assert exchanges, plan
+    for kind, keys in exchanges:
+        assert kind == "hashpartitioning" and "user_id" in keys, (
+            f"unexpected exchange {kind}({keys})\n{plan}"
+        )
+    assert "Window" in plan
