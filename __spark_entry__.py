@@ -5897,6 +5897,105 @@ SELECT CAST(r_regionkey + 100 AS BIGINT) AS k, r_name AS name FROM region
 )
 
 
+def _schema_evolution_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations under one
+    location — v1 writes (doc_id, lang), v2 adds `source` — read back
+    with mergeSchema so v1 rows surface NULL for the added column.
+    The aggregate gates both the union and the null backfill."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    docs = _table(spark, sf_dir, "documents")
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_evo_{sf_tag}")
+    marker = os.path.join(base, "_WRITTEN")
+    if not os.path.exists(marker):
+        docs.where("doc_id % 2 = 0").select("doc_id", "lang").write.mode(
+            "overwrite"
+        ).parquet(f"{base}/data/gen=1")
+        docs.where("doc_id % 2 = 1").select(
+            "doc_id", "lang", "source"
+        ).write.mode("overwrite").parquet(f"{base}/data/gen=2")
+        with open(marker, "w") as f:
+            f.write("ok")
+    back = spark.read.option("mergeSchema", True).parquet(f"{base}/data")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("source").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_null_source"),
+        F.count(F.col("source")).cast("bigint").alias("n_with_source"),
+    )
+
+
+_dfq(
+    "source_schema_evolution",
+    _schema_evolution_fn,
+    """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_source,
+  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_with_source
+FROM documents GROUP BY lang
+""",
+)
+
+
+def _codec_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec roundtrip: the same table written as snappy /
+    zstd / gzip parquet, each read back and content-hashed — the codec
+    paths a production layout tunes between are proven lossless, not
+    assumed."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    docs = _table(spark, sf_dir, "documents")
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_codec_{sf_tag}")
+    marker = os.path.join(base, "_WRITTEN")
+    codecs = ("snappy", "zstd", "gzip")
+    if not os.path.exists(marker):
+        for c in codecs:
+            docs.write.mode("overwrite").option("compression", c).parquet(
+                f"{base}/{c}"
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+    outs = []
+    for c in codecs:
+        back = spark.read.parquet(f"{base}/{c}")
+        outs.append(
+            back.agg(
+                F.lit(c).alias("codec"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.expr(
+                    f"bit_xor({portable_hash64_spark_expr('text')})"
+                ).alias("text_xor"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+_dfq(
+    "sink_codec_roundtrip",
+    _codec_roundtrip_fn,
+    f"""
+SELECT c.codec, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  bit_xor({portable_hash64_sql('text')}) AS text_xor
+FROM documents, (SELECT unnest(['snappy', 'zstd', 'gzip']) AS codec) c
+GROUP BY c.codec
+""",
+)
+
+
 def _optimize_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE under the value-hash gate: documents fragmented into 16
     small files, registered, compacted through the statement path
