@@ -4521,6 +4521,76 @@ FROM lat
 """
 
 
+def _dau_wau_sql(days_diff, strty: str) -> str:
+    """Engagement metrics: DAU per day plus rolling 7-day WAU. The WAU
+    distinct-over-window is exact via the (user, day) grain self-join —
+    day-grain rows are |days| × avg-DAU, tiny relative to events, so the
+    ≤7× join amplification is bounded; at warehouse scale swap in the
+    mergeable HLL sketches (`sketch_hll_mergeable`) for the same shape
+    approximately."""
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+), cal AS (SELECT DISTINCT d FROM ud),
+dau AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d
+),
+wau AS (
+  SELECT c.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM cal c JOIN ud u
+    ON {days_diff("u.d", "c.d")} BETWEEN 0 AND 6
+  GROUP BY c.d
+)
+SELECT CAST(dau.d AS {strty}) AS day, dau.dau, wau.wau
+FROM dau JOIN wau ON dau.d = wau.d
+"""
+
+
+_sqlq(
+    "events_dau_wau",
+    _dau_wau_sql(lambda a, b: f"datediff({b}, {a})", "STRING"),
+    _dau_wau_sql(lambda a, b: f"date_diff('day', {a}, {b})", "VARCHAR"),
+)
+
+
+# Deterministic A/B assignment + sample-ratio-mismatch screen: arm =
+# md5 parity (reproducible, engine-portable), per-arm user counts and
+# the chi-square SRM statistic against a 50/50 split — pure arithmetic
+# on exact integer counts, no libm.
+def _ab_srm_sql(hash_sql: str) -> str:
+    return f"""
+WITH arms AS (
+  SELECT DISTINCT user_id,
+    CASE WHEN {hash_sql} % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+  FROM events
+), counts AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM arms
+)
+SELECT n_a, n_b,
+  CAST(n_a AS DOUBLE) / (n_a + n_b) AS share_a,
+  (CAST(n_a AS DOUBLE) - (n_a + n_b) / 2.0)
+    * (CAST(n_a AS DOUBLE) - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0)
+  + (CAST(n_b AS DOUBLE) - (n_a + n_b) / 2.0)
+    * (CAST(n_b AS DOUBLE) - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0)
+    AS srm_chi2
+FROM counts
+"""
+
+
+_sqlq(
+    "events_ab_assignment",
+    _ab_srm_sql(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    ),
+    _ab_srm_sql(portable_hash64_sql("CAST(user_id AS VARCHAR)")),
+)
+
+
 def _interarrival_sql(epoch_us: str, strty: str) -> str:
     """Per-event-type inter-arrival statistics over per-user streams:
     n, mean gap, and the squared coefficient of variation (CV² ≈ 1 ⇒
