@@ -3143,6 +3143,75 @@ def _components_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, docs)
 
 
+def _pair_evidence_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH pair forensics (dedup.pair_evidence): agreeing permutations,
+    minhash-estimated Jaccard (dyadic n/16), true shingle Jaccard."""
+    from dask_sql_spark.operators.dedup import pair_evidence
+
+    return pair_evidence(
+        _table(spark, sf_dir, "documents"), num_perm=16, bands=8
+    )
+
+
+def _pair_evidence_oracle(num_perm: int = 16, bands: int = 8) -> str:
+    from dask_sql_spark.operators.hashing import MINHASH_PERMS, MINHASH_PRIME
+
+    rows_per_band = num_perm // bands
+    perm_values = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS[:num_perm])
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+hashes AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {MINHASH_PRIME} AS h
+  FROM sh
+),
+perms(perm, a, b) AS (VALUES {perm_values}),
+sig AS (
+  SELECT doc_id, perm, MIN((a * h + b) % {MINHASH_PRIME}) AS minhash
+  FROM hashes, perms GROUP BY doc_id, perm
+),
+bnds AS (
+  SELECT doc_id, perm // {rows_per_band} AS band,
+    string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY perm) AS bucket
+  FROM sig GROUP BY doc_id, perm // {rows_per_band}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bnds a JOIN bnds b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+matches AS (
+  SELECT p.id_a, p.id_b,
+    CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS INT)
+      AS n_match
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.id_a
+  JOIN sig sb ON sb.doc_id = p.id_b AND sb.perm = sa.perm
+  GROUP BY p.id_a, p.id_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS c
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.id_a
+  JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT m.id_a, m.id_b, m.n_match,
+  m.n_match / {float(num_perm)} AS est_jaccard,
+  COALESCE(ROUND(c / (sa.sz + sb.sz - c), 6), 0.0) AS true_jaccard
+FROM matches m
+LEFT JOIN common ON m.id_a = common.id_a AND m.id_b = common.id_b
+JOIN sizes sa ON sa.doc_id = m.id_a
+JOIN sizes sb ON sb.doc_id = m.id_b
+"""
+
+
+_dfq("dedup_pair_evidence", _pair_evidence_fn, _pair_evidence_oracle())
+
+
 def _triangle_audit_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity-graph structure audit (graph.triangle_audit) over the
     LSH candidate-pair graph: per-node degree, wedges, triangles,

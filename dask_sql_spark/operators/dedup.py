@@ -760,3 +760,56 @@ def fuzzy_levenshtein_pairs(
         .where(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def pair_evidence(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Forensics for LSH candidate pairs: per pair, the number of
+    agreeing minhash permutations, the signature-estimated Jaccard
+    (n_match / num_perm — unbiased minhash estimator), and the TRUE
+    shingle Jaccard. Dedup-pipeline debugging reads this to tune
+    (num_perm, bands) — a wide estimate-vs-truth gap at your operating
+    threshold means the S-curve is in the wrong place.
+
+    Cost: the candidate pairs and signatures reuse the LSH pipeline's
+    aggregates; true Jaccard joins the threshold-0 co-shingle counts
+    RESTRICTED to candidate pairs, so the extra work is one bucket-join
+    pass, never all-pairs. n_match/num_perm is a dyadic ratio —
+    cross-engine exact with num_perm a power of two.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, num_perm, bands, shingle_n)
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_perm)],
+    )
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        for i in range(num_perm)
+    )
+    truth = ngram_jaccard_pairs(
+        df, id_col, text_col, n=shingle_n, threshold=0.0
+    ).join(pairs, ["id_a", "id_b"])
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_match", n_match.cast("int"))
+        .withColumn(
+            "est_jaccard", F.col("n_match") / F.lit(float(num_perm))
+        )
+        .join(truth, ["id_a", "id_b"], "left")
+        .select(
+            "id_a", "id_b", "n_match", "est_jaccard",
+            F.coalesce("jaccard", F.lit(0.0)).alias("true_jaccard"),
+        )
+    )
