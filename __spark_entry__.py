@@ -4590,6 +4590,43 @@ FROM lat
 """
 
 
+# Order backlog timeline: each order opens at o_orderdate and clears at
+# its last shipment; the open-order count per day is a ±1 delta union
+# and ONE day-grain cumulative sum — interval-state accounting with no
+# interval join, the scalable shape for "how many X were open at t".
+# The running window orders a few-thousand-row day table (day grain ≪
+# row grain), not the fact table.
+def _backlog_sql(strty: str) -> str:
+    return f"""
+WITH ship AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS shipped FROM lineitem
+  GROUP BY l_orderkey
+),
+deltas AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d, 1 AS delta
+  FROM orders
+  UNION ALL
+  SELECT CAST(date_trunc('day', s.shipped) AS DATE) AS d, -1 AS delta
+  FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey
+),
+daily AS (
+  SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY d
+)
+SELECT CAST(d AS {strty}) AS day, net,
+  CAST(SUM(net) OVER (ORDER BY d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS open_orders
+FROM daily
+"""
+
+
+_sqlq(
+    "orders_backlog_timeline",
+    _backlog_sql("STRING"),
+    _backlog_sql("VARCHAR"),
+)
+
+
 def _dau_wau_sql(days_diff, strty: str) -> str:
     """Engagement metrics: DAU per day plus rolling 7-day WAU. The WAU
     distinct-over-window is exact via the (user, day) grain self-join —
