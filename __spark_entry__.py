@@ -1490,6 +1490,28 @@ WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
 """,
 )
 
+# Postgres :: cast syntax (the reference's dialect is Postgres-flavored;
+# Spark 4 and DuckDB both accept it natively — probe locks the parity)
+_sqlq(
+    "scalar_pg_cast_syntax",
+    """
+SELECT o_orderkey,
+  o_totalprice::DECIMAL(18,2)::DOUBLE AS price_d,
+  o_orderkey::STRING AS key_s,
+  (o_orderdate::DATE)::STRING AS day_s,
+  ('7'::INT + 1)::BIGINT AS lit_i
+FROM orders WHERE o_orderkey < 500
+""",
+    """
+SELECT o_orderkey,
+  o_totalprice::DECIMAL(18,2)::DOUBLE AS price_d,
+  o_orderkey::VARCHAR AS key_s,
+  (o_orderdate::DATE)::VARCHAR AS day_s,
+  ('7'::INT + 1)::BIGINT AS lit_i
+FROM orders WHERE o_orderkey < 500
+""",
+)
+
 # correlated EXISTS / IN as PROJECTED booleans (not WHERE predicates) —
 # Calcite plans these as left-semi-derived flags; Catalyst decorrelates
 # them into existence joins
