@@ -4612,6 +4612,80 @@ FROM lat
 """
 
 
+# Cohort LTV curve: customers cohorted by first-order month; average
+# cumulative spend per cohort at each month-age. Money stays DECIMAL
+# through both aggregates; the cumulative window runs over the
+# (cohort, age) grid — months², not customers.
+def _cohort_ltv_sql(months_between, strty: str) -> str:
+    return f"""
+WITH firsts AS (
+  SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey
+),
+spend AS (
+  SELECT f.cohort,
+    {months_between("date_trunc('month', o.o_orderdate)", "f.cohort")}
+      AS age_months,
+    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev,
+    COUNT(DISTINCT o.o_custkey) AS active
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+  GROUP BY f.cohort,
+    {months_between("date_trunc('month', o.o_orderdate)", "f.cohort")}
+),
+sized AS (SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort)
+SELECT CAST(CAST(s.cohort AS DATE) AS {strty}) AS cohort,
+  CAST(s.age_months AS INT) AS age_months,
+  CAST(s.active AS BIGINT) AS active_customers,
+  CAST(SUM(s.rev) OVER (PARTITION BY s.cohort ORDER BY s.age_months
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / z.cohort_size AS cum_ltv_per_customer
+FROM spend s JOIN sized z ON s.cohort = z.cohort
+"""
+
+
+_sqlq(
+    "orders_cohort_ltv",
+    _cohort_ltv_sql(
+        lambda a, b: f"CAST(months_between({a}, {b}) AS BIGINT)", "STRING"
+    ),
+    _cohort_ltv_sql(
+        lambda a, b: f"CAST(date_diff('month', {b}, {a}) AS BIGINT)",
+        "VARCHAR",
+    ),
+)
+
+
+# ABC / Pareto classification: parts ranked by revenue, classed A/B/C at
+# 80%/95% cumulative share. Runs at PART grain (dims, not facts): the
+# revenue aggregate shuffles once on p_partkey, and only the tiny
+# part-grain result passes through the global cumulative window.
+_sqlq(
+    "parts_abc_classification",
+    """
+WITH rev AS (
+  SELECT p_partkey, p_name,
+    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS r
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_partkey, p_name
+),
+tot AS (SELECT SUM(r) AS t FROM rev),
+ranked AS (
+  SELECT p_partkey, p_name,
+    CAST(SUM(r) OVER (ORDER BY r DESC, p_partkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      / CAST(t AS DOUBLE) AS cum_share
+  FROM rev CROSS JOIN tot
+)
+SELECT p_partkey, p_name,
+  CASE WHEN cum_share <= 0.80 THEN 'A'
+       WHEN cum_share <= 0.95 THEN 'B'
+       ELSE 'C' END AS abc_class,
+  cum_share
+FROM ranked
+""",
+)
+
+
 # Order backlog timeline: each order opens at o_orderdate and clears at
 # its last shipment; the open-order count per day is a ±1 delta union
 # and ONE day-grain cumulative sum — interval-state accounting with no
