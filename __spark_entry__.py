@@ -4655,6 +4655,40 @@ _sqlq(
 )
 
 
+# Supplier concentration (Herfindahl–Hirschman index) per part type:
+# HHI = Σ share² = Σ r² / (Σ r)², computed entirely in exact
+# integer-scaled decimals (micro-money): summing share² DOUBLES is
+# combine-order-dependent and diverged by 1 ulp. The two big decimals
+# reach double via the string-cast route (single correctly-rounded
+# conversion per engine), then ONE division. Dimension-grain output.
+def _hhi_sql(strty: str) -> str:
+    return f"""
+WITH rev AS (
+  SELECT p_type, l_suppkey,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)))
+         * 1000000 AS DECIMAL(22,0)) AS r_m
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type, l_suppkey
+),
+agg AS (
+  SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+    SUM(r_m * r_m) AS s2, SUM(r_m) AS t_m
+  FROM rev GROUP BY p_type
+)
+SELECT p_type, n_suppliers,
+  CAST(CAST(s2 AS {strty}) AS DOUBLE)
+    / CAST(CAST(t_m * t_m AS {strty}) AS DOUBLE) AS hhi
+FROM agg
+"""
+
+
+_sqlq(
+    "suppliers_hhi_concentration",
+    _hhi_sql("STRING"),
+    _hhi_sql("VARCHAR"),
+)
+
+
 # ABC / Pareto classification: parts ranked by revenue, classed A/B/C at
 # 80%/95% cumulative share. Runs at PART grain (dims, not facts): the
 # revenue aggregate shuffles once on p_partkey, and only the tiny
