@@ -797,8 +797,18 @@ def pair_evidence(
         (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
         for i in range(num_perm)
     )
+    # true Jaccard only needs the candidate documents: semi-join the
+    # corpus down BEFORE the threshold-0 co-shingle pass, so the pair
+    # explosion is bounded by the candidate set (per-doc shingle sets —
+    # and hence Jaccard — are independent of the surrounding corpus)
+    cand_docs = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sub = df.join(cand_docs, id_col, "left_semi")
     truth = ngram_jaccard_pairs(
-        df, id_col, text_col, n=shingle_n, threshold=0.0
+        sub, id_col, text_col, n=shingle_n, threshold=0.0
     ).join(pairs, ["id_a", "id_b"])
     return (
         pairs.join(sa, "id_a")
