@@ -4612,6 +4612,76 @@ FROM lat
 """
 
 
+# Week-over-week growth: revenue at week grain with LAG pct-change —
+# the windows run over the tiny week table, money stays decimal until
+# the single ratio.
+def _wow_sql(strty: str) -> str:
+    return f"""
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+    CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY date_trunc('week', o_orderdate)
+)
+SELECT CAST(wk AS {strty}) AS week, n_orders,
+  CAST(rev AS DOUBLE) AS revenue,
+  CAST(rev AS DOUBLE) / CAST(LAG(rev) OVER (ORDER BY wk) AS DOUBLE) - 1.0
+    AS wow_growth
+FROM weekly
+"""
+
+
+_sqlq("orders_wow_growth", _wow_sql("STRING"), _wow_sql("VARCHAR"))
+
+
+# A/B outcome readout on top of the md5 assignment: per-arm
+# high-value-purchase conversion (plain purchase is ~universal in this
+# corpus, which degenerates the z denominator to 0/0), lift vs arm A,
+# and the two-proportion z statistic — sqrt
+# is correctly-rounded IEEE so the literal expression matches
+# cross-engine; all inputs are exact integer counts.
+def _ab_metrics_sql(hash_sql: str) -> str:
+    return f"""
+WITH arms AS (
+  SELECT user_id,
+    CASE WHEN {hash_sql} % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+    MAX(CASE WHEN event_type = 'purchase' AND value > 150
+             THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), per_arm AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+    CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM arms GROUP BY arm
+), wide AS (
+  SELECT
+    MAX(CASE WHEN arm = 'A' THEN n_users END) AS na,
+    MAX(CASE WHEN arm = 'A' THEN n_converted END) AS ca,
+    MAX(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+    MAX(CASE WHEN arm = 'B' THEN n_converted END) AS cb
+  FROM per_arm
+)
+SELECT na, ca, nb, cb,
+  CAST(ca AS DOUBLE) / na AS conv_a,
+  CAST(cb AS DOUBLE) / nb AS conv_b,
+  (CAST(cb AS DOUBLE) / nb) / (CAST(ca AS DOUBLE) / na) - 1.0 AS lift_b,
+  (CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na)
+    / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+           * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+           * (1.0 / na + 1.0 / nb)) AS z_stat
+FROM wide
+"""
+
+
+_sqlq(
+    "events_ab_metrics",
+    _ab_metrics_sql(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    ),
+    _ab_metrics_sql(portable_hash64_sql("CAST(user_id AS VARCHAR)")),
+)
+
+
 # Cohort LTV curve: customers cohorted by first-order month; average
 # cumulative spend per cohort at each month-age. Money stays DECIMAL
 # through both aggregates; the cumulative window runs over the
