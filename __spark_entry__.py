@@ -3165,6 +3165,76 @@ def _components_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, docs)
 
 
+_FUZZY_LEV_ORACLE = """
+WITH seg AS (
+  SELECT doc_id, text, length(text) AS len, i,
+         substring(lower(text), 1 + i * 20, 20) AS s
+  FROM documents, (SELECT unnest([0, 1, 2]) AS i)
+  WHERE substring(lower(text), 1 + i * 20, 20) <> ''
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.text AS text_a, b.text AS text_b
+  FROM seg a JOIN seg b ON a.i = b.i AND a.s = b.s
+  WHERE a.doc_id < b.doc_id AND abs(a.len - b.len) <= 8
+)
+SELECT id_a, id_b, CAST(levenshtein(text_a, text_b) AS INT) AS dist
+FROM cand
+WHERE levenshtein(text_a, text_b) <= 8
+"""
+
+
+def _method_overlap_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method dedup agreement: the MinHash-LSH candidate pair set
+    vs the bounded-edit-distance pair set, as one row of counts plus the
+    pair-set Jaccard. High agreement = redundant screens; disjoint sets
+    = the methods catch different duplicate classes (LSH: shuffled/
+    paraphrased n-grams; levenshtein: character-level edits) — the
+    measurement that justifies running both in a cleaning cascade."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.dedup import (
+        fuzzy_levenshtein_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    mp = minhash_lsh_pairs(docs, num_perm=16, bands=8).select("id_a", "id_b")
+    fp = fuzzy_levenshtein_pairs(docs, max_dist=8).select("id_a", "id_b")
+    both = mp.join(fp, ["id_a", "id_b"])
+    m = mp.agg(F.count(F.lit(1)).cast("bigint").alias("n_minhash"))
+    f_ = fp.agg(F.count(F.lit(1)).cast("bigint").alias("n_fuzzy"))
+    b = both.agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    return (
+        m.crossJoin(f_)
+        .crossJoin(b)
+        .withColumn(
+            "pair_jaccard",
+            F.col("n_both").cast("double")
+            / (F.col("n_minhash") + F.col("n_fuzzy") - F.col("n_both")),
+        )
+    )
+
+
+_dfq(
+    "dedup_method_overlap",
+    _method_overlap_fn,
+    f"""
+WITH pm AS ({{M}}),
+pf AS ({{F}}),
+b AS (SELECT pm.id_a, pm.id_b FROM pm JOIN pf
+      ON pm.id_a = pf.id_a AND pm.id_b = pf.id_b)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM pm) AS n_minhash,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM pf) AS n_fuzzy,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_both,
+  CAST((SELECT COUNT(*) FROM b) AS DOUBLE)
+    / ((SELECT COUNT(*) FROM pm) + (SELECT COUNT(*) FROM pf)
+       - (SELECT COUNT(*) FROM b)) AS pair_jaccard
+""".replace("{M}", _minhash_oracle()).replace("{F}", _FUZZY_LEV_ORACLE),
+)
+
+
 def _pair_evidence_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH pair forensics (dedup.pair_evidence): agreeing permutations,
     minhash-estimated Jaccard (dyadic n/16), true shingle Jaccard."""
@@ -4610,6 +4680,26 @@ SELECT
   {pctl}(d23_us, 0.5) / 1000000.0 AS p50_view_purchase_s
 FROM lat
 """
+
+
+# k-anonymity audit over quasi-identifiers: every (nation, segment)
+# equivalence class smaller than k re-identifies its members; report
+# class sizes, the at-risk classes, and the share of rows at risk —
+# one groupBy plus a scalar total broadcast back.
+_sqlq(
+    "dq_k_anonymity",
+    """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+tot AS (SELECT CAST(SUM(class_size) AS BIGINT) AS n FROM classes)
+SELECT c_nationkey, c_mktsegment, class_size,
+  class_size < 5 AS below_k,
+  CAST(class_size AS DOUBLE) / t.n AS row_share
+FROM classes CROSS JOIN tot t
+""",
+)
 
 
 # Week-over-week growth: revenue at week grain with LAG pct-change —
@@ -6644,27 +6734,8 @@ def _fuzzy_lev_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_dfq(
-    "dedup_fuzzy_levenshtein",
-    _fuzzy_lev_fn,
-    """
-WITH seg AS (
-  SELECT doc_id, text, length(text) AS len, i,
-         substring(lower(text), 1 + i * 20, 20) AS s
-  FROM documents, (SELECT unnest([0, 1, 2]) AS i)
-  WHERE substring(lower(text), 1 + i * 20, 20) <> ''
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.text AS text_a, b.text AS text_b
-  FROM seg a JOIN seg b ON a.i = b.i AND a.s = b.s
-  WHERE a.doc_id < b.doc_id AND abs(a.len - b.len) <= 8
-)
-SELECT id_a, id_b, CAST(levenshtein(text_a, text_b) AS INT) AS dist
-FROM cand
-WHERE levenshtein(text_a, text_b) <= 8
-""",
-)
+
+_dfq("dedup_fuzzy_levenshtein", _fuzzy_lev_fn, _FUZZY_LEV_ORACLE)
 
 
 def _incremental_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
