@@ -81,6 +81,10 @@ HEADLINE = [
     "dedup_fuzzy_levenshtein",
     "search_mmr_rerank",
     "llm_curriculum_order",
+    "events_twap",
+    "maint_cdc_apply",
+    "text_rake_keyphrases",
+    "events_attribution",
 ]
 
 # the 28 queries BENCH_r01 measured (total 27.48 s at sf0.1): their
