@@ -4682,6 +4682,38 @@ FROM lat
 """
 
 
+# Seasonality probe: lag-1 and lag-7 Pearson autocorrelation of daily
+# event counts. The day-grain series self-joins on an exact date offset,
+# and r comes from the closed form over INTEGER sums (counts and their
+# products stay far below 2^53), so the one sqrt+division expression is
+# bitwise identical cross-engine. Day grain ⇒ the join is calendar-sized.
+def _autocorr_sql(date_add) -> str:
+    terms = []
+    for lag in (1, 7):
+        terms.append(f"""
+SELECT {lag} AS lag_days, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  (COUNT(*) * SUM(a.c * b.c) - SUM(a.c) * SUM(b.c))
+  / sqrt(CAST(COUNT(*) * SUM(a.c * a.c) - SUM(a.c) * SUM(a.c) AS DOUBLE)
+       * CAST(COUNT(*) * SUM(b.c * b.c) - SUM(b.c) * SUM(b.c) AS DOUBLE))
+    AS autocorr
+FROM daily a JOIN daily b ON b.d = {date_add("a.d", lag)}""")
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY date_trunc('day', ts)
+)
+{" UNION ALL ".join(terms)}
+"""
+
+
+_sqlq(
+    "events_autocorrelation",
+    _autocorr_sql(lambda d, k: f"date_add({d}, {k})"),
+    _autocorr_sql(lambda d, k: f"{d} + {k}"),
+)
+
+
 # k-anonymity audit over quasi-identifiers: every (nation, segment)
 # equivalence class smaller than k re-identifies its members; report
 # class sizes, the at-risk classes, and the share of rows at risk —
