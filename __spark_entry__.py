@@ -2356,6 +2356,89 @@ SELECT query_id, id_b AS selected_id, step FROM all{k}
 _dfq("search_mmr_rerank", _mmr_fn, _mmr_oracle())
 
 
+def _kmeans_step_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration with deterministic init (centroids =
+    vec_id < 4): cosine assignment via the sequential-fold dot product
+    (bitwise cross-engine), then per-(cluster, dim) DECIMAL-mean
+    centroid update. spark.ml KMeans itself is gated rows-only
+    (`ann_ivf_topk`) because multi-iteration float evolution isn't
+    replayable — this pins the CORE step (assign + recompute) under the
+    value hash (coord rounded at 9, the emb_centroid_cosine precedent —
+    the double→DECIMAL(27,12) cast half-rounds differently per engine at
+    the 1e-12 tail). Plan: broadcast the k seed centroids, one argmax
+    window, one (cluster, dim) aggregate."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dask_sql_spark.operators.dedup import cosine
+
+    emb = _table(spark, sf_dir, "embeddings")
+    c = emb.select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").cast("array<double>").alias("vc"),
+    ).where("cell < 4")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cell").asc()
+    )
+    assigned = (
+        v.join(F.broadcast(c))
+        .withColumn("cos", cosine(F.col("vv"), F.col("vc")))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cell", "vv")
+    )
+    return (
+        assigned.select(
+            "cell", F.posexplode(F.col("vv")).alias("pos", "val")
+        )
+        .groupBy("cell", "pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(
+                F.sum(F.col("val").cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("coord"),
+        )
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("pos").cast("int").alias("pos"),
+            "n_members", "coord",
+        )
+    )
+
+
+_dfq(
+    "ml_kmeans_one_step",
+    _kmeans_step_fn,
+    f"""
+WITH e AS (SELECT vec_id, {_EMB_DOUBLE} AS v FROM embeddings),
+c AS (SELECT vec_id AS cell, v AS vc FROM e WHERE vec_id < 4),
+scored AS (
+  SELECT a.vec_id, c.cell, a.v,
+    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      list_dot_product(a.v, c.vc)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(c.vc, c.vc))) DESC, c.cell) AS rk
+  FROM e a CROSS JOIN c
+),
+assigned AS (SELECT vec_id, cell, v FROM scored WHERE rk = 1),
+ex AS (
+  SELECT cell, i - 1 AS pos, v[i] AS val
+  FROM assigned, UNNEST(range(1, len(v) + 1)) AS t(i)
+)
+SELECT CAST(cell AS INT) AS cell, CAST(pos AS INT) AS pos,
+  CAST(COUNT(*) AS BIGINT) AS n_members,
+  ROUND(CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 9)
+    AS coord
+FROM ex GROUP BY cell, pos
+""",
+)
+
+
 def _knn_confusion_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space quality eval: 1-NN label confusion matrix over a
     10% query subsample (similarity.brute_force_topk, k=1, self
