@@ -4765,6 +4765,57 @@ FROM lat
 """
 
 
+# Daily value bands: p25/p50/p75 of event value per day. Quantiles run
+# over INTEGER cents (value is 2-dp) with dyadic fractions — IEEE-exact
+# interpolation — and convert to currency with one division, the same
+# discipline as events_conversion_latency.
+def _value_bands_sql(pctl: str, strty: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+)
+SELECT CAST(d AS {strty}) AS day,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  {pctl}(cents, 0.25) / 100.0 AS p25_value,
+  {pctl}(cents, 0.5) / 100.0 AS p50_value,
+  {pctl}(cents, 0.75) / 100.0 AS p75_value
+FROM base GROUP BY d
+"""
+
+
+_sqlq(
+    "events_daily_value_bands",
+    _value_bands_sql("percentile", "STRING"),
+    _value_bands_sql("quantile_cont", "VARCHAR"),
+)
+
+
+# Monthly fill rate: share of lineitems shipped within 30 days of their
+# order date — conditional count ratio at month grain, all-integer until
+# the final division.
+def _fill_rate_sql(strty: str) -> str:
+    return f"""
+SELECT CAST(CAST(date_trunc('month', o.o_orderdate) AS DATE) AS {strty})
+    AS month,
+  CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+  CAST(SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_fast,
+  CAST(SUM(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+            THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS fill_rate_30d
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY date_trunc('month', o.o_orderdate)
+"""
+
+
+_sqlq(
+    "orders_fill_rate_monthly",
+    _fill_rate_sql("STRING"),
+    _fill_rate_sql("VARCHAR"),
+)
+
+
 # Seasonality probe: lag-1 and lag-7 Pearson autocorrelation of daily
 # event counts. The day-grain series self-joins on an exact date offset,
 # and r comes from the closed form over INTEGER sums (counts and their
