@@ -4765,6 +4765,67 @@ FROM lat
 """
 
 
+# Churn flags: customers with no order in the 6 months before the
+# corpus max date, churn rate per market segment — the scalar cutoff
+# broadcasts from one aggregate; all-integer until the rate division.
+_sqlq(
+    "orders_churn_by_segment",
+    """
+WITH cutoff AS (
+  SELECT MAX(o_orderdate) - INTERVAL 6 MONTH AS cut FROM orders
+),
+last_order AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_dt FROM orders
+  GROUP BY o_custkey
+)
+SELECT c.c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(CASE WHEN lo.last_dt < x.cut THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_churned,
+  CAST(SUM(CASE WHEN lo.last_dt < x.cut THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS churn_rate
+FROM customer c
+JOIN last_order lo ON c.c_custkey = lo.o_custkey
+CROSS JOIN cutoff x
+GROUP BY c.c_mktsegment
+""",
+)
+
+
+# Template-spam profile: distribution of fingerprint-cluster sizes
+# (how much of the corpus is near-identical boilerplate). Two small
+# aggregates over the md5 canonical fingerprint.
+_sqlq(
+    "text_template_histogram",
+    """
+WITH fp AS (
+  SELECT md5(array_join(array_sort(array_distinct(filter(
+      split(lower(regexp_replace(text, '[^A-Za-z0-9\\\\s]', ' ')), '\\\\s+'),
+      t -> t != ''))), ' ')) AS fp
+  FROM documents
+),
+clusters AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS sz FROM fp GROUP BY fp)
+SELECT sz AS cluster_size,
+  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+  CAST(COUNT(*) * sz AS BIGINT) AS n_docs
+FROM clusters GROUP BY sz
+""",
+    """
+WITH fp AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(list_filter(
+      string_split_regex(lower(regexp_replace(text, '[^A-Za-z0-9\\s]', ' ', 'g')), '\\s+'),
+      t -> t <> ''))), ' ')) AS fp
+  FROM documents
+),
+clusters AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS sz FROM fp GROUP BY fp)
+SELECT sz AS cluster_size,
+  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+  CAST(COUNT(*) * sz AS BIGINT) AS n_docs
+FROM clusters GROUP BY sz
+""",
+)
+
+
 # Daily value bands: p25/p50/p75 of event value per day. Quantiles run
 # over INTEGER cents (value is 2-dp) with dyadic fractions — IEEE-exact
 # interpolation — and convert to currency with one division, the same
