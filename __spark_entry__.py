@@ -4765,6 +4765,64 @@ FROM lat
 """
 
 
+# Supplier lead-time reliability: mean and sample-variance of the
+# order→ship lag per supplier, exact via integer day-lag decimal sums
+# (same S1/S2 discipline as events_interarrival_stats, day grain so no
+# string-cast needed — sums stay below 2^53).
+def _leadtime_sql(days_between) -> str:
+    return f"""
+WITH lags AS (
+  SELECT l.l_suppkey,
+    CAST({days_between("o.o_orderdate", "l.l_shipdate")} AS BIGINT) AS lag_d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_shipments,
+  CAST(SUM(lag_d) AS DOUBLE) / COUNT(*) AS mean_lag_days,
+  (CAST(SUM(lag_d * lag_d) AS DOUBLE)
+   - CAST(SUM(lag_d) AS DOUBLE) * CAST(SUM(lag_d) AS DOUBLE) / COUNT(*))
+    / (COUNT(*) - 1) AS var_lag_days
+FROM lags GROUP BY l_suppkey
+HAVING COUNT(*) > 1
+"""
+
+
+_sqlq(
+    "suppliers_leadtime_stats",
+    _leadtime_sql(lambda a, b: f"datediff({b}, {a})"),
+    _leadtime_sql(lambda a, b: f"date_diff('day', {a}, {b})"),
+)
+
+
+# Functional-dependency profiling: how strongly lang determines source
+# (FD confidence = modal source share per lang) — the schema-discovery
+# audit a catalog runs before declaring constraints. Two aggregates and
+# an argmax window at (lang, source) grain.
+_sqlq(
+    "dq_functional_dependency",
+    """
+WITH g AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source
+),
+tot AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_rows,
+    CAST(COUNT(*) AS BIGINT) AS n_distinct_sources
+  FROM g GROUP BY lang
+),
+top AS (
+  SELECT lang, n AS top_n FROM (
+    SELECT lang, n,
+      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, source) AS rk
+    FROM g) t
+  WHERE rk = 1
+)
+SELECT t.lang, t.n_rows, t.n_distinct_sources,
+  CAST(p.top_n AS DOUBLE) / t.n_rows AS fd_confidence
+FROM tot t JOIN top p ON t.lang = p.lang
+""",
+)
+
+
 # Churn flags: customers with no order in the 6 months before the
 # corpus max date, churn rate per market segment — the scalar cutoff
 # broadcasts from one aggregate; all-integer until the rate division.
