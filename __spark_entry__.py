@@ -4765,6 +4765,62 @@ FROM lat
 """
 
 
+# Vocabulary uniqueness per source: hapax legomena (words occurring
+# exactly once in the source's corpus) over vocabulary size — a high
+# hapax rate signals rich text, a low one template/boilerplate. One
+# (source, word) aggregate, then a per-source rollup.
+_sqlq(
+    "text_hapax_rate",
+    """
+WITH words AS (
+  SELECT source, w AS word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT source,
+      explode(filter(split(lower(trim(text)), '\\\\s+'), t -> t != '')) AS w
+    FROM documents
+  ) t
+  GROUP BY source, w
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS vocab_size,
+  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+    AS hapax_rate
+FROM words GROUP BY source
+""",
+    """
+WITH words AS (
+  SELECT source, w.word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents,
+    UNNEST(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+           t -> t <> '')) AS w(word)
+  GROUP BY source, w.word
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS vocab_size,
+  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+    AS hapax_rate
+FROM words GROUP BY source
+""",
+)
+
+
+# Basket-size histogram: lineitems per order → order count — the order
+# profile a capacity model starts from. Two cheap aggregates.
+_sqlq(
+    "orders_basket_histogram",
+    """
+WITH per_order AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM per_order GROUP BY n_lines
+""",
+)
+
+
 # Supplier lead-time reliability: mean and sample-variance of the
 # order→ship lag per supplier, exact via integer day-lag decimal sums
 # (same S1/S2 discipline as events_interarrival_stats, day grain so no
