@@ -4765,6 +4765,50 @@ FROM lat
 """
 
 
+# Nation-to-nation trade flow matrix (q7's construct generalized to the
+# full matrix): supplier nation × customer nation revenue, decimal until
+# the output cast; two broadcast dimension joins on the fact scan.
+_sqlq(
+    "trade_flow_matrix",
+    """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+  CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)))
+       AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier s ON l_suppkey = s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l_orderkey = o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+GROUP BY ns.n_name, nc.n_name
+""",
+)
+
+
+# Monthly return rate: share of lineitems flagged R per ship month —
+# conditional ratio, integer until the division.
+def _return_rate_sql(strty: str) -> str:
+    return f"""
+SELECT CAST(CAST(date_trunc('month', l_shipdate) AS DATE) AS {strty})
+    AS month,
+  CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_returned,
+  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS return_rate
+FROM lineitem
+GROUP BY date_trunc('month', l_shipdate)
+"""
+
+
+_sqlq(
+    "lineitem_return_rate_monthly",
+    _return_rate_sql("STRING"),
+    _return_rate_sql("VARCHAR"),
+)
+
+
 # Vocabulary uniqueness per source: hapax legomena (words occurring
 # exactly once in the source's corpus) over vocabulary size — a high
 # hapax rate signals rich text, a low one template/boilerplate. One
