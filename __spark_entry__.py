@@ -4765,6 +4765,37 @@ FROM lat
 """
 
 
+# Hour-of-day × event-type load profile: the capacity-planning heatmap,
+# conditional integer counts per hour bucket.
+_sqlq(
+    "events_hourly_profile",
+    """
+SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour_of_day,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_purchases,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_errors,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS error_rate
+FROM events
+GROUP BY hour(CAST(ts AS TIMESTAMP))
+""",
+    """
+SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_purchases,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_errors,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS error_rate
+FROM events
+GROUP BY hour(ts)
+""",
+)
+
+
 # Nation-to-nation trade flow matrix (q7's construct generalized to the
 # full matrix): supplier nation × customer nation revenue, decimal until
 # the output cast; two broadcast dimension joins on the fact scan.
