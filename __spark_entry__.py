@@ -4765,6 +4765,41 @@ FROM lat
 """
 
 
+# Revenue-concentration Gini coefficient over customers:
+# G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n with xᵢ ascending — ranked at CUSTOMER
+# grain (dimension-sized sort), every sum an exact decimal, the two
+# large products reaching double via the string-cast route, then one
+# closed-form double expression identical cross-engine.
+def _gini_sql(strty: str) -> str:
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev,
+    ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i
+  FROM per_cust
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(i AS DECIMAL(10,0)) * rev) AS s_ix,
+    SUM(rev) AS s_x
+  FROM ranked
+)
+SELECT n,
+  CAST(CAST(s_x AS {strty}) AS DOUBLE) AS total_revenue,
+  2.0 * CAST(CAST(s_ix AS {strty}) AS DOUBLE)
+    / (n * CAST(CAST(s_x AS {strty}) AS DOUBLE))
+  - (n + 1.0) / n AS gini
+FROM sums
+"""
+
+
+_sqlq("customers_gini_revenue", _gini_sql("STRING"), _gini_sql("VARCHAR"))
+
+
 # Hour-of-day × event-type load profile: the capacity-planning heatmap,
 # conditional integer counts per hour bucket.
 _sqlq(
