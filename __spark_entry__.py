@@ -4765,6 +4765,85 @@ FROM lat
 """
 
 
+# Funnel drop-off table: per step, how many users entered and how many
+# advanced — the Sankey view of the events_funnel step semantics.
+def _funnel_dropoff_sql(epoch_unused: str) -> str:
+    return """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+), counts AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3
+)
+SELECT 'click' AS step, n1 AS n_entered, n2 AS n_advanced,
+  1.0 - CAST(n2 AS DOUBLE) / n1 AS drop_rate
+FROM counts
+UNION ALL
+SELECT 'view', n2, n3, 1.0 - CAST(n3 AS DOUBLE) / n2 FROM counts
+"""
+
+
+_sqlq("events_funnel_dropoff", _funnel_dropoff_sql(""))
+
+
+# 7-day vs 28-day moving-average crossover on daily revenue — the
+# trend-shift signal, frames over the day-grain table, decimal sums.
+def _ma_crossover_sql(strty: str) -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY date_trunc('day', o_orderdate)
+)
+SELECT CAST(d AS {strty}) AS day,
+  CAST(rev AS DOUBLE) AS revenue,
+  CAST(SUM(rev) OVER w7 AS DOUBLE) / COUNT(*) OVER w7 AS ma7,
+  CAST(SUM(rev) OVER w28 AS DOUBLE) / COUNT(*) OVER w28 AS ma28,
+  CAST(SUM(rev) OVER w7 AS DOUBLE) / COUNT(*) OVER w7
+    > CAST(SUM(rev) OVER w28 AS DOUBLE) / COUNT(*) OVER w28 AS bullish
+FROM daily
+WINDOW w7 AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+       w28 AS (ORDER BY d ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+"""
+
+
+_sqlq("orders_ma_crossover", _ma_crossover_sql("STRING"),
+      _ma_crossover_sql("VARCHAR"))
+
+
+# User-saturation curve: first-seen day per user → daily new users and
+# the cumulative total — acquisition telemetry, all-integer, day grain.
+def _saturation_sql(strty: str) -> str:
+    return f"""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users FROM firsts GROUP BY d
+)
+SELECT CAST(d AS {strty}) AS day, new_users,
+  CAST(SUM(new_users) OVER (ORDER BY d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cumulative_users
+FROM daily
+"""
+
+
+_sqlq("events_user_saturation", _saturation_sql("STRING"),
+      _saturation_sql("VARCHAR"))
+
+
 # Revenue-concentration Gini coefficient over customers:
 # G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n with xᵢ ascending — ranked at CUSTOMER
 # grain (dimension-sized sort), every sum an exact decimal, the two
