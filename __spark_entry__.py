@@ -4767,7 +4767,7 @@ FROM lat
 
 # Funnel drop-off table: per step, how many users entered and how many
 # advanced — the Sankey view of the events_funnel step semantics.
-def _funnel_dropoff_sql(epoch_unused: str) -> str:
+def _funnel_dropoff_sql() -> str:
     return """
 WITH s1 AS (
   SELECT user_id, MIN(ts) AS t1 FROM events
@@ -4793,7 +4793,7 @@ SELECT 'view', n2, n3, 1.0 - CAST(n3 AS DOUBLE) / n2 FROM counts
 """
 
 
-_sqlq("events_funnel_dropoff", _funnel_dropoff_sql(""))
+_sqlq("events_funnel_dropoff", _funnel_dropoff_sql())
 
 
 # 7-day vs 28-day moving-average crossover on daily revenue — the

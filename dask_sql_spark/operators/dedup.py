@@ -315,13 +315,20 @@ def minhash_band_buckets(
     num_perm: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, bucket) LSH band signatures — the compact near-dup
     fingerprint a store keeps per document (bands × ~40 bytes, never the
     text). Shared by :func:`minhash_lsh_pairs` (self-join) and
-    :func:`incremental_near_dedup` (batch-vs-store join)."""
+    :func:`incremental_near_dedup` (batch-vs-store join). Pass ``sigs``
+    (a :func:`minhash_signatures` result) to reuse an already-built
+    signature frame instead of recomputing the shingle pipeline."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+    sig = (
+        sigs
+        if sigs is not None
+        else minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -401,6 +408,7 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
@@ -414,7 +422,7 @@ def minhash_lsh_pairs(
     # one (doc, band) row per band — tiny; persisted because the bucket
     # self-join reads it twice (else the whole minhash pipeline runs 2×)
     band_sigs = minhash_band_buckets(
-        df, id_col, text_col, num_perm, bands, shingle_n
+        df, id_col, text_col, num_perm, bands, shingle_n, sigs=sigs
     ).persist(StorageLevel.MEMORY_AND_DISK)
     a = band_sigs.alias("a")
     b = band_sigs.alias("b")
@@ -777,14 +785,22 @@ def pair_evidence(
     (num_perm, bands) — a wide estimate-vs-truth gap at your operating
     threshold means the S-curve is in the wrong place.
 
-    Cost: the candidate pairs and signatures reuse the LSH pipeline's
-    aggregates; true Jaccard joins the threshold-0 co-shingle counts
+    Cost: the signature aggregate is computed ONCE and shared by the
+    band-bucket pair join and the agreement counts; true Jaccard joins the threshold-0 co-shingle counts
     RESTRICTED to candidate pairs, so the extra work is one bucket-join
     pass, never all-pairs. n_match/num_perm is a dyadic ratio —
     cross-engine exact with num_perm a power of two.
     """
-    pairs = minhash_lsh_pairs(df, id_col, text_col, num_perm, bands, shingle_n)
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+    from pyspark import StorageLevel
+
+    # ONE signature build feeds both the band-bucket pair join and the
+    # per-pair agreement counts (persisted: two consumers)
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, num_perm, bands, shingle_n, sigs=sigs
+    )
     sa = sigs.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)],

@@ -370,12 +370,14 @@ def test_curriculum_order_no_single_partition_window(sf_tables):
     df = curriculum_order(sf_tables.spark.table("documents"))
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    import re
 
-    windows = [ln for ln in plan.splitlines() if "Window" in ln]
+    # every Window operator must be partitioned on (stage, shard) — a
+    # global-NTILE regression would show a Window whose partition spec
+    # (the second bracket group of the operator line) is empty
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
     assert windows, plan
-    assert not re.search(r"Exchange SinglePartition[\s\S]*?Window", plan) or \
-        "hashpartitioning(stage" in plan, plan
+    for ln in windows:
+        assert "stage" in ln and "shard" in ln, f"unpartitioned window: {ln}"
 
 
 def test_touch_attribution_single_user_exchange(sf_tables):
@@ -391,7 +393,9 @@ def test_touch_attribution_single_user_exchange(sf_tables):
     # AQE's toString prints the final AND the initial plan, so exchanges
     # appear once per copy — assert the INVARIANT instead of the count:
     # every exchange is a hash partition on user_id (no second shuffle
-    # key, no SinglePartition collapse), and windows chain over it
+    # key), no SinglePartition collapse anywhere (that spelling has no
+    # parenthesis, so check it verbatim), and windows chain over it
+    assert "Exchange SinglePartition" not in plan, plan
     exchanges = re.findall(r"Exchange (\w+)\(([^)]*)", plan)
     assert exchanges, plan
     for kind, keys in exchanges:
