@@ -4765,6 +4765,52 @@ FROM lat
 """
 
 
+# Inter-session gap statistics: time between a user's session end and
+# their next session start (the engagement-frequency signal sessionize
+# itself can't see). Reuses the gap-tag/running-sum session pair, then
+# one LEAD over the session-grain table; all time math integer µs with
+# decimal sums (string-cast for the 10²⁴-scale square sum).
+def _intersession_sql(epoch_us: str, strty: str) -> str:
+    return f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN {epoch_us} - LAG({epoch_us}) OVER w IS NULL
+           OR {epoch_us} - LAG({epoch_us}) OVER w > 1800 * 1000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+  FROM tagged
+), sessions AS (
+  SELECT user_id, seq, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM numbered GROUP BY user_id, seq
+), gaps AS (
+  SELECT user_id,
+    {epoch_us.replace("ts", "LEAD(s_start) OVER (PARTITION BY user_id ORDER BY seq)")}
+      - {epoch_us.replace("ts", "s_end")} AS gap_us
+  FROM sessions
+)
+SELECT user_id,
+  CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+  CAST(SUM(CAST(gap_us AS DECIMAL(19,0))) AS DOUBLE)
+    / COUNT(gap_us) / 1000000.0 AS mean_gap_s,
+  CAST(CAST(MAX(gap_us) AS {strty}) AS DOUBLE) / 1000000.0 AS max_gap_s
+FROM gaps
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+_sqlq(
+    "events_intersession_gaps",
+    _intersession_sql("unix_micros(CAST(ts AS TIMESTAMP))", "STRING"),
+    _intersession_sql("epoch_us(ts)", "VARCHAR"),
+)
+
+
 # Funnel drop-off table: per step, how many users entered and how many
 # advanced — the Sankey view of the events_funnel step semantics.
 def _funnel_dropoff_sql() -> str:
