@@ -92,7 +92,7 @@ def _dfq(name: str, fn: Callable, duck_sql: str | None = None) -> None:
 
 
 # shared SQL fragments ------------------------------------------------ #
-_REV = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)"
+_REV = "(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0)"
 
 
 # ==================================================================== #
@@ -102,13 +102,13 @@ _sqlq(
     "q1_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  (CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_qty,
+  (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_base_price,
+  (CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0) AS sum_disc_price,
+  (CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0) AS sum_charge,
+  (CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0) / COUNT(*) AS avg_qty,
+  (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0) / COUNT(*) AS avg_price,
+  (CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000.0) / COUNT(*) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -152,7 +152,7 @@ GROUP BY n_name
 _sqlq(
     "q6_forecast_revenue",
     """
-SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+SELECT (CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -209,7 +209,7 @@ _sqlq(
     "q7_volume_shipping",
     f"""
 SELECT supp_nation, cust_nation, l_year,
-  CAST(SUM(CAST(volume AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+  (CAST(SUM(CAST(ROUND(volume * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
     YEAR(l_shipdate) AS l_year,
@@ -233,7 +233,7 @@ _sqlq(
     "q9_product_profit",
     """
 SELECT nation, o_year,
-  CAST(SUM(CAST(amount AS DECIMAL(24,6))) AS DOUBLE) AS sum_profit
+  (CAST(SUM(CAST(ROUND(amount * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0) AS sum_profit
 FROM (
   SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
     l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1 AS amount
@@ -254,9 +254,9 @@ _sqlq(
     # of one supplier-nation's volume within a region's ECONOMY-part trade
     """
 SELECT o_year,
-  CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END
-                AS DECIMAL(24,6))) AS DOUBLE)
-    / CAST(SUM(CAST(volume AS DECIMAL(24,6))) AS DOUBLE) AS mkt_share
+  (CAST(SUM(CAST(ROUND(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END
+                * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0)
+    / (CAST(SUM(CAST(ROUND(volume * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0) AS mkt_share
 FROM (
   SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
          l_extendedprice * (1 - l_discount) AS volume,
@@ -278,9 +278,9 @@ GROUP BY o_year
 _sqlq(
     "q14_promo_effect",
     """
-SELECT 100.00 * CAST(SUM(CAST(CASE WHEN p_type = 'ECONOMY'
-      THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(24,6))) AS DOUBLE)
-    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+SELECT 100.00 * (CAST(SUM(CAST(ROUND(CASE WHEN p_type = 'ECONOMY'
+      THEN l_extendedprice * (1 - l_discount) ELSE 0 END * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0)
+    / (CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0)
   AS promo_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -296,7 +296,7 @@ def _q15_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         CREATE OR REPLACE VIEW revenue_v AS
         SELECT l_suppkey AS supplier_no,
-          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+          (CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0)
             AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -319,7 +319,7 @@ _dfq(
     """
 WITH revenue_v AS (
   SELECT l_suppkey AS supplier_no,
-    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+    (CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0)
       AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -348,7 +348,7 @@ GROUP BY p_brand, p_type, p_size
 _sqlq(
     "q17_small_quantity",
     """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+SELECT (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0) / 7.0
   AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#3'
@@ -400,7 +400,7 @@ _sqlq(
     "q22_global_sales",
     """
 SELECT cntrycode, COUNT(*) AS numcust,
-  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+  (CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS totacctbal
 FROM (
   SELECT SUBSTRING(c_name, 10, 2) AS cntrycode, c_acctbal
   FROM customer
@@ -457,17 +457,17 @@ _sqlq(
     "q11_important_stock",
     """
 SELECT l_partkey AS ps_partkey,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)))
-    AS DOUBLE) AS part_value
+  (CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT))
+    AS DOUBLE) / 1000000.0) AS part_value
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 WHERE n_name = 'NATION_0'
 GROUP BY l_partkey
-HAVING CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)))
-    AS DOUBLE) > (
-  SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)))
-      AS DOUBLE) * 0.001
+HAVING (CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT))
+    AS DOUBLE) / 1000000.0) > (
+  SELECT (CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT))
+      AS DOUBLE) / 1000000.0) * 0.001
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
@@ -509,7 +509,7 @@ WHERE n_name = 'NATION_1'
     FROM lineitem l
     JOIN (
       SELECT l_partkey,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS tot_qty
+        (CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS tot_qty
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -521,7 +521,7 @@ WHERE n_name = 'NATION_1'
       AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY l.l_suppkey, l.l_partkey, t.tot_qty
-    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+    HAVING (CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0)
       > 0.1 * t.tot_qty
   )
 ORDER BY s_name, s_acctbal
@@ -608,9 +608,9 @@ _sqlq(
     "agg_regr_manual",
     """
 SELECT l_returnflag,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE)
-    - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-      * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS sxx,
+  ROUND(CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT) * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 10000.0
+    - (CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+      * (CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0) / COUNT(*), 4) AS sxx,
   COUNT(*) AS regr_n
 FROM lineitem GROUP BY l_returnflag
 """,
@@ -642,7 +642,7 @@ _sqlq(
     """
 SELECT l_returnflag,
   COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS sum_hidisc
+  (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE l_discount > 0.05) AS DOUBLE) / 100.0) AS sum_hidisc
 FROM lineitem GROUP BY l_returnflag
 """,
 )
@@ -687,7 +687,7 @@ _sqlq(
     "cube_sum",
     """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+  (CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
 )
@@ -724,14 +724,14 @@ _sqlq(
     "window_running_sum",
     """
 SELECT o_custkey, o_orderkey,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+  (CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0) AS running_total,
   COUNT(*) OVER (PARTITION BY o_custkey
     ORDER BY o_orderdate, o_orderkey
     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt_3,
-  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-    PARTITION BY o_custkey) AS DOUBLE) AS max_in_cust
+  MAX(o_totalprice) OVER (
+    PARTITION BY o_custkey) AS max_in_cust
 FROM orders
 """,
 )
@@ -896,7 +896,7 @@ _sqlq(
     """
 SELECT user_id, event_id, ts,
   COUNT(*) OVER w AS n_1h,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+  (CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w AS DOUBLE) / 1000000.0) AS sum_1h
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
@@ -932,8 +932,8 @@ _sqlq(
     "window_ratio_to_report",
     """
 SELECT event_id, user_id, value,
-  value / CAST(SUM(CAST(value AS DECIMAL(18,6)))
-               OVER (PARTITION BY user_id) AS DOUBLE) AS share_of_user
+  value / (CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+               OVER (PARTITION BY user_id) AS DOUBLE) / 1000000.0) AS share_of_user
 FROM events
 """,
 )
@@ -1496,7 +1496,7 @@ _sqlq(
     "scalar_pg_cast_syntax",
     """
 SELECT o_orderkey,
-  o_totalprice::DECIMAL(18,2)::DOUBLE AS price_d,
+  ROUND(o_totalprice * 100)::BIGINT AS price_c,
   o_orderkey::STRING AS key_s,
   (o_orderdate::DATE)::STRING AS day_s,
   ('7'::INT + 1)::BIGINT AS lit_i
@@ -1504,7 +1504,7 @@ FROM orders WHERE o_orderkey < 500
 """,
     """
 SELECT o_orderkey,
-  o_totalprice::DECIMAL(18,2)::DOUBLE AS price_d,
+  ROUND(o_totalprice * 100)::BIGINT AS price_c,
   o_orderkey::VARCHAR AS key_s,
   (o_orderdate::DATE)::VARCHAR AS day_s,
   ('7'::INT + 1)::BIGINT AS lit_i
@@ -1551,7 +1551,7 @@ WITH lagged AS (
   FROM marked
 )
 SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  (CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0) AS total_value
 FROM sess GROUP BY user_id, session_id
 """,
 )
@@ -1573,13 +1573,13 @@ _sqlq(
     "events_json_extract",
     """
 SELECT CAST(GET_JSON_OBJECT(props, '$.k') AS INT) AS k_val, COUNT(*) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  (CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0) AS total_value
 FROM events
 GROUP BY CAST(GET_JSON_OBJECT(props, '$.k') AS INT)
 """,
     """
 SELECT CAST(props->>'$.k' AS INT) AS k_val, COUNT(*) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  (CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0) AS total_value
 FROM events
 GROUP BY CAST(props->>'$.k' AS INT)
 """,
@@ -2398,7 +2398,9 @@ def _kmeans_step_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
             F.round(
-                F.sum(F.col("val").cast("decimal(27,12)")).cast("double")
+                F.sum(F.round(F.col("val") * 1000000000000.0).cast("long"))
+                .cast("double")
+                / 1000000000000.0
                 / F.count(F.lit(1)),
                 9,
             ).alias("coord"),
@@ -2432,7 +2434,8 @@ ex AS (
 )
 SELECT CAST(cell AS INT) AS cell, CAST(pos AS INT) AS pos,
   CAST(COUNT(*) AS BIGINT) AS n_members,
-  ROUND(CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 9)
+  ROUND(CAST(SUM(CAST(ROUND(val * 1000000000000) AS BIGINT)) AS DOUBLE)
+        / 1000000000000.0 / COUNT(*), 9)
     AS coord
 FROM ex GROUP BY cell, pos
 """,
@@ -2723,7 +2726,7 @@ WITH sales AS (
   FROM orders WHERE o_orderkey % 2 = 1
 )
 SELECT channel, bucket,
-  CAST(SUM(CAST(amt AS DECIMAL(18,2))) AS DOUBLE) AS total, COUNT(*) AS n
+  (CAST(SUM(CAST(ROUND(amt * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS total, COUNT(*) AS n
 FROM sales GROUP BY ROLLUP (channel, bucket)
 """,
 )
@@ -2734,7 +2737,7 @@ _sqlq(
     """
 WITH agg AS (
   SELECT r_name, n_name,
-    CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+    (CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS bal,
     CAST(GROUPING(r_name) + GROUPING(n_name) AS INT) AS lochierarchy
   FROM supplier
   JOIN nation ON s_nationkey = n_nationkey
@@ -2756,19 +2759,19 @@ _sqlq(
     """
 WITH monthly AS (
   SELECT n_name, YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
-    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sales_dec
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sales_c
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
   GROUP BY n_name, YEAR(o_orderdate), MONTH(o_orderdate)
 ), win AS (
-  -- window aggregate over DECIMAL (exact, order-independent) then one
-  -- double division: identical across engines, unlike AVG over doubles
-  SELECT n_name, yr, mo, CAST(sales_dec AS DOUBLE) AS sales,
-    CAST(SUM(sales_dec) OVER (PARTITION BY n_name, yr) AS DOUBLE)
+  -- window aggregate over BIGINT cents (exact, order-independent) then
+  -- one double division: identical across engines, unlike AVG doubles
+  SELECT n_name, yr, mo, CAST(sales_c AS DOUBLE) / 100.0 AS sales,
+    CAST(SUM(sales_c) OVER (PARTITION BY n_name, yr) AS DOUBLE) / 100.0
       / COUNT(*) OVER (PARTITION BY n_name, yr) AS avg_monthly,
-    CAST(LAG(sales_dec) OVER (PARTITION BY n_name ORDER BY yr, mo) AS DOUBLE) AS prev_sales,
-    CAST(LEAD(sales_dec) OVER (PARTITION BY n_name ORDER BY yr, mo) AS DOUBLE) AS next_sales
+    CAST(LAG(sales_c) OVER (PARTITION BY n_name ORDER BY yr, mo) AS DOUBLE) / 100.0 AS prev_sales,
+    CAST(LEAD(sales_c) OVER (PARTITION BY n_name ORDER BY yr, mo) AS DOUBLE) / 100.0 AS next_sales
   FROM monthly
 )
 SELECT n_name, yr, mo, sales, avg_monthly, prev_sales, next_sales
@@ -2783,12 +2786,12 @@ _sqlq(
     """
 WITH a AS (
   SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
-    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+    (CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS s
   FROM orders WHERE o_orderpriority = '1-URGENT'
   GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)
 ), b AS (
   SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
-    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+    (CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS s
   FROM orders WHERE o_orderpriority = '2-HIGH'
   GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)
 ), ac AS (
@@ -2808,7 +2811,7 @@ _sqlq(
     """
 WITH perf AS (
   SELECT l_suppkey AS sk,
-    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc
+    (CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000.0) / COUNT(*) AS avg_disc
   FROM lineitem GROUP BY l_suppkey
 ), best AS (
   SELECT sk, avg_disc, RANK() OVER (ORDER BY avg_disc ASC, sk) AS rnk FROM perf
@@ -2855,7 +2858,7 @@ _sqlq(
     """
 WITH cust AS (
   SELECT o_custkey,
-    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    (CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS total
   FROM orders GROUP BY o_custkey
 )
 SELECT o_custkey, total FROM cust
@@ -2884,7 +2887,7 @@ _sqlq(
     """
 WITH agg AS (
   SELECT r_name, n_name,
-    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+    (CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS bal
   FROM customer
   JOIN nation ON c_nationkey = n_nationkey
   JOIN region ON n_regionkey = r_regionkey
@@ -3170,7 +3173,7 @@ def _groups_frame_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority AS prio,
           YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS ym,
           YEAR(o_orderdate) * 10 + (MONTH(o_orderdate) - 1) DIV 3 AS q,
-          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sales_dec
+          SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sales_c
         FROM orders
         GROUP BY o_orderpriority, YEAR(o_orderdate) * 100 + MONTH(o_orderdate),
                  YEAR(o_orderdate) * 10 + (MONTH(o_orderdate) - 1) DIV 3
@@ -3180,16 +3183,16 @@ def _groups_frame_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         monthly,
         ["prio"],
         "q",
-        F.sum("sales_dec"),
+        F.sum("sales_c"),
         preceding=1,
         following=0,
-        out_col="run_dec",
+        out_col="run_c",
     )
     return out.select(
         "prio",
         "ym",
-        F.col("sales_dec").cast("double").alias("sales"),
-        F.col("run_dec").cast("double").alias("two_quarter_sum"),
+        (F.col("sales_c").cast("double") / 100.0).alias("sales"),
+        (F.col("run_c").cast("double") / 100.0).alias("two_quarter_sum"),
     )
 
 
@@ -3204,17 +3207,17 @@ WITH monthly AS (
   SELECT o_orderpriority AS prio,
     YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS ym,
     YEAR(o_orderdate) * 10 + (MONTH(o_orderdate) - 1) // 3 AS q,
-    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sales_dec
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sales_c
   FROM orders
   GROUP BY 1, 2, 3
 ), g AS (
   SELECT *, DENSE_RANK() OVER (PARTITION BY prio ORDER BY q) AS pg FROM monthly
 )
-SELECT prio, ym, CAST(sales_dec AS DOUBLE) AS sales,
-  CAST(SUM(sales_dec) OVER (
+SELECT prio, ym, CAST(sales_c AS DOUBLE) / 100.0 AS sales,
+  CAST(SUM(sales_c) OVER (
     PARTITION BY prio ORDER BY pg
     RANGE BETWEEN 1 PRECEDING AND CURRENT ROW
-  ) AS DOUBLE) AS two_quarter_sum
+  ) AS DOUBLE) / 100.0 AS two_quarter_sum
 FROM g
 """,
 )
@@ -3698,9 +3701,11 @@ _sqlq(
 WITH s AS (
   SELECT event_id, user_id, ts, value,
     COUNT(value) OVER w AS n,
-    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
-    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
-         OVER w AS DOUBLE) AS s2
+    (CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w AS DOUBLE)
+     / 1000000.0) AS s1,
+    (CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)
+              * CAST(ROUND(value * 1000000) AS BIGINT))
+         OVER w AS DOUBLE) / 1000000000000.0) AS s2
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
@@ -3772,7 +3777,7 @@ SELECT bar_ts,
   MIN(value) AS low_px,
   MAX(CASE WHEN rn_d = 1 THEN value END) AS close_px,
   CAST(COUNT(*) AS BIGINT) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(12,6))) AS DOUBLE) AS volume
+  (CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0) AS volume
 FROM b
 GROUP BY bar_ts
 """,
@@ -3809,32 +3814,34 @@ HAVING COUNT(*) >= 2
 def _twap_sql(epoch_us: str, strty: str) -> str:
     """Per-user time-weighted average value over irregular event spacing:
     each reading holds until the user's next event (step interpolation),
-    TWAP = Σ value·dur / Σ dur. Products and sums route through tight
-    DECIMAL types — DECIMAL(18,6)×DECIMAL(20,0) stays inside precision
-    38's representable range in BOTH engines (DuckDB widths >18 use
-    int128 arithmetic; Spark's nominal precision cap never rounds because
-    the raw product scale is already 6), so the group sums are exact in
-    any combine order. The big decimal reaches double THROUGH A STRING
-    cast: decimal→string is exact digits and string→double is correctly
-    rounded in both engines, where DuckDB's direct decimal→double
-    (int128→double, then ÷10^scale) double-rounds and can be 1 ulp off
-    Spark's BigDecimal conversion. The final ratio is then one double
-    division on identical inputs. One user_id exchange shared by
-    the lead() window and the aggregate."""
+    TWAP = Σ value·dur / Σ dur. Rounding-neutral gate: value scaled to
+    integer micro-units and duration to integer milliseconds via
+    ROUND(double) — a single IEEE op both engines agree on for every
+    double (ties round away from zero in Spark's HALF_UP and DuckDB's
+    std::round alike) — so every SUM is an exact BIGINT reduction,
+    order-independent in any combine order, and the final ratio is one
+    double division on identical inputs. Products stay < 2^62 (micros
+    ≤ 5·10⁸ × ms ≤ 10⁸). One user_id exchange shared by the lead()
+    window and the aggregate."""
     return f"""
 WITH seg AS (
   SELECT user_id, value,
     LEAD({epoch_us}) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       - {epoch_us} AS dur_us
   FROM events
+),
+seg2 AS (
+  SELECT user_id,
+    CAST(ROUND(value * 1000000) AS BIGINT) AS v_u,
+    CAST(ROUND(dur_us / 1000.0) AS BIGINT) AS dur_ms
+  FROM seg
+  WHERE dur_us IS NOT NULL AND dur_us > 0
 )
 SELECT user_id,
-  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(dur_us AS DECIMAL(20,0)))
-            AS {strty}) AS DOUBLE)
-    / CAST(SUM(CAST(dur_us AS DECIMAL(20,0))) AS DOUBLE) AS twap,
+  CAST(SUM(v_u * dur_ms) AS DOUBLE)
+    / CAST(SUM(dur_ms) AS DOUBLE) / 1000000.0 AS twap,
   CAST(COUNT(*) AS BIGINT) AS n_segments
-FROM seg
-WHERE dur_us IS NOT NULL AND dur_us > 0
+FROM seg2
 GROUP BY user_id
 """
 
@@ -4273,7 +4280,7 @@ _sqlq(
     "sql_group_by_all",
     """
 SELECT n_regionkey, o_orderpriority, COUNT(*) AS n,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+  (CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS total
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -4341,15 +4348,20 @@ def _salted_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="suppkey",
         salt=8,
     )
+    # Rounding-neutral money gate (round-3 driver red was the
+    # double→DECIMAL tie rounding): integer micro-units via ROUND,
+    # exact BIGINT sum, one division back to currency.
     return j.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.cast(
-            "double",
+        (
             F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(24,6)"
-                )
-            ),
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 1000000
+                ).cast("long")
+            ).cast("double")
+            / 1000000.0
         ).alias("revenue"),
     )
 
@@ -4359,7 +4371,7 @@ _dfq(
     _salted_join_fn,
     """
 SELECT s_nationkey, COUNT(*) AS n_items,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+  (CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0)
     AS revenue
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_nationkey
@@ -4432,12 +4444,14 @@ WITH ex AS (
 ),
 ca AS (
   SELECT label, pos,
-    CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS ca
+    CAST(SUM(CAST(ROUND(val * 1000000000000) AS BIGINT)) AS DOUBLE)
+      / 1000000000000.0 / COUNT(*) AS ca
   FROM ex WHERE vec_id % 2 = 0 GROUP BY label, pos
 ),
 cb AS (
   SELECT label, pos,
-    CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS cb
+    CAST(SUM(CAST(ROUND(val * 1000000000000) AS BIGINT)) AS DOUBLE)
+      / 1000000000000.0 / COUNT(*) AS cb
   FROM ex WHERE vec_id % 2 = 1 GROUP BY label, pos
 ),
 j AS (
@@ -4446,9 +4460,9 @@ j AS (
 )
 SELECT label, CAST(COUNT(*) AS INT) AS n_dims,
   ROUND(
-    CAST(SUM(CAST(ca * cb AS DECIMAL(38,18))) AS DOUBLE)
-    / sqrt(CAST(SUM(CAST(ca * ca AS DECIMAL(38,18))) AS DOUBLE)
-         * CAST(SUM(CAST(cb * cb AS DECIMAL(38,18))) AS DOUBLE)), 9)
+    (CAST(SUM(CAST(ROUND(ca * cb * 1000000000000) AS BIGINT)) AS DOUBLE) / 1000000000000.0)
+    / sqrt((CAST(SUM(CAST(ROUND(ca * ca * 1000000000000) AS BIGINT)) AS DOUBLE) / 1000000000000.0)
+         * (CAST(SUM(CAST(ROUND(cb * cb * 1000000000000) AS BIGINT)) AS DOUBLE) / 1000000000000.0)), 9)
     AS drift_cos
 FROM j GROUP BY label
 """,
@@ -4465,14 +4479,18 @@ WITH ex AS (
 ),
 cent AS (
   SELECT label, pos,
-    CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS cval
+    CAST(SUM(CAST(ROUND(val * 1000000000000) AS BIGINT)) AS DOUBLE)
+      / 1000000000000.0 / COUNT(*) AS cval
   FROM ex GROUP BY label, pos
 ),
 per_vec AS (
   SELECT ex.vec_id, ex.label,
-    CAST(SUM(CAST(val * cval AS DECIMAL(38,18))) AS DOUBLE) AS dot,
-    CAST(SUM(CAST(val * val AS DECIMAL(38,18))) AS DOUBLE) AS nv,
-    CAST(SUM(CAST(cval * cval AS DECIMAL(38,18))) AS DOUBLE) AS nc
+    (CAST(SUM(CAST(ROUND(val * cval * 1000000000000) AS BIGINT)) AS DOUBLE)
+     / 1000000000000.0) AS dot,
+    (CAST(SUM(CAST(ROUND(val * val * 1000000000000) AS BIGINT)) AS DOUBLE)
+     / 1000000000000.0) AS nv,
+    (CAST(SUM(CAST(ROUND(cval * cval * 1000000000000) AS BIGINT)) AS DOUBLE)
+     / 1000000000000.0) AS nc
   FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
   GROUP BY ex.vec_id, ex.label
 )
@@ -4848,15 +4866,15 @@ def _ma_crossover_sql(strty: str) -> str:
     return f"""
 WITH daily AS (
   SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
-    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
   FROM orders GROUP BY date_trunc('day', o_orderdate)
 )
 SELECT CAST(d AS {strty}) AS day,
-  CAST(rev AS DOUBLE) AS revenue,
-  CAST(SUM(rev) OVER w7 AS DOUBLE) / COUNT(*) OVER w7 AS ma7,
-  CAST(SUM(rev) OVER w28 AS DOUBLE) / COUNT(*) OVER w28 AS ma28,
-  CAST(SUM(rev) OVER w7 AS DOUBLE) / COUNT(*) OVER w7
-    > CAST(SUM(rev) OVER w28 AS DOUBLE) / COUNT(*) OVER w28 AS bullish
+  CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+  CAST(SUM(rev_c) OVER w7 AS DOUBLE) / 100.0 / COUNT(*) OVER w7 AS ma7,
+  CAST(SUM(rev_c) OVER w28 AS DOUBLE) / 100.0 / COUNT(*) OVER w28 AS ma28,
+  CAST(SUM(rev_c) OVER w7 AS DOUBLE) / 100.0 / COUNT(*) OVER w7
+    > CAST(SUM(rev_c) OVER w28 AS DOUBLE) / 100.0 / COUNT(*) OVER w28 AS bullish
 FROM daily
 WINDOW w7 AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
        w28 AS (ORDER BY d ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
@@ -4899,22 +4917,22 @@ def _gini_sql(strty: str) -> str:
     return f"""
 WITH per_cust AS (
   SELECT o_custkey,
-    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
   FROM orders GROUP BY o_custkey
 ),
 ranked AS (
-  SELECT rev,
-    ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i
+  SELECT rev_c,
+    ROW_NUMBER() OVER (ORDER BY rev_c, o_custkey) AS i
   FROM per_cust
 ),
 sums AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-    SUM(CAST(i AS DECIMAL(10,0)) * rev) AS s_ix,
-    SUM(rev) AS s_x
+    SUM(i * rev_c) AS s_ix,
+    SUM(rev_c) AS s_x
   FROM ranked
 )
 SELECT n,
-  CAST(CAST(s_x AS {strty}) AS DOUBLE) AS total_revenue,
+  CAST(CAST(s_x AS {strty}) AS DOUBLE) / 100.0 AS total_revenue,
   2.0 * CAST(CAST(s_ix AS {strty}) AS DOUBLE)
     / (n * CAST(CAST(s_x AS {strty}) AS DOUBLE))
   - (n + 1.0) / n AS gini
@@ -4964,8 +4982,8 @@ _sqlq(
     """
 SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
   CAST(COUNT(*) AS BIGINT) AS n_lineitems,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)))
-       AS DOUBLE) AS revenue
+  (CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT))
+       AS DOUBLE) / 1000000.0) AS revenue
 FROM lineitem
 JOIN supplier s ON l_suppkey = s_suppkey
 JOIN nation ns ON s.s_nationkey = ns.n_nationkey
@@ -5183,7 +5201,7 @@ def _value_bands_sql(pctl: str, strty: str) -> str:
     return f"""
 WITH base AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
-    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+    CAST(ROUND(value * 100) AS BIGINT) AS cents
   FROM events
 )
 SELECT CAST(d AS {strty}) AS day,
@@ -5285,13 +5303,13 @@ def _wow_sql(strty: str) -> str:
     return f"""
 WITH weekly AS (
   SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
-    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c,
     CAST(COUNT(*) AS BIGINT) AS n_orders
   FROM orders GROUP BY date_trunc('week', o_orderdate)
 )
 SELECT CAST(wk AS {strty}) AS week, n_orders,
-  CAST(rev AS DOUBLE) AS revenue,
-  CAST(rev AS DOUBLE) / CAST(LAG(rev) OVER (ORDER BY wk) AS DOUBLE) - 1.0
+  CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+  CAST(rev_c AS DOUBLE) / CAST(LAG(rev_c) OVER (ORDER BY wk) AS DOUBLE) - 1.0
     AS wow_growth
 FROM weekly
 """
@@ -5362,7 +5380,7 @@ spend AS (
   SELECT f.cohort,
     {months_between("date_trunc('month', o.o_orderdate)", "f.cohort")}
       AS age_months,
-    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev,
+    SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_c,
     COUNT(DISTINCT o.o_custkey) AS active
   FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
   GROUP BY f.cohort,
@@ -5372,8 +5390,8 @@ sized AS (SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort)
 SELECT CAST(CAST(s.cohort AS DATE) AS {strty}) AS cohort,
   CAST(s.age_months AS INT) AS age_months,
   CAST(s.active AS BIGINT) AS active_customers,
-  CAST(SUM(s.rev) OVER (PARTITION BY s.cohort ORDER BY s.age_months
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+  CAST(SUM(s.rev_c) OVER (PARTITION BY s.cohort ORDER BY s.age_months
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
     / z.cohort_size AS cum_ltv_per_customer
 FROM spend s JOIN sized z ON s.cohort = z.cohort
 """
@@ -5401,14 +5419,15 @@ def _hhi_sql(strty: str) -> str:
     return f"""
 WITH rev AS (
   SELECT p_type, l_suppkey,
-    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)))
-         * 1000000 AS DECIMAL(22,0)) AS r_m
+    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT))
+      AS r_m
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY p_type, l_suppkey
 ),
 agg AS (
   SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-    SUM(r_m * r_m) AS s2, SUM(r_m) AS t_m
+    SUM(CAST(r_m AS DECIMAL(19,0)) * CAST(r_m AS DECIMAL(19,0))) AS s2,
+    CAST(SUM(r_m) AS DECIMAL(19,0)) AS t_m
   FROM rev GROUP BY p_type
 )
 SELECT p_type, n_suppliers,
@@ -5434,7 +5453,7 @@ _sqlq(
     """
 WITH rev AS (
   SELECT p_partkey, p_name,
-    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS r
+    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS r
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY p_partkey, p_name
 ),
@@ -5612,7 +5631,7 @@ WITH per_cust AS (
     {days_between("MAX(o_orderdate)", "(SELECT MAX(o_orderdate) FROM orders)")}
       AS r_days,
     CAST(COUNT(*) AS BIGINT) AS f_orders,
-    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS m_cents
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
   FROM orders GROUP BY o_custkey
 ), th AS (
   SELECT
@@ -5947,8 +5966,8 @@ SELECT vec_id, label,
   ROUND(list_max(list_transform(vd, x -> abs(x - floor(x/step+0.5)*step))), 9)
     AS max_err,
   ROUND(CAST(list_aggregate(list_transform(vd,
-      x -> CAST(abs(x - floor(x/step+0.5)*step) AS DECIMAL(38,18))),
-    'sum') AS DOUBLE), 9) AS sum_err
+      x -> CAST(ROUND(abs(x - floor(x/step+0.5)*step) * 1000000000000) AS BIGINT)),
+    'sum') AS DOUBLE) / 1000000000000.0, 9) AS sum_err
 FROM t
 """,
 )
@@ -6197,9 +6216,11 @@ def _pit_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pit = asof_join(facts, versions, on="vts", by="k", right_prefix="dim_")
     return pit.groupBy(F.col("dim_segment").alias("segment_at_order")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("total_price"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("double")
+            / 100.0
+        ).alias("total_price"),
     )
 
 
@@ -6220,7 +6241,7 @@ WITH versions AS (
 )
 SELECT v.segment AS segment_at_order,
   CAST(COUNT(*) AS BIGINT) AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+  (CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS total_price
 FROM orders o
 JOIN versions v ON o.o_custkey = v.k
   AND o.o_orderdate >= v.valid_from
@@ -6457,7 +6478,7 @@ SELECT
   COALESCE(d, h) AS bucket_start,
   event_type,
   COUNT(*) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  (CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0) AS total_value
 FROM (
   SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
          event_type, value
@@ -6631,9 +6652,9 @@ def _refresh_agg_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _table(spark, sf_dir, "lineitem").withColumn(
         "revenue",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-            "decimal(27,4)"
-        ),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+        ).cast("long"),
     )
     base = (
         li.where(F.col("l_shipdate") < "1996-01-01")
@@ -6652,7 +6673,7 @@ def _refresh_agg_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_returnflag",
         "l_linestatus",
-        F.col("revenue").cast("decimal(27,4)").alias("revenue"),
+        (F.col("revenue").cast("double") / 1000000.0).alias("revenue"),
         "n_rows",
     )
 
@@ -6662,8 +6683,8 @@ _dfq(
     _refresh_agg_fn,
     """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4)))
-       AS DECIMAL(27,4)) AS revenue,
+  (CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT))
+       AS DOUBLE) / 1000000.0) AS revenue,
   COUNT(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
@@ -6877,9 +6898,13 @@ def _merge_into_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHEN NOT MATCHED THEN INSERT (k, price, status)
                 VALUES (s.k, s.price, 'N')"""
     )
+    # Rounding-neutral gate: integer cents via ROUND (identical in both
+    # engines for every double), never a double→DECIMAL cast — the
+    # round-3 driver red proved that cast's tie rounding is build-
+    # dependent across DuckDB builds.
     return ctx.sql(
-        "SELECT k, CAST(price AS DECIMAL(19,2)) AS price, status "
-        "FROM merge_base"
+        "SELECT k, CAST(ROUND(price * 100) AS BIGINT) AS price_cents, "
+        "status FROM merge_base"
     )
 
 
@@ -6895,11 +6920,13 @@ src AS (
   SELECT o_orderkey AS k, o_totalprice * 2 AS price
   FROM orders WHERE o_orderkey % 3 = 0
 )
-SELECT b.k, CAST(COALESCE(s.price, b.price) AS DECIMAL(19,2)) AS price,
+SELECT b.k, CAST(ROUND(COALESCE(s.price, b.price) * 100) AS BIGINT)
+         AS price_cents,
        b.status
 FROM base b LEFT JOIN src s USING (k)
 UNION ALL
-SELECT s.k, CAST(s.price AS DECIMAL(19,2)) AS price, 'N' AS status
+SELECT s.k, CAST(ROUND(s.price * 100) AS BIGINT) AS price_cents,
+       'N' AS status
 FROM src s WHERE s.k NOT IN (SELECT k FROM base)
 """,
 )
@@ -7105,12 +7132,12 @@ uni AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term),
 tot AS (SELECT SUM(tf) AS total, COUNT(DISTINCT term) AS vocab FROM tf),
 s AS (
   SELECT doc_id, tf.tf,
-         CAST(ROUND(tf.tf * -log2((uni.cnt + 0.5) / (tot.total + 0.5 * tot.vocab)), 9)
-              AS DECIMAL(38,18)) AS term_bits
+         CAST(ROUND(tf.tf * -log2((uni.cnt + 0.5) / (tot.total + 0.5 * tot.vocab)) * 1000000000)
+              AS BIGINT) AS term_bits
   FROM tf JOIN uni USING (term), tot
 )
 SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-       ROUND(CAST(SUM(term_bits) AS DOUBLE) / SUM(tf), 6) AS bits_per_token
+       ROUND(CAST(SUM(term_bits) AS DOUBLE) / 1000000000.0 / SUM(tf), 6) AS bits_per_token
 FROM s GROUP BY doc_id
 """,
 )
@@ -7144,15 +7171,15 @@ voc AS (
 ),
 s AS (
   SELECT doc_id, tf.tf,
-    CAST(ROUND(tf.tf * -log2((cbg.cnt + 0.5) / (ctx.ctx + 0.5 * voc.vocab)), 9)
-         AS DECIMAL(38,18)) AS bg_bits
+    CAST(ROUND(tf.tf * -log2((cbg.cnt + 0.5) / (ctx.ctx + 0.5 * voc.vocab)) * 1000000000)
+         AS BIGINT) AS bg_bits
   FROM tf
   JOIN cbg ON tf.p = cbg.p AND tf.c = cbg.c
   JOIN ctx ON tf.p = ctx.p
   CROSS JOIN voc
 )
 SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-       ROUND(CAST(SUM(bg_bits) AS DOUBLE) / SUM(tf), 6) AS bits_per_bigram
+       ROUND(CAST(SUM(bg_bits) AS DOUBLE) / 1000000000.0 / SUM(tf), 6) AS bits_per_bigram
 FROM s GROUP BY doc_id
 """,
 )
@@ -7235,12 +7262,12 @@ s AS (
            ln(1.0 + (stats.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
            * (tf.tf * 2.2)
            / (tf.tf + 1.2 * (1.0 - 0.75
-              + 0.75 * lens.dl / (stats.total_dl / CAST(stats.n_docs AS DOUBLE)))),
-           9) AS DECIMAL(38,18)) AS term_score
+              + 0.75 * lens.dl / (stats.total_dl / CAST(stats.n_docs AS DOUBLE))))
+           * 1000000000) AS BIGINT) AS term_score
   FROM tf JOIN dft USING (term) JOIN lens USING (doc_id), stats
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
-       ROUND(CAST(SUM(term_score) AS DOUBLE), 6) AS score
+       ROUND(CAST(SUM(term_score) AS DOUBLE) / 1000000000.0, 6) AS score
 FROM s GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT 15
@@ -7643,12 +7670,13 @@ s AS (
            ln(1.0 + (stats.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
            * (tf.tf * 2.2)
            / (tf.tf + 1.2 * (1.0 - 0.75
-              + 0.75 * lens.dl / (stats.total_dl / CAST(stats.n_docs AS DOUBLE)))),
-           9) AS DECIMAL(38,18)) AS term_score
+              + 0.75 * lens.dl / (stats.total_dl / CAST(stats.n_docs AS DOUBLE))))
+           * 1000000000) AS BIGINT) AS term_score
   FROM tf JOIN dft USING (term) JOIN lens USING (doc_id), stats
 ),
 cands AS (
-  SELECT doc_id, ROUND(CAST(SUM(term_score) AS DOUBLE), 6) AS score
+  SELECT doc_id,
+    ROUND(CAST(SUM(term_score) AS DOUBLE) / 1000000000.0, 6) AS score
   FROM s GROUP BY doc_id
   ORDER BY score DESC, doc_id ASC
   LIMIT 50

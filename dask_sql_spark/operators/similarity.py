@@ -23,6 +23,17 @@ from pyspark.sql import functions as F
 from dask_sql_spark.operators.dedup import cosine
 
 
+def _exact_sum(col: Column, scale: float) -> Column:
+    """Rounding-neutral exact sum of a double column: scale to integer
+    units with ROUND — a single IEEE op both Spark (BigDecimal HALF_UP)
+    and DuckDB (std::round) resolve identically for every double below
+    2^52, ties rounding away from zero in both — then SUM as BIGINT
+    (exact, order-independent in any combine order) and divide back.
+    Replaces double→DECIMAL casts, whose tie rounding proved
+    engine-build-dependent under the round-3 correctness driver."""
+    return F.sum(F.round(col * scale).cast("long")).cast("double") / scale
+
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """row_number over (query, score desc, id) — deterministic tie-break."""
     w = Window.partitionBy("query_id").orderBy(
@@ -428,8 +439,9 @@ def centroid_similarity(
 
     Cross-engine determinism is the hard part: double summation is
     order-dependent, so every reduction (centroid components, dot
-    product, norms) routes through exact DECIMAL sums before returning
-    to double, and the final cosine is rounded. Plan shape: posexplode
+    product, norms) routes through exact integer-scaled BIGINT sums
+    (:func:`_exact_sum`) before returning to double, and the final
+    cosine is rounded. Plan shape: posexplode
     (rows × dim), a (label, pos) centroid aggregate that AQE broadcasts
     back, then a per-id aggregate — all map-side-combinable.
 
@@ -437,30 +449,19 @@ def centroid_similarity(
     ``applyInPandas`` kernel in operators/dedup.py is the fast variant;
     this one is the exactly-reproducible relational form.
     """
-    dec27 = "decimal(27,12)"
-    dec38 = "decimal(38,18)"
     ex = df.select(
         id_col,
         label_col,
         F.posexplode(F.col(vec_col)).alias("pos", "val"),
     ).withColumn("val", F.col("val").cast("double"))
     cent = ex.groupBy(label_col, "pos").agg(
-        (
-            F.sum(F.col("val").cast(dec27)).cast("double")
-            / F.count(F.lit(1))
-        ).alias("cval")
+        (_exact_sum(F.col("val"), 1e12) / F.count(F.lit(1))).alias("cval")
     )
     joined = ex.join(F.broadcast(cent), [label_col, "pos"])
     per_vec = joined.groupBy(id_col, label_col).agg(
-        F.sum((F.col("val") * F.col("cval")).cast(dec38))
-        .cast("double")
-        .alias("dot"),
-        F.sum((F.col("val") * F.col("val")).cast(dec38))
-        .cast("double")
-        .alias("nv"),
-        F.sum((F.col("cval") * F.col("cval")).cast(dec38))
-        .cast("double")
-        .alias("nc"),
+        _exact_sum(F.col("val") * F.col("cval"), 1e12).alias("dot"),
+        _exact_sum(F.col("val") * F.col("val"), 1e12).alias("nv"),
+        _exact_sum(F.col("cval") * F.col("cval"), 1e12).alias("nc"),
     )
     return per_vec.select(
         id_col,
@@ -488,14 +489,14 @@ def quantize_embeddings(
     and DuckDB floor doubles identically, unlike their round()
     half-even/half-away split). Reconstruction error columns are audit
     output: ``max_err ≤ step/2`` by construction; ``sum_err`` routes
-    through exact DECIMAL sums so it is bit-reproducible cross-engine
-    (same discipline as :func:`centroid_similarity`).
+    through an exact integer-scaled BIGINT reduction so it is
+    bit-reproducible cross-engine (same discipline as
+    :func:`centroid_similarity`).
 
     Scale shape: narrow transform only — no shuffle, no UDF; every
     element op is whole-stage-codegen array math. At 100 TB this is a
     pure map over the corpus, trivially parallel.
     """
-    dec38 = "decimal(38,18)"
     v = F.col(vec_col).cast("array<double>")
     out = df.select(
         id_col,
@@ -523,10 +524,14 @@ def quantize_embeddings(
         ).alias("max_err"),
         F.round(
             F.aggregate(
-                F.transform(F.col("_vd"), lambda x: err_of(x).cast(dec38)),
-                F.lit(0).cast(dec38),
-                lambda acc, x: (acc + x).cast(dec38),
-            ).cast("double"),
+                F.transform(
+                    F.col("_vd"),
+                    lambda x: F.round(err_of(x) * F.lit(1e12)).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.lit(1e12),
             round_digits,
         ).alias("sum_err"),
     )
@@ -702,30 +707,26 @@ def centroid_drift(
     space (drift_cos ≈ 1 healthy; a dip flags encoder or pipeline
     regressions before anything downstream retrains).
 
-    Same exact-DECIMAL reduction discipline as
-    :func:`centroid_similarity`: centroid components from DECIMAL sums,
-    dot/norms from DECIMAL sums of double products, one rounded output.
+    Same exact integer-scaled reduction discipline as
+    :func:`centroid_similarity` (:func:`_exact_sum`): centroid
+    components from BIGINT micro-unit sums, dot/norms likewise, one
+    rounded output.
     Plan: each side is one (label, pos) aggregate after posexplode; the
     final join is label×dim sized — broadcastable at any corpus scale.
     """
-    dec27 = "decimal(27,12)"
-    dec38 = "decimal(38,18)"
 
     def cent(df: DataFrame, out: str) -> DataFrame:
         ex = df.select(
             label_col, F.posexplode(F.col(vec_col)).alias("pos", "val")
         ).withColumn("val", F.col("val").cast("double"))
         return ex.groupBy(label_col, "pos").agg(
-            (
-                F.sum(F.col("val").cast(dec27)).cast("double")
-                / F.count(F.lit(1))
-            ).alias(out)
+            (_exact_sum(F.col("val"), 1e12) / F.count(F.lit(1))).alias(out)
         )
     joined = cent(df_a, "ca").join(cent(df_b, "cb"), [label_col, "pos"])
     per_label = joined.groupBy(label_col).agg(
-        F.sum((F.col("ca") * F.col("cb")).cast(dec38)).cast("double").alias("dot"),
-        F.sum((F.col("ca") * F.col("ca")).cast(dec38)).cast("double").alias("na"),
-        F.sum((F.col("cb") * F.col("cb")).cast(dec38)).cast("double").alias("nb"),
+        _exact_sum(F.col("ca") * F.col("cb"), 1e12).alias("dot"),
+        _exact_sum(F.col("ca") * F.col("ca"), 1e12).alias("na"),
+        _exact_sum(F.col("cb") * F.col("cb"), 1e12).alias("nb"),
         F.count(F.lit(1)).cast("int").alias("n_dims"),
     )
     return per_label.select(

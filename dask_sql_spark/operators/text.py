@@ -701,9 +701,11 @@ def unigram_lm_bits(
     aggregate (keyed reshuffle of the distinct-pairs relation — no
     second corpus scan, same exchange-reuse trick as tfidf_top_terms);
     corpus totals ride along as a broadcast 1-row cross join. The
-    per-(doc, term) bit contribution is rounded to 9 digits then summed
-    as DECIMAL(38,18), so the reduction is order-independent and
-    engine-portable (libm log2 last-ulp noise collapses at 9 digits).
+    per-(doc, term) bit contribution is scaled to integer nano-bits
+    (ROUND(x·10⁹) → BIGINT — one IEEE op both engines resolve
+    identically) then summed as BIGINT, so the reduction is
+    order-independent and engine-portable (libm log2 last-ulp noise
+    collapses at 9 digits).
 
     Output: (id, n_tokens, bits_per_token).
     """
@@ -731,9 +733,9 @@ def unigram_lm_bits(
                 * -F.log2(
                     (F.col("cnt") + F.lit(alpha))
                     / (F.col("total") + F.lit(alpha) * F.col("vocab"))
-                ),
-                9,
-            ).cast("decimal(38,18)"),
+                )
+                * 1000000000
+            ).cast("long"),
         )
     )
     per_doc = scored.groupBy(id_col).agg(
@@ -744,7 +746,8 @@ def unigram_lm_bits(
         id_col,
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.round(
-            F.col("sum_bits").cast("double") / F.col("n_tokens"),
+            F.col("sum_bits").cast("double") / 1000000000.0
+            / F.col("n_tokens"),
             round_digits,
         ).alias("bits_per_token"),
     )
@@ -770,8 +773,9 @@ def bigram_lm_bits(
     Plan: ONE bigram explode + (doc, prev, cur) groupBy with map-side
     combine; corpus bigram and context counts are two window sums over
     that same aggregate (exchange reuse, no second scan); V rides along
-    as a broadcast 1-row cross join. Per-bigram bits round to 9 digits
-    then sum as DECIMAL(38,18) — order-independent, engine-portable.
+    as a broadcast 1-row cross join. Per-bigram bits scale to integer
+    nano-bits (ROUND(x·10⁹) → BIGINT) then sum exactly —
+    order-independent, engine-portable.
     Documents with fewer than two tokens have no bigrams and are absent
     from the output (same contract as the oracle).
     """
@@ -808,9 +812,9 @@ def bigram_lm_bits(
                 * -F.log2(
                     (F.col("cnt") + F.lit(alpha))
                     / (F.col("ctx") + F.lit(alpha) * F.col("vocab"))
-                ),
-                9,
-            ).cast("decimal(38,18)"),
+                )
+                * 1000000000
+            ).cast("long"),
         )
     )
     per_doc = scored.groupBy(id_col).agg(
@@ -821,7 +825,8 @@ def bigram_lm_bits(
         id_col,
         F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
         F.round(
-            F.col("sum_bits").cast("double") / F.col("n_bigrams"),
+            F.col("sum_bits").cast("double") / 1000000000.0
+            / F.col("n_bigrams"),
             round_digits,
         ).alias("bits_per_bigram"),
     )
@@ -849,9 +854,10 @@ def bm25_search(
     pairs — cost proportional to hit count, not corpus size. Document
     lengths come from a no-explode ``size(tokens)`` scan; corpus totals
     ride as a broadcast 1-row cross join; df_t is a window over the
-    filtered aggregate. Per-term contributions are rounded then summed
-    as DECIMAL(38,18) (order-independent), final score rounded with a
-    doc-id tiebreak for a deterministic top-k.
+    filtered aggregate. Per-term contributions scale to integer
+    nano-units (ROUND(x·10⁹) → BIGINT) then sum exactly
+    (order-independent), final score rounded with a doc-id tiebreak
+    for a deterministic top-k.
     """
     from pyspark.sql.window import Window
 
@@ -894,9 +900,9 @@ def bm25_search(
                 / (
                     F.col("tf")
                     + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-                ),
-                9,
-            ).cast("decimal(38,18)"),
+                )
+                * 1000000000
+            ).cast("long"),
         )
     )
     per_doc = scored.groupBy(id_col).agg(
@@ -907,7 +913,9 @@ def bm25_search(
         per_doc.select(
             id_col,
             F.col("n_terms_hit").cast("bigint").alias("n_terms_hit"),
-            F.round(F.col("s").cast("double"), round_digits).alias("score"),
+            F.round(
+                F.col("s").cast("double") / 1000000000.0, round_digits
+            ).alias("score"),
         )
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)

@@ -89,10 +89,43 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     return None
 
 
+def value_hash(df: pd.DataFrame) -> str:
+    """Driver-style value hash: columns sorted by name, rows sorted by
+    all columns, every cell serialized to a canonical string (floats via
+    repr → shortest round-trip form, NaN/None as sentinels), sha256 over
+    the joined bytes.  Lets a local-green/driver-red divergence be
+    diagnosed per engine: run with --hash and compare the two digests
+    plus the printed engine versions against the driver's record."""
+    import hashlib
+
+    df = norm(df.copy())
+    h = hashlib.sha256()
+    h.update(("|".join(map(str, df.columns))).encode())
+    for row in df.itertuples(index=False):
+        for v in row:
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                h.update(b"\x00N")
+            elif isinstance(v, float):
+                h.update(repr(v).encode())
+            else:
+                h.update(str(v).encode())
+            h.update(b"\x01")
+        h.update(b"\x02")
+    return h.hexdigest()
+
+
 def main() -> int:
-    filters = sys.argv[1:]
+    args = sys.argv[1:]
+    hash_mode = "--hash" in args
+    filters = [a for a in args if a != "--hash"]
     import __spark_entry__ as entrymod
     from dask_sql_spark.context import default_spark_session
+
+    if hash_mode:
+        import pyspark
+
+        print(f"engines: duckdb={duckdb.__version__} "
+              f"pyspark={pyspark.__version__}")
 
     spark = default_spark_session(shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
@@ -128,6 +161,10 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: DUCKDB ERROR\n{traceback.format_exc()}")
             continue
+        if hash_mode:
+            hs, ho = value_hash(sdf), value_hash(odf)
+            tag = "==" if hs == ho else "!="
+            print(f"hash  {name}: spark={hs[:16]} {tag} duckdb={ho[:16]}")
         diff = compare(sdf, odf)
         if diff:
             n_fail += 1

