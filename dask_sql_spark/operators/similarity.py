@@ -139,6 +139,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 3,
     seed: int = 42,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans partitions the corpus
     into cells; each query probes its ``n_probe`` nearest cells and does
@@ -148,24 +149,55 @@ def ivf_topk(
     distributed KMeans), the corpus is written partitioned by cell, and a
     query touches n_probe/n_cells of the data. Recall rises with n_probe;
     n_probe = n_cells degenerates to exact search.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    Pass ``centroids`` (cell INT, centroid ARRAY<DOUBLE>) to skip the
+    KMeans fit and use a fixed codebook — corpus rows are then assigned
+    to their max-cosine centroid. This is how a production index serves
+    queries against an already-trained codebook, and it makes the whole
+    pipeline deterministic (an engine-independent oracle can replay the
+    assignment; spark.ml's KMeans cell labels are engine-specific).
+    """
     c = emb.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).cast("array<double>").alias("vb"),
-    ).withColumn("features", array_to_vector(F.col("vb")))
-
-    kmeans = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
-    model = kmeans.fit(c)
-    corpus = model.transform(c).select("id_b", "vb", "cell")
-
-    centroids = [
-        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
-    ]
+    )
     spark = emb.sparkSession
-    cent_df = spark.createDataFrame(centroids, "cell INT, centroid ARRAY<DOUBLE>")
+
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = c.withColumn("features", array_to_vector(F.col("vb")))
+        kmeans = KMeans(
+            k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
+        )
+        model = kmeans.fit(feat)
+        corpus = model.transform(feat).select("id_b", "vb", "cell")
+        cent_rows = [
+            (i, [float(x) for x in ctr])
+            for i, ctr in enumerate(model.clusterCenters())
+        ]
+        cent_df = spark.createDataFrame(
+            cent_rows, "cell INT, centroid ARRAY<DOUBLE>"
+        )
+    else:
+        cent_df = centroids.select("cell", "centroid")
+        # assign each corpus vector to its max-cosine centroid
+        # (deterministic tie-break on cell id)
+        corpus = (
+            c.crossJoin(F.broadcast(cent_df))
+            .withColumn("acos", cosine(F.col("vb"), F.col("centroid")))
+            .withColumn(
+                "arank",
+                F.row_number().over(
+                    Window.partitionBy("id_b").orderBy(
+                        F.col("acos").desc(), F.col("cell")
+                    )
+                ),
+            )
+            .where(F.col("arank") == 1)
+            .select("id_b", "vb", "cell")
+        )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -33,9 +33,10 @@ def test_queries_oracles_consistent():
     # every oracle refers to a registered query
     assert set(oracles) <= set(qs)
     # only known-nondeterministic/approximate ops may skip the oracle
+    # (ann_ivf_topk graduated in round 4: fixed-codebook assignment is
+    # engine-independent, so it now carries a full DuckDB oracle)
     assert set(qs) - set(oracles) == {
         "sample_bernoulli",
-        "ann_ivf_topk",
         "approx_aggregates",
         "dedup_embedding_lsh",
         "sketch_hll_mergeable",
