@@ -60,6 +60,50 @@ def mean_squared_error(
     return mse if squared else math.sqrt(mse)
 
 
+def evaluate(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+    prob_col: str | None = None,
+    eps: float = _EPS,
+) -> dict[str, float]:
+    """All metrics in ONE aggregate pass / ONE job: accuracy, mse, rmse,
+    r2, and (when ``prob_col`` is given) log_loss. Use this instead of
+    calling the scalar helpers back-to-back — each of those is its own
+    scan+collect, which at corpus scale means re-reading the predictions
+    four times for numbers one reducer row can carry."""
+    y = F.col(label_col).cast("double")
+    d = y - F.col(pred_col)
+    aggs = [
+        F.avg(
+            F.when(F.col(label_col) == F.col(pred_col), 1.0).otherwise(0.0)
+        ).alias("accuracy"),
+        F.avg(d * d).alias("mse"),
+        F.sum(d * d).alias("ss_res"),
+        F.sum(y * y).alias("yy"),
+        F.sum(y).alias("ys"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    if prob_col is not None:
+        p = F.least(F.greatest(F.col(prob_col), F.lit(eps)), F.lit(1.0 - eps))
+        aggs.append(
+            F.avg(-(y * F.log(p) + (1.0 - y) * F.log(1.0 - p))).alias(
+                "log_loss"
+            )
+        )
+    row = df.agg(*aggs).collect()[0]
+    ss_tot = row["yy"] - row["ys"] * row["ys"] / row["n"]
+    out = {
+        "accuracy": float(row["accuracy"]),
+        "mse": float(row["mse"]),
+        "rmse": math.sqrt(float(row["mse"])),
+        "r2": 0.0 if ss_tot == 0 else 1.0 - row["ss_res"] / ss_tot,
+    }
+    if prob_col is not None:
+        out["log_loss"] = float(row["log_loss"])
+    return out
+
+
 def r2_score(df: DataFrame, label_col: str, pred_col: str) -> float:
     """1 - SS_res/SS_tot, computed in one aggregate pass (SS_tot via
     E[y²] - E[y]² so no second scan for the mean)."""

@@ -369,6 +369,31 @@ def test_distributed_metrics_match_reference_formulas(spark):
     assert abs(r2_score(reg, "y", "pred") - 0.75) < 1e-12
 
 
+def test_evaluate_single_pass_matches_scalar_helpers(spark):
+    """evaluate() fuses every metric into one aggregate job and must
+    agree with the one-metric helpers bit for bit."""
+    import math
+
+    from dask_sql_spark.ml.metrics import (
+        accuracy_score,
+        evaluate,
+        log_loss,
+        mean_squared_error,
+        r2_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, 0.9), (0, 1, 0.8), (1, 1, 0.7), (0, 0, 0.2)],
+        "y LONG, pred LONG, p DOUBLE",
+    )
+    m = evaluate(df, "y", "pred", prob_col="p")
+    assert m["accuracy"] == accuracy_score(df, "y", "pred")
+    assert abs(m["log_loss"] - log_loss(df, "y", "p")) < 1e-15
+    assert abs(m["mse"] - mean_squared_error(df, "y", "pred")) < 1e-15
+    assert abs(m["rmse"] - math.sqrt(m["mse"])) < 1e-15
+    assert abs(m["r2"] - r2_score(df, "y", "pred")) < 1e-15
+
+
 def test_threshold_classifier_learns_mean(context):
     import pandas as pd
 
