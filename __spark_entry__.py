@@ -405,7 +405,9 @@ FROM (
   SELECT SUBSTRING(c_name, 10, 2) AS cntrycode, c_acctbal
   FROM customer
   WHERE c_acctbal > (
-      SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.00
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 / COUNT(*)
+      FROM customer WHERE c_acctbal > 0.00
     )
     AND NOT EXISTS (
       SELECT 1 FROM orders
@@ -1459,7 +1461,11 @@ _sqlq(
     "scalar_subquery",
     """
 SELECT COUNT(*) AS n FROM orders
-WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+WHERE o_totalprice > (
+  SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 / COUNT(*)
+  FROM orders
+)
 """,
 )
 
@@ -1468,7 +1474,9 @@ _sqlq(
     """
 SELECT c_custkey FROM customer c
 WHERE c_acctbal > (
-  SELECT 1.5 * AVG(c2.c_acctbal) FROM customer c2
+  SELECT 1.5 * (CAST(SUM(CAST(ROUND(c2.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                / 100.0 / COUNT(*))
+  FROM customer c2
   WHERE c2.c_nationkey = c.c_nationkey
 )
 """,
@@ -1664,7 +1672,9 @@ _dfq(
     _tumbling_fn,
     """
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
-  COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+  COUNT(*) AS n,
+  ROUND(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE)
+        / 1000000.0, 4) AS total_value
 FROM events GROUP BY 1, 2
 """,
 )
@@ -1703,7 +1713,9 @@ WITH hits AS (
   FROM events, (SELECT unnest(range(0, 4)) AS k) k
 )
 SELECT window_start, event_type,
-  COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+  COUNT(*) AS n,
+  ROUND(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE)
+        / 1000000.0, 4) AS total_value
 FROM hits GROUP BY 1, 2
 """,
 )
@@ -1740,7 +1752,9 @@ WITH lagged AS (
   FROM marked
 )
 SELECT MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-  user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+  user_id, COUNT(*) AS n_events,
+  ROUND(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE)
+        / 1000000.0, 4) AS total_value
 FROM sess GROUP BY user_id, session_id
 """,
 )

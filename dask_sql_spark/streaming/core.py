@@ -26,10 +26,21 @@ def windowed_counts(
     win = (
         F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
     )
+    # value accumulates as integer micro-units: the incremental state a
+    # long-running stream carries never drifts the way a float
+    # accumulator does, and the total is bit-reproducible regardless of
+    # micro-batch arrival order (exact BIGINT sum, one division out)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(win.alias("w"), F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                .cast("double")
+                / 1000000.0
+            ).alias("total_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -51,7 +62,14 @@ def sessionized(
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                .cast("double")
+                / 1000000.0
+            ).alias("total_value"),
+        )
         .select(
             F.col("s.start").alias("session_start"),
             F.col("s.end").alias("session_end"),
@@ -127,16 +145,22 @@ def stateful_running_totals(
             T.StructField("crossed", T.BooleanType()),
         ]
     )
+    # state total carries integer micro-units: a float accumulator in
+    # long-lived stream state drifts (and depends on micro-batch
+    # arrival order); the integer sum is exact forever
     state_schema = T.StructType(
-        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+        [T.StructField("n", T.LongType()), T.StructField("total_u", T.LongType())]
     )
 
     def _update(key, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total_u = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf[value_col].sum())
-        state.update((n, total))
+            total_u += int(
+                (pdf[value_col] * 1000000).round().astype("int64").sum()
+            )
+        state.update((n, total_u))
+        total = total_u / 1000000.0
         yield pd.DataFrame(
             {
                 key_col: [key[0]],

@@ -132,9 +132,61 @@ def decimal_cast_sweep() -> dict[str, list[str]]:
     return flagged
 
 
+_DOUBLE_COLS = (
+    "l_quantity|l_extendedprice|l_discount|l_tax|o_totalprice"
+    "|c_acctbal|s_acctbal|value|p_retailprice"
+)
+# raw double aggregates that are deterministic anyway, reviewed by hand:
+# integer-valued quantities (sums exact below 2^53), window prefix sums
+# (ROWS frames are order-defined so both engines add in the same
+# sequence), and the MeanRegressor replay (model-side mean, ROUND(,4)
+# masked on both sides by construction).
+_DOUBLE_AGG_REVIEWED = {
+    "q17_small_quantity", "q18_large_orders", "window_named_clause",
+    "ml_predict_mean",
+}
+
+
+def double_agg_sweep() -> dict[str, list[str]]:
+    """INFORMATIONAL: {query: [agg args]} where an oracle SUMs/AVGs a
+    raw double column with no integer scaling — order-dependent float
+    summation that two engines (or two builds) may disagree on in the
+    last ulp. Acceptable only when a final ROUND collapses the noise or
+    the value feeds a far-from-boundary comparison; the preferred form
+    is the integer-scaled sum (see decimal_cast_sweep docstring)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    flagged: dict[str, list[str]] = {}
+    for name, sql in entrymod.oracle_sql().items():
+        if name in _DOUBLE_AGG_REVIEWED:
+            continue
+        hits = []
+        for mt in re.finditer(r"(SUM|AVG)\s*\(", sql, re.IGNORECASE):
+            depth, i = 1, mt.end()
+            while i < len(sql) and depth:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                i += 1
+            arg = sql[mt.end(): i - 1]
+            if (
+                re.search(_DOUBLE_COLS, arg)
+                and not re.search(r"ROUND|BIGINT|DECIMAL", arg, re.IGNORECASE)
+            ):
+                hits.append(arg.strip()[:60])
+        if hits:
+            flagged[name] = hits
+    return flagged
+
+
 def main() -> int:
     flagged = sweep()
     dec = decimal_cast_sweep()
+    for name, args in sorted(double_agg_sweep().items()):
+        print(f"WARN-DOUBLE-AGG  {name}: {args}")
     if not flagged and not dec:
         print(
             "type sweep clean: no HUGEINT/UHUGEINT oracle columns, "
