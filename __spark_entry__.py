@@ -3294,19 +3294,73 @@ FROM g
 
 
 def _embedding_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for embedding near-dup: hyperplane buckets + exact
-    in-bucket matmul. Rows-only gate (plane math is seed-deterministic in
-    Spark but not expressible as a DuckDB oracle without replicating the
-    whole plane table); recall vs the exact kernel is pinned in
+    """Scale path for embedding near-dup: hyperplane buckets + multiprobe
+    + in-bucket exact cosine. Gated via kernel="fold" (Catalyst
+    zip_with/aggregate cosine — the sequential IEEE fold DuckDB's
+    list_dot_product replays bit-for-bit, the same pairing ann_lsh_topk's
+    green r3 row rests on); the BLAS matmul kernel is the bench/
+    production path and its pair-parity with this one is pinned in
     tests/test_pipeline_ops.py."""
     from dask_sql_spark.operators.similarity import embedding_near_dupes_lsh
 
+    # threshold 0.35 (not the production 0.95): the synthetic embeddings
+    # are near-orthogonal random vectors, so 0.95 yields zero pairs at
+    # sf0.01 and the hash gate would be vacuous — 0.35 pushes ~100 real
+    # pairs through signature, multiprobe, bucket join and threshold
     return embedding_near_dupes_lsh(
-        _table(spark, sf_dir, "embeddings"), threshold=0.95, n_planes=8
+        _table(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        n_planes=8,
+        kernel="fold",
     ).select("id_a", "id_b")
 
 
-_dfq("dedup_embedding_lsh", _embedding_lsh_fn)
+def _embedding_lsh_oracle(
+    n_planes: int = 8, dim: int = 64, seed: int = 42, threshold: float = 0.35
+) -> str:
+    """Full replay of the seeded-hyperplane near-dup pipeline: sign-bit
+    signatures, 1-bit-flip multiprobe, bucket self-join, rounded cosine
+    threshold — planes embedded as literals (same discipline as
+    _ann_lsh_oracle)."""
+    from dask_sql_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in plane)}])"
+        for j, plane in enumerate(planes)
+    )
+    cos = (
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id, {_EMB_DOUBLE} AS v
+           FROM embeddings),
+planes AS (SELECT * FROM (VALUES {rows}) AS t(j, p)),
+sigs AS (
+  SELECT e.id,
+    CAST(SUM(CASE WHEN list_dot_product(e.v, pl.p) > 0
+             THEN 1 << pl.j ELSE 0 END) AS BIGINT) AS sig
+  FROM e CROSS JOIN planes pl GROUP BY e.id
+),
+probes AS (
+  SELECT id, sig AS bucket FROM sigs
+  UNION ALL
+  SELECT sigs.id, xor(sig, CAST(1 << pl.j AS BIGINT)) AS bucket
+  FROM sigs CROSS JOIN planes pl
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM (SELECT p.id, p.bucket, e.v FROM probes p JOIN e ON e.id = p.id) a
+  JOIN (SELECT p.id, p.bucket, e.v FROM probes p JOIN e ON e.id = p.id) b
+    ON a.bucket = b.bucket AND a.id < b.id
+  WHERE ROUND({cos}, 6) >= {threshold}
+)
+SELECT id_a, id_b FROM cand
+"""
+
+
+_dfq("dedup_embedding_lsh", _embedding_lsh_fn, _embedding_lsh_oracle())
 
 
 def _components_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8151,7 +8205,7 @@ _VERIFY_FIRST = [
     "events_resample_15min", "window_cumulative_distinct",
     # (e) one per remaining ungated operator family
     "sketch_hll_mergeable", "sketch_top_k", "sql_update_delete",
-    "join_lateral", "sql_qualify", "agg_percentiles",
+    "join_lateral", "sql_qualify", "dedup_embedding_lsh",
     "dedup_incremental", "text_winnow_fingerprints",
     "sink_partitioned_prune",
 ]

@@ -52,13 +52,19 @@ def clean_corpus(
     if lang is not None:
         kept = kept.where(F.col("lang_guess") == lang)
 
-    # exact dedup: keep min id per content hash
-    keepers = (
-        kept.groupBy(F.md5(F.col(text_col)).alias("__h__"))
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+    # exact dedup: keep min id per content hash — as ONE row_number
+    # window over the hash, not groupBy(min)+semi-join: the window
+    # shuffles the scored rows once by content hash, where the join form
+    # scans+scores the corpus twice (keepers branch + probe branch) and
+    # shuffles twice (hash aggregate, then the id semi join)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    kept = (
+        kept.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .drop("__rn__")
     )
-    kept = kept.join(keepers, on=id_col, how="left_semi")
 
     if materialize_kept:
         kept = kept.localCheckpoint(eager=False)

@@ -234,6 +234,7 @@ def embedding_near_dupes_lsh(
     n_planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    kernel: str = "blas",
 ) -> DataFrame:
     """All-pairs cosine near-dup at scale: hyperplane LSH bucketing, exact
     numpy-matmul kernel WITHIN buckets only (the scale path that
@@ -245,6 +246,15 @@ def embedding_near_dupes_lsh(
     8 planes that lifts pair recall from ~0.43 to ~0.81; raise recall
     further with fewer planes or 2-bit probes. Work is Σ bucket²— never
     N² — and each bucket's scoring is one BLAS matmul task.
+
+    ``kernel``: ``"blas"`` (default) scores each bucket with one numpy
+    matmul per Arrow batch — the throughput path. ``"fold"`` scores via
+    the Catalyst zip_with/aggregate cosine instead: same bucketing, same
+    pair set, but every float op is a sequential IEEE fold an external
+    engine can replay bit-for-bit (the cross-engine-gateable path; BLAS
+    blocked summation is not bitwise replayable at the threshold
+    boundary). test_pipeline_ops pins that both kernels emit the same
+    pairs on the test corpus.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -260,6 +270,21 @@ def embedding_near_dupes_lsh(
         *[F.col("sig").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
     )
     buckets = c.withColumn("bucket", F.explode(probes))
+
+    if kernel == "fold":
+        a = buckets.alias("a")
+        b = buckets.alias("b")
+        return (
+            a.join(b, on="bucket")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+            )
+            .where(F.col("cos") >= threshold)
+            .distinct()
+        )
 
     out_schema = T.StructType(
         [

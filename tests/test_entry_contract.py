@@ -33,12 +33,12 @@ def test_queries_oracles_consistent():
     # every oracle refers to a registered query
     assert set(oracles) <= set(qs)
     # only known-nondeterministic/approximate ops may skip the oracle
-    # (ann_ivf_topk graduated in round 4: fixed-codebook assignment is
-    # engine-independent, so it now carries a full DuckDB oracle)
+    # (round 4 graduated ann_ivf_topk — fixed-codebook assignment is
+    # engine-independent — and dedup_embedding_lsh, whose kernel="fold"
+    # path replays the seeded planes + multiprobe + cosine in DuckDB)
     assert set(qs) - set(oracles) == {
         "sample_bernoulli",
         "approx_aggregates",
-        "dedup_embedding_lsh",
         "sketch_hll_mergeable",
     }
 

@@ -456,6 +456,44 @@ def test_embedding_lsh_near_dupes_recall(spark):
     assert recall >= 0.8, f"recall {recall} below multiprobe bound"
 
 
+def test_embedding_lsh_kernel_parity(spark):
+    """kernel="fold" (Catalyst cosine, the oracle-replayable path) and
+    kernel="blas" (numpy matmul, the throughput path) must emit the SAME
+    pair set — they share bucketing/multiprobe and differ only in float
+    summation order, which cannot flip pairs away from the threshold
+    boundary on this fixture."""
+    import numpy as np
+
+    from dask_sql_spark.operators.similarity import embedding_near_dupes_lsh
+
+    rng = np.random.RandomState(11)
+    rows = []
+    vid = 0
+    for c in range(4):
+        center = rng.standard_normal(16) * 3
+        for _ in range(4):
+            rows.append(
+                (vid, [float(x) for x in center + rng.standard_normal(16) * 0.01])
+            )
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    blas = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dupes_lsh(
+            emb, threshold=0.99, n_planes=6, kernel="blas"
+        ).collect()
+    }
+    fold = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dupes_lsh(
+            emb, threshold=0.99, n_planes=6, kernel="fold"
+        ).collect()
+    }
+    assert blas, "fixture must produce pairs"
+    assert blas == fold
+
+
 def test_connected_components_handcrafted(spark):
     """Chain 1-2-3, triangle 10-11-12 (+cross edge), isolated pair 20-21:
     every vertex labels with its component's min id."""
