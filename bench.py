@@ -85,6 +85,10 @@ HEADLINE = [
     "maint_cdc_apply",
     "text_rake_keyphrases",
     "events_attribution",
+    # round-7 additions (driver round 4): the two newly oracle-gated
+    # approximate-index paths
+    "ann_ivf_topk",
+    "dedup_embedding_lsh",
 ]
 
 # the 28 queries BENCH_r01 measured (total 27.48 s at sf0.1): their
@@ -106,7 +110,14 @@ def main() -> None:
     spark = default_spark_session(
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        **{"spark.driver.memory": mem},
+        **{
+            "spark.driver.memory": mem,
+            # ContextCleaner reclaims shuffle files / broadcast pieces only
+            # when the JVM GCs; a 16g heap under a ~180-query session may
+            # never full-GC on its own, so stale blocks accumulate and tax
+            # late queries. Hourly default -> 60s bounds the buildup.
+            "spark.cleaner.periodicGC.interval": "60s",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
