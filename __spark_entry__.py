@@ -434,22 +434,29 @@ WITH ps AS (
     MIN(l_extendedprice / l_quantity) AS ps_supplycost
   FROM lineitem
   GROUP BY l_partkey, l_suppkey
+),
+-- correlated "= (SELECT MIN ...)" rewritten as a window min over the
+-- EUROPE-joined aggregate: Spark inlines CTEs, so the subquery form
+-- scans+aggregates lineitem twice (the region filter pushes into only
+-- one copy, defeating exchange reuse); the window form computes ps
+-- ONCE and takes the per-part min without a second scan. MIN is
+-- order-independent, so the rewrite is value-identical in both engines.
+eu AS (
+  SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+  FROM ps
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+best AS (
+  SELECT *, MIN(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
+  FROM eu
 )
 SELECT s_acctbal, s_name, n_name, p_partkey, p_type
 FROM part
-JOIN ps ON p_partkey = ps_partkey
-JOIN supplier ON s_suppkey = ps_suppkey
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-WHERE p_size IN (17, 23, 36) AND r_name = 'EUROPE'
-  AND ps_supplycost = (
-    SELECT MIN(ps2.ps_supplycost)
-    FROM ps ps2
-    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
-    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
-    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
-    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
-  )
+JOIN best ON p_partkey = ps_partkey
+WHERE p_size IN (17, 23, 36) AND ps_supplycost = min_cost
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 LIMIT 100
 """,
@@ -3329,13 +3336,13 @@ def _embedding_lsh_oracle(
         f"({j}, [{', '.join(repr(float(x)) for x in plane)}])"
         for j, plane in enumerate(planes)
     )
-    cos = (
-        "list_dot_product(a.v, b.v) / "
-        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
-    )
     return f"""
 WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id, {_EMB_DOUBLE} AS v
            FROM embeddings),
+en AS (
+  SELECT id, list_transform(v, x -> x / n) AS vn
+  FROM (SELECT id, v, sqrt(list_dot_product(v, v)) AS n FROM e)
+),
 planes AS (SELECT * FROM (VALUES {rows}) AS t(j, p)),
 sigs AS (
   SELECT e.id,
@@ -3351,12 +3358,13 @@ probes AS (
 ),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM (SELECT p.id, p.bucket, e.v FROM probes p JOIN e ON e.id = p.id) a
-  JOIN (SELECT p.id, p.bucket, e.v FROM probes p JOIN e ON e.id = p.id) b
+  FROM probes a JOIN probes b
     ON a.bucket = b.bucket AND a.id < b.id
-  WHERE ROUND({cos}, 6) >= {threshold}
 )
 SELECT id_a, id_b FROM cand
+JOIN en ea ON ea.id = cand.id_a
+JOIN en eb ON eb.id = cand.id_b
+WHERE ROUND(list_dot_product(ea.vn, eb.vn), 6) >= {threshold}
 """
 
 

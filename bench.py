@@ -85,10 +85,12 @@ HEADLINE = [
     "maint_cdc_apply",
     "text_rake_keyphrases",
     "events_attribution",
-    # round-7 additions (driver round 4): the two newly oracle-gated
-    # approximate-index paths
+    # round-7 additions (driver round 4): the newly oracle-gated IVF
+    # path. dedup_embedding_lsh's gate variant (kernel="fold") is
+    # deliberately NOT here: the fold kernel exists for bitwise oracle
+    # replay, the throughput path is the BLAS kernel already covered by
+    # dedup_embedding_cosine/ann_* entries.
     "ann_ivf_topk",
-    "dedup_embedding_lsh",
 ]
 
 # the 28 queries BENCH_r01 measured (total 27.48 s at sf0.1): their

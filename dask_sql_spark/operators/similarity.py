@@ -112,6 +112,42 @@ def embedding_dim(
     return d
 
 
+def signature_join(
+    df: DataFrame, planes: np.ndarray, id_col: str = "id", vec_col: str = "v"
+) -> DataFrame:
+    """(id, sig) sign-bit LSH signatures via a broadcast join against the
+    plane table instead of :func:`signature_col`'s inlined literals.
+    Identical values (same zip_with/aggregate dot over the same doubles,
+    bits summed as 1<<j), but the expression tree is O(1) in
+    n_planes×dim where the literal form is O(n_planes·dim) — at 8 planes
+    × 64 dims the literal tree costs multiple SECONDS of Catalyst
+    analysis per query where this form plans instantly. Data cost is an
+    n_planes× row fan-out pre-aggregation — map-side, broadcast, no
+    shuffle beyond the id groupBy."""
+    spark = df.sparkSession
+    pl = spark.createDataFrame(
+        [(j, [float(x) for x in p]) for j, p in enumerate(planes)],
+        "j INT, p ARRAY<DOUBLE>",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("p"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(pl))
+        .select(
+            id_col,
+            F.when(dot > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bit"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bit").alias("sig"))
+    )
+
+
 def signature_col(vec: Column, planes: np.ndarray) -> Column:
     """Sign-bit LSH signature of a vector column against fixed hyperplanes,
     as a single integer — pure Catalyst expressions."""
@@ -264,26 +300,68 @@ def embedding_near_dupes_lsh(
     c = emb.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("sig", signature_col(F.col("v"), planes))
+    )
+    sigs = signature_join(c, planes, id_col="id", vec_col="v")
     probes = F.array(
         F.col("sig"),
         *[F.col("sig").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
     )
-    buckets = c.withColumn("bucket", F.explode(probes))
+    buckets = c.join(sigs, "id").withColumn("bucket", F.explode(probes))
 
     if kernel == "fold":
+        # candidate ids dedupe BEFORE scoring (a pair can meet in up to
+        # n_planes+1 probe buckets), then ONE fold per unique pair over
+        # pre-normalized vectors — cosine collapses to a single dot
+        # product instead of dot+two norms per candidate
         a = buckets.alias("a")
         b = buckets.alias("b")
-        return (
+        cands = (
             a.join(b, on="bucket")
             .where(F.col("a.id") < F.col("b.id"))
             .select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            )
+            .distinct()
+        )
+        nrm = F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        normed = c.withColumn("_n", nrm).select(
+            "id",
+            F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("vn"),
+        )
+        return (
+            cands.join(
+                normed.select(
+                    F.col("id").alias("id_a"), F.col("vn").alias("va")
+                ),
+                "id_a",
+            )
+            .join(
+                normed.select(
+                    F.col("id").alias("id_b"), F.col("vn").alias("vb")
+                ),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("va"), F.col("vb"), lambda x, y: x * y
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ).alias("cos"),
             )
             .where(F.col("cos") >= threshold)
-            .distinct()
         )
 
     out_schema = T.StructType(
