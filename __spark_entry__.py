@@ -304,11 +304,18 @@ def _q15_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_suppkey
         """
     )
+    # scalar MAX as a window over the view, not a second view reference:
+    # Spark inlines view definitions, so the subquery form aggregated
+    # lineitem twice
     return ctx.sql(
         """
         SELECT s_suppkey, s_name, total_revenue
-        FROM supplier JOIN revenue_v ON s_suppkey = supplier_no
-        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue_v)
+        FROM supplier JOIN (
+          SELECT supplier_no, total_revenue,
+            MAX(total_revenue) OVER () AS mx
+          FROM revenue_v
+        ) r ON s_suppkey = supplier_no
+        WHERE total_revenue = mx
         """
     )
 
@@ -327,8 +334,12 @@ WITH revenue_v AS (
   GROUP BY l_suppkey
 )
 SELECT s_suppkey, s_name, total_revenue
-FROM supplier JOIN revenue_v ON s_suppkey = supplier_no
-WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue_v)
+FROM supplier JOIN (
+  SELECT supplier_no, total_revenue,
+    MAX(total_revenue) OVER () AS mx
+  FROM revenue_v
+) r ON s_suppkey = supplier_no
+WHERE total_revenue = mx
 """,
 )
 
@@ -2890,14 +2901,25 @@ WITH perf AS (
   SELECT l_suppkey AS sk,
     (CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000.0) / COUNT(*) AS avg_disc
   FROM lineitem GROUP BY l_suppkey
-), best AS (
-  SELECT sk, avg_disc, RANK() OVER (ORDER BY avg_disc ASC, sk) AS rnk FROM perf
-), worst AS (
-  SELECT sk, avg_disc, RANK() OVER (ORDER BY avg_disc DESC, sk) AS rnk FROM perf
+),
+-- both directions' ranks from ONE window pass (ranks are unique: the
+-- sk tie-break is total), pivoted via a 2-row VALUES fan-out — the old
+-- best/worst CTE pair aggregated lineitem twice under Spark's CTE
+-- inlining
+r AS (
+  SELECT sk,
+    RANK() OVER (ORDER BY avg_disc ASC, sk) AS rnk_b,
+    RANK() OVER (ORDER BY avg_disc DESC, sk) AS rnk_w
+  FROM perf
 )
-SELECT b.rnk AS rnk, b.sk AS best_sk, w.sk AS worst_sk
-FROM best b JOIN worst w ON b.rnk = w.rnk
-WHERE b.rnk <= 10
+SELECT rnk, MAX(bsk) AS best_sk, MAX(wsk) AS worst_sk
+FROM (
+  SELECT CASE WHEN s.side = 0 THEN rnk_b ELSE rnk_w END AS rnk,
+         CASE WHEN s.side = 0 THEN sk END AS bsk,
+         CASE WHEN s.side = 1 THEN sk END AS wsk
+  FROM r CROSS JOIN (VALUES (0), (1)) AS s(side)
+) u
+WHERE rnk <= 10 GROUP BY rnk
 """,
 )
 
@@ -2938,8 +2960,13 @@ WITH cust AS (
     (CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS total
   FROM orders GROUP BY o_custkey
 )
-SELECT o_custkey, total FROM cust
-WHERE total > 0.9 * (SELECT MAX(total) FROM cust)
+-- scalar MAX as a window over the aggregate, not a second CTE
+-- reference: Spark inlines CTEs, so the subquery form aggregated
+-- orders twice
+SELECT o_custkey, total FROM (
+  SELECT o_custkey, total, MAX(total) OVER () AS mx FROM cust
+) t
+WHERE total > 0.9 * mx
 """,
 )
 
@@ -4876,33 +4903,42 @@ _sqlq(
 )
 
 
-def _conv_latency_sql(pctl: str, us) -> str:
+def _conv_latency_sql(
+    pctl: str, us, amin: str = "array_min", collect: str = "collect_list"
+) -> str:
     """Funnel conversion-latency distribution: for click→view→purchase
     (same step semantics as events_funnel), the p25/p50/p75 of each
-    step-to-step latency. Percentiles interpolate over INTEGER
-    microsecond gaps with dyadic quantiles — 0.25/0.5/0.75 of sub-2⁵³
-    integers is IEEE-exact in both engines — and convert to seconds with
-    one final division; percentiles over pre-divided doubles would NOT
-    be cross-engine-stable ((1−g)a+gb vs a+(b−a)g round differently)."""
+    step-to-step latency. ONE events scan: each user's view/purchase
+    timestamps collect into per-user arrays (FILTER-clause aggregates,
+    bounded by per-user activity) and the sequential-min chain
+    t1 < t2 < t3 becomes two array min-over-filter projections — the old
+    s1→s2→s3 join ladder scanned events three times (six with the final
+    LEFT JOIN fan) under Spark's CTE inlining. Percentiles interpolate
+    over INTEGER microsecond gaps with dyadic quantiles —
+    0.25/0.5/0.75 of sub-2⁵³ integers is IEEE-exact in both engines —
+    and convert to seconds with one final division; percentiles over
+    pre-divided doubles would NOT be cross-engine-stable
+    ((1−g)a+gb vs a+(b−a)g round differently)."""
     return f"""
-WITH s1 AS (
-  SELECT user_id, MIN(ts) AS t1 FROM events
-  WHERE event_type = 'click' GROUP BY user_id
+WITH agg AS (
+  SELECT user_id,
+    MIN(ts) FILTER (WHERE event_type = 'click') AS t1,
+    {collect}(ts) FILTER (WHERE event_type = 'view') AS vts,
+    {collect}(ts) FILTER (WHERE event_type = 'purchase') AS pts
+  FROM events GROUP BY user_id
 ), s2 AS (
-  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
-  JOIN s1 ON e.user_id = s1.user_id
-  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+  SELECT user_id, t1,
+    {amin}(filter(vts, x -> x > t1)) AS t2, pts
+  FROM agg WHERE t1 IS NOT NULL
 ), s3 AS (
-  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
-  JOIN s2 ON e.user_id = s2.user_id
-  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+  SELECT user_id, t1, t2,
+    {amin}(filter(pts, x -> x > t2)) AS t3
+  FROM s2
 ), lat AS (
-  SELECT s1.user_id,
+  SELECT user_id,
     {us("t2")} - {us("t1")} AS d12_us,
     {us("t3")} - {us("t2")} AS d23_us
-  FROM s1
-  LEFT JOIN s2 ON s1.user_id = s2.user_id
-  LEFT JOIN s3 ON s2.user_id = s3.user_id
+  FROM s3
 )
 SELECT
   CAST(COUNT(d12_us) AS BIGINT) AS n_step2,
@@ -4963,33 +4999,53 @@ _sqlq(
 
 # Funnel drop-off table: per step, how many users entered and how many
 # advanced — the Sankey view of the events_funnel step semantics.
-def _funnel_dropoff_sql() -> str:
-    return """
-WITH s1 AS (
-  SELECT user_id, MIN(ts) AS t1 FROM events
-  WHERE event_type = 'click' GROUP BY user_id
+def _funnel_dropoff_sql(collect: str, amin: str, unpivot: str) -> str:
+    """Single-scan funnel attrition (same list-collect chain as
+    events_conversion_latency; the old s1→s2→s3 join ladder plus three
+    scalar-count subqueries scanned events EIGHT times under Spark's
+    CTE inlining). The two report rows unpivot from the one counts row
+    (Spark stack / DuckDB UNION — DuckDB materializes CTEs)."""
+    return f"""
+WITH agg AS (
+  SELECT user_id,
+    MIN(ts) FILTER (WHERE event_type = 'click') AS t1,
+    {collect}(ts) FILTER (WHERE event_type = 'view') AS vts,
+    {collect}(ts) FILTER (WHERE event_type = 'purchase') AS pts
+  FROM events GROUP BY user_id
 ), s2 AS (
-  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
-  JOIN s1 ON e.user_id = s1.user_id
-  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+  SELECT t1, {amin}(filter(vts, x -> x > t1)) AS t2, pts
+  FROM agg WHERE t1 IS NOT NULL
 ), s3 AS (
-  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
-  JOIN s2 ON e.user_id = s2.user_id
-  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+  SELECT t1, t2, {amin}(filter(pts, x -> x > t2)) AS t3 FROM s2
 ), counts AS (
-  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3
+  SELECT CAST(COUNT(t1) AS BIGINT) AS n1,
+         CAST(COUNT(t2) AS BIGINT) AS n2,
+         CAST(COUNT(t3) AS BIGINT) AS n3
+  FROM s3
 )
-SELECT 'click' AS step, n1 AS n_entered, n2 AS n_advanced,
-  1.0 - CAST(n2 AS DOUBLE) / n1 AS drop_rate
-FROM counts
-UNION ALL
-SELECT 'view', n2, n3, 1.0 - CAST(n3 AS DOUBLE) / n2 FROM counts
+{unpivot}
 """
 
 
-_sqlq("events_funnel_dropoff", _funnel_dropoff_sql())
+_sqlq(
+    "events_funnel_dropoff",
+    _funnel_dropoff_sql(
+        "collect_list",
+        "array_min",
+        "SELECT stack(2,"
+        " 'click', n1, n2, 1.0 - CAST(n2 AS DOUBLE) / n1,"
+        " 'view', n2, n3, 1.0 - CAST(n3 AS DOUBLE) / n2)"
+        " AS (step, n_entered, n_advanced, drop_rate) FROM counts",
+    ),
+    _funnel_dropoff_sql(
+        "list",
+        "list_min",
+        "SELECT 'click' AS step, n1 AS n_entered, n2 AS n_advanced,"
+        " 1.0 - CAST(n2 AS DOUBLE) / n1 AS drop_rate FROM counts"
+        " UNION ALL"
+        " SELECT 'view', n2, n3, 1.0 - CAST(n3 AS DOUBLE) / n2 FROM counts",
+    ),
+)
 
 
 # 7-day vs 28-day moving-average crossover on daily revenue — the
@@ -5245,21 +5301,20 @@ WITH g AS (
   SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
   FROM documents GROUP BY lang, source
 ),
-tot AS (
-  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_rows,
-    CAST(COUNT(*) AS BIGINT) AS n_distinct_sources
-  FROM g GROUP BY lang
-),
-top AS (
-  SELECT lang, n AS top_n FROM (
-    SELECT lang, n,
-      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, source) AS rk
-    FROM g) t
-  WHERE rk = 1
+-- per-lang totals and the top source from ONE pass over g (windows over
+-- the same lang partition) instead of two CTE references — Spark
+-- inlines CTEs, so the join form scanned documents twice
+g2 AS (
+  SELECT lang, n,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, source) AS rk,
+    CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS n_rows,
+    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT)
+      AS n_distinct_sources
+  FROM g
 )
-SELECT t.lang, t.n_rows, t.n_distinct_sources,
-  CAST(p.top_n AS DOUBLE) / t.n_rows AS fd_confidence
-FROM tot t JOIN top p ON t.lang = p.lang
+SELECT lang, n_rows, n_distinct_sources,
+  CAST(n AS DOUBLE) / n_rows AS fd_confidence
+FROM g2 WHERE rk = 1
 """,
 )
 
@@ -5377,34 +5432,64 @@ _sqlq(
 
 
 # Seasonality probe: lag-1 and lag-7 Pearson autocorrelation of daily
-# event counts. The day-grain series self-joins on an exact date offset,
-# and r comes from the closed form over INTEGER sums (counts and their
-# products stay far below 2^53), so the one sqrt+division expression is
-# bitwise identical cross-engine. Day grain ⇒ the join is calendar-sized.
-def _autocorr_sql(date_add) -> str:
-    terms = []
-    for lag in (1, 7):
-        terms.append(f"""
-SELECT {lag} AS lag_days, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-  (COUNT(*) * SUM(a.c * b.c) - SUM(a.c) * SUM(b.c))
-  / sqrt(CAST(COUNT(*) * SUM(a.c * a.c) - SUM(a.c) * SUM(a.c) AS DOUBLE)
-       * CAST(COUNT(*) * SUM(b.c * b.c) - SUM(b.c) * SUM(b.c) AS DOUBLE))
-    AS autocorr
-FROM daily a JOIN daily b ON b.d = {date_add("a.d", lag)}""")
+# event counts. ONE events scan: the day-grain series reads its lagged
+# neighbor with an integer-day RANGE window (empty frame on calendar
+# gaps ⇒ NULL ⇒ pair excluded, exactly the old date-join semantics),
+# both lags' moment sums come from one conditional aggregate, and the
+# final two rows unpivot from that single row (Spark stack / DuckDB
+# UNION — DuckDB materializes multiply-referenced CTEs, Spark inlines
+# them, which is why the old 4-reference join form scanned events 4×
+# with no exchange reuse). r is the closed form over INTEGER sums
+# (counts and their products stay far below 2^53), so the one
+# sqrt+division expression is bitwise identical cross-engine.
+def _autocorr_sql(dd_expr: str, unpivot: str) -> str:
+    moments = ", ".join(
+        f"""
+    CAST(COUNT(p{k}) AS BIGINT) AS n{k},
+    SUM(CASE WHEN p{k} IS NOT NULL THEN p{k} * c END) AS sab{k},
+    SUM(CASE WHEN p{k} IS NOT NULL THEN p{k} END) AS sa{k},
+    SUM(CASE WHEN p{k} IS NOT NULL THEN c END) AS sb{k},
+    SUM(CASE WHEN p{k} IS NOT NULL THEN p{k} * p{k} END) AS saa{k},
+    SUM(CASE WHEN p{k} IS NOT NULL THEN c * c END) AS sbb{k}"""
+        for k in (1, 7)
+    )
+    acs = ", ".join(
+        f"""
+    (n{k} * sab{k} - sa{k} * sb{k})
+      / sqrt(CAST(n{k} * saa{k} - sa{k} * sa{k} AS DOUBLE)
+           * CAST(n{k} * sbb{k} - sb{k} * sb{k} AS DOUBLE)) AS ac{k}"""
+        for k in (1, 7)
+    )
     return f"""
 WITH daily AS (
-  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
-    CAST(COUNT(*) AS BIGINT) AS c
-  FROM events GROUP BY date_trunc('day', ts)
-)
-{" UNION ALL ".join(terms)}
+  SELECT {dd_expr} AS dd, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY {dd_expr}
+),
+w AS (
+  SELECT c,
+    MAX(c) OVER (ORDER BY dd RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS p1,
+    MAX(c) OVER (ORDER BY dd RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS p7
+  FROM daily
+),
+agg AS (SELECT {moments} FROM w),
+agg2 AS (SELECT n1, n7, {acs} FROM agg)
+{unpivot}
 """
 
 
 _sqlq(
     "events_autocorrelation",
-    _autocorr_sql(lambda d, k: f"date_add({d}, {k})"),
-    _autocorr_sql(lambda d, k: f"{d} + {k}"),
+    _autocorr_sql(
+        "datediff(CAST(date_trunc('day', ts) AS DATE), DATE '1990-01-01')",
+        "SELECT stack(2, 1, n1, ac1, 7, n7, ac7)"
+        " AS (lag_days, n_pairs, autocorr) FROM agg2",
+    ),
+    _autocorr_sql(
+        "date_diff('day', DATE '1990-01-01',"
+        " CAST(date_trunc('day', ts) AS DATE))",
+        "SELECT 1 AS lag_days, n1 AS n_pairs, ac1 AS autocorr FROM agg2"
+        " UNION ALL SELECT 7, n7, ac7 FROM agg2",
+    ),
 )
 
 
@@ -5499,33 +5584,39 @@ _sqlq(
 
 
 # Cohort LTV curve: customers cohorted by first-order month; average
-# cumulative spend per cohort at each month-age. Money stays DECIMAL
+# cumulative spend per cohort at each month-age. Money is integer cents
 # through both aggregates; the cumulative window runs over the
-# (cohort, age) grid — months², not customers.
+# (cohort, age) grid — months², not customers. The cohort size rides
+# the firsts relation as a window count (the separate sized CTE cost a
+# third orders scan under Spark's CTE inlining).
 def _cohort_ltv_sql(months_between, strty: str) -> str:
     return f"""
 WITH firsts AS (
   SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort
   FROM orders GROUP BY o_custkey
 ),
+f2 AS (
+  SELECT o_custkey, cohort,
+    CAST(COUNT(*) OVER (PARTITION BY cohort) AS BIGINT) AS cohort_size
+  FROM firsts
+),
 spend AS (
-  SELECT f.cohort,
+  SELECT f.cohort, f.cohort_size,
     {months_between("date_trunc('month', o.o_orderdate)", "f.cohort")}
       AS age_months,
     SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_c,
     COUNT(DISTINCT o.o_custkey) AS active
-  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
-  GROUP BY f.cohort,
+  FROM orders o JOIN f2 f ON o.o_custkey = f.o_custkey
+  GROUP BY f.cohort, f.cohort_size,
     {months_between("date_trunc('month', o.o_orderdate)", "f.cohort")}
-),
-sized AS (SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort)
+)
 SELECT CAST(CAST(s.cohort AS DATE) AS {strty}) AS cohort,
   CAST(s.age_months AS INT) AS age_months,
   CAST(s.active AS BIGINT) AS active_customers,
   CAST(SUM(s.rev_c) OVER (PARTITION BY s.cohort ORDER BY s.age_months
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
-    / z.cohort_size AS cum_ltv_per_customer
-FROM spend s JOIN sized z ON s.cohort = z.cohort
+    / s.cohort_size AS cum_ltv_per_customer
+FROM spend s
 """
 
 
@@ -5644,36 +5735,40 @@ _sqlq(
 )
 
 
-def _dau_wau_sql(days_diff, strty: str) -> str:
-    """Engagement metrics: DAU per day plus rolling 7-day WAU. The WAU
-    distinct-over-window is exact via the (user, day) grain self-join —
-    day-grain rows are |days| × avg-DAU, tiny relative to events, so the
-    ≤7× join amplification is bounded; at warehouse scale swap in the
-    mergeable HLL sketches (`sketch_hll_mergeable`) for the same shape
-    approximately."""
+def _dau_wau_sql(date_add, strty: str) -> str:
+    """Engagement metrics: DAU per day plus rolling 7-day WAU, from ONE
+    events scan. Each distinct (user, day) row contributes to the 7
+    target days it is inside the window of (k = 0..6 explode, a bounded
+    7× fan-out of the tiny day-grain relation), so BOTH metrics come
+    from one groupBy(target day): WAU = COUNT(DISTINCT user), DAU =
+    COUNT(DISTINCT user at k=0); a target day with no k=0 contributor is
+    a calendar gap (or beyond the last day) and drops out — exactly the
+    old cal-join semantics. The previous 3-reference CTE form scanned
+    events three times on Spark, which inlines CTEs. At warehouse scale
+    swap in the mergeable HLL sketches (`sketch_hll_mergeable`) for the
+    same shape approximately."""
     return f"""
 WITH ud AS (
   SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
   FROM events
-), cal AS (SELECT DISTINCT d FROM ud),
-dau AS (
-  SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d
 ),
-wau AS (
-  SELECT c.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
-  FROM cal c JOIN ud u
-    ON {days_diff("u.d", "c.d")} BETWEEN 0 AND 6
-  GROUP BY c.d
+contrib AS (
+  SELECT user_id, {date_add("d", "k.k")} AS td, k.k
+  FROM ud, (VALUES (0), (1), (2), (3), (4), (5), (6)) AS k(k)
 )
-SELECT CAST(dau.d AS {strty}) AS day, dau.dau, wau.wau
-FROM dau JOIN wau ON dau.d = wau.d
+SELECT CAST(td AS {strty}) AS day,
+  CAST(COUNT(DISTINCT CASE WHEN k = 0 THEN user_id END) AS BIGINT) AS dau,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+FROM contrib
+GROUP BY td
+HAVING COUNT(DISTINCT CASE WHEN k = 0 THEN user_id END) > 0
 """
 
 
 _sqlq(
     "events_dau_wau",
-    _dau_wau_sql(lambda a, b: f"datediff({b}, {a})", "STRING"),
-    _dau_wau_sql(lambda a, b: f"date_diff('day', {a}, {b})", "VARCHAR"),
+    _dau_wau_sql(lambda d, k: f"date_add({d}, {k})", "STRING"),
+    _dau_wau_sql(lambda d, k: f"{d} + {k}", "VARCHAR"),
 )
 
 
@@ -5755,24 +5850,32 @@ def _rfm_sql(pctl: str, days_between) -> str:
     corpus max date), frequency (order count), monetary (exact decimal
     cents) — each cut at dyadic quartiles over INTEGERS (IEEE-exact
     interpolation), coded 1-4, rolled up to segment-cell counts. The
-    threshold table is one scalar-aggregate row broadcast back; no
-    global NTILE sort (same scale argument as llm_curriculum_order)."""
+    thresholds and the corpus max date are window aggregates over the
+    customer-grain relation, so the whole report is ONE orders scan —
+    the old scalar-subquery + threshold-CTE form scanned orders four
+    times under Spark's CTE inlining (percentiles are holistic and
+    funnel to one reducer either way, so the window form costs the same
+    there and strictly less everywhere else); no global NTILE sort
+    (same scale argument as llm_curriculum_order)."""
     return f"""
-WITH per_cust AS (
-  SELECT o_custkey,
-    {days_between("MAX(o_orderdate)", "(SELECT MAX(o_orderdate) FROM orders)")}
-      AS r_days,
+WITH per_cust0 AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_d,
     CAST(COUNT(*) AS BIGINT) AS f_orders,
     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
   FROM orders GROUP BY o_custkey
-), th AS (
-  SELECT
-    {pctl}(r_days, 0.25) AS r1, {pctl}(r_days, 0.5) AS r2,
-    {pctl}(r_days, 0.75) AS r3,
-    {pctl}(f_orders, 0.25) AS f1, {pctl}(f_orders, 0.5) AS f2,
-    {pctl}(f_orders, 0.75) AS f3,
-    {pctl}(m_cents, 0.25) AS m1, {pctl}(m_cents, 0.5) AS m2,
-    {pctl}(m_cents, 0.75) AS m3
+), per_cust AS (
+  SELECT o_custkey,
+    {days_between("last_d", "MAX(last_d) OVER ()")} AS r_days,
+    f_orders, m_cents
+  FROM per_cust0
+), coded AS (
+  SELECT r_days, f_orders, m_cents,
+    {pctl}(r_days, 0.25) OVER () AS r1, {pctl}(r_days, 0.5) OVER () AS r2,
+    {pctl}(r_days, 0.75) OVER () AS r3,
+    {pctl}(f_orders, 0.25) OVER () AS f1, {pctl}(f_orders, 0.5) OVER () AS f2,
+    {pctl}(f_orders, 0.75) OVER () AS f3,
+    {pctl}(m_cents, 0.25) OVER () AS m1, {pctl}(m_cents, 0.5) OVER () AS m2,
+    {pctl}(m_cents, 0.75) OVER () AS m3
   FROM per_cust
 )
 SELECT
@@ -5786,7 +5889,7 @@ SELECT
          + CASE WHEN m_cents >= m2 THEN 1 ELSE 0 END
          + CASE WHEN m_cents >= m3 THEN 1 ELSE 0 END AS INT) AS m_code,
   CAST(COUNT(*) AS BIGINT) AS n_customers
-FROM per_cust CROSS JOIN th
+FROM coded
 GROUP BY 1, 2, 3
 """
 
@@ -5807,9 +5910,17 @@ _sqlq(
 _sqlq(
     "events_conversion_latency",
     _conv_latency_sql(
-        "percentile", lambda c: f"unix_micros(CAST({c} AS TIMESTAMP))"
+        "percentile",
+        lambda c: f"unix_micros(CAST({c} AS TIMESTAMP))",
+        amin="array_min",
+        collect="collect_list",
     ),
-    _conv_latency_sql("quantile_cont", lambda c: f"epoch_us({c})"),
+    _conv_latency_sql(
+        "quantile_cont",
+        lambda c: f"epoch_us({c})",
+        amin="list_min",
+        collect="list",
+    ),
 )
 
 

@@ -31,27 +31,40 @@ def funnel_steps(
     """Ordered-funnel completion per user: for step k, the earliest event
     of type ``steps[k]`` strictly after the user's step-k-1 time.
 
-    Output: (user, step_1_ts … step_n_ts, funnel_depth). One aggregate per
-    step over a join back to the events table keyed on the user — at scale
-    each stage is a shuffle on ``user_col`` only, and AQE broadcasts the
-    (users × 1 row) step frame against the events scan.
+    Output: (user, step_1_ts … step_n_ts, funnel_depth). ONE events scan
+    and ONE user_col shuffle for ANY number of steps: each later step's
+    timestamps collect into a per-user array (bounded by per-user
+    activity) in a single aggregate, and the sequential
+    min-strictly-after chain becomes array min-over-filter projections.
+    The join-per-step form scanned events k times (2k−1 counting the
+    chain joins) — a fact-table multiplier that has no business
+    surviving at 100 TB.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
-    cur = (
-        events.where(F.col(type_col) == steps[0])
-        .groupBy(user_col)
-        .agg(F.min(ts_col).alias("step_1_ts"))
-    )
-    for k, step in enumerate(steps[1:], start=2):
-        nxt = (
-            events.where(F.col(type_col) == step)
-            .join(cur.select(user_col, f"step_{k - 1}_ts"), user_col)
-            .where(F.col(ts_col) > F.col(f"step_{k - 1}_ts"))
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias(f"step_{k}_ts"))
+    aggs = [
+        F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col))).alias(
+            "step_1_ts"
         )
-        cur = cur.join(nxt, user_col, "left")
+    ]
+    for k, step in enumerate(steps[1:], start=2):
+        aggs.append(
+            F.collect_list(
+                F.when(F.col(type_col) == step, F.col(ts_col))
+            ).alias(f"_a{k}")
+        )
+    cur = (
+        events.where(F.col(type_col).isin(steps))
+        .groupBy(user_col)
+        .agg(*aggs)
+        .where(F.col("step_1_ts").isNotNull())
+    )
+    for k in range(2, len(steps) + 1):
+        prev = F.col(f"step_{k - 1}_ts")
+        cur = cur.withColumn(
+            f"step_{k}_ts",
+            F.array_min(F.filter(F.col(f"_a{k}"), lambda x: x > prev)),
+        ).drop(f"_a{k}")
     depth = F.lit(0)
     for k in range(1, len(steps) + 1):
         depth = depth + F.when(
