@@ -4896,9 +4896,87 @@ CROSS JOIN totals t
 """
 
 
-_sqlq(
+def _market_basket_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame twin of _basket_sql with the sessionized item relation
+    PERSISTED: the pure-SQL form references `items` five ways (totals,
+    per-item support, both self-join sides) and Spark's CTE inlining
+    re-ran the double-window sessionize per reference — five events
+    scans. Here the (user, session, item) relation materializes once and
+    all three aggregates read the cache. Values mirror the oracle
+    literally (same window pair, same explicit-cast lift arithmetic)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = us - F.lag(us).over(w)
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap.isNull() | (gap > 1800 * 1000000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    numbered = tagged.select(
+        "user_id",
+        "event_type",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("session_seq"),
+    )
+    items = numbered.select(
+        "user_id", "session_seq", "event_type"
+    ).distinct().persist()
+    totals = items.agg(
+        F.count_distinct(
+            F.col("user_id") * 1000000 + F.col("session_seq")
+        ).cast("bigint").alias("n_sessions")
+    )
+    sup = items.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_seq") == F.col("b.session_seq"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    sa = sup.select(F.col("event_type").alias("item_a"), F.col("s").alias("sa"))
+    sb = sup.select(F.col("event_type").alias("item_b"), F.col("s").alias("sb"))
+    return (
+        pairs.join(sa, "item_a")
+        .join(sb, "item_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            (
+                (
+                    F.col("support").cast("double")
+                    * F.col("n_sessions").cast("double")
+                )
+                / (F.col("sa").cast("double") * F.col("sb").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+_dfq(
     "events_market_basket",
-    _basket_sql("unix_micros(CAST(ts AS TIMESTAMP))"),
+    _market_basket_fn,
     _basket_sql("epoch_us(ts)"),
 )
 
@@ -6620,27 +6698,64 @@ def _dq_report_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality report (operators/dq): null rate, key uniqueness,
     referential integrity, range and accepted-value checks over the
     TPC-H tables, unioned into one (check, n_bad) result."""
+    from pyspark.sql import functions as F
+
     from dask_sql_spark.operators.dq import (
-        accepted_values,
         dq_report,
-        duplicate_keys,
-        null_count,
+        fused_checks,
         orphan_keys,
-        range_violations,
     )
 
     orders = _table(spark, sf_dir, "orders")
     customer = _table(spark, sf_dir, "customer")
     lineitem = _table(spark, sf_dir, "lineitem")
+    # each table's row-level rules fuse into ONE aggregate/scan
+    # (dq.fused_checks); only the referential checks add a scan each —
+    # the standalone-union form read orders 3x and lineitem 2x for the
+    # same numbers
+    okey = F.struct(F.col("o_orderkey"))
+    lkey = F.struct(F.col("l_orderkey"), F.col("l_linenumber"))
+    lnn = F.col("l_orderkey").isNotNull() & F.col("l_linenumber").isNotNull()
+    st = F.col("o_orderstatus")
+    disc = F.col("l_discount")
     return dq_report(
         [
-            null_count(orders, "o_custkey"),
-            duplicate_keys(orders, ["o_orderkey"]),
-            duplicate_keys(lineitem, ["l_orderkey", "l_linenumber"]),
+            fused_checks(
+                orders,
+                {
+                    "null:o_custkey": F.count(F.lit(1))
+                    - F.count(F.col("o_custkey")),
+                    "dup_key:o_orderkey": F.count(
+                        F.when(F.col("o_orderkey").isNotNull(), okey)
+                    )
+                    - F.count_distinct(
+                        F.when(F.col("o_orderkey").isNotNull(), okey)
+                    ),
+                    "accepted:o_orderstatus": F.count(
+                        F.when(
+                            st.isNotNull() & ~st.isin(["O", "F", "P"]), 1
+                        )
+                    ),
+                },
+            ),
+            fused_checks(
+                lineitem,
+                {
+                    "dup_key:l_orderkey,l_linenumber": F.count(
+                        F.when(lnn, lkey)
+                    )
+                    - F.count_distinct(F.when(lnn, lkey)),
+                    "range:l_discount": F.count(
+                        F.when(
+                            disc.isNotNull()
+                            & ((disc < 0.0) | (disc > 0.1)),
+                            1,
+                        )
+                    ),
+                },
+            ),
             orphan_keys(orders, customer, "o_custkey", "c_custkey"),
             orphan_keys(lineitem, orders, "l_orderkey", "o_orderkey"),
-            range_violations(lineitem, "l_discount", 0.0, 0.1),
-            accepted_values(orders, "o_orderstatus", ["O", "F", "P"]),
         ]
     )
 

@@ -109,6 +109,29 @@ def dq_report(checks: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), checks)
 
 
+def fused_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """All of one table's row-level checks in ONE aggregate — ONE scan.
+    ``checks`` maps check name → long-valued aggregate expression (the
+    same expressions the standalone helpers use); the single result row
+    unpivots to (check, n_bad) via stack, a projection. Unioning
+    standalone one-check frames instead costs one full scan per check —
+    at 100 TB a 5-rule suite reads the table five times for five
+    numbers one reducer row can carry."""
+    if not checks:
+        raise ValueError("checks must be non-empty")
+    names = list(checks)
+    row = df.agg(
+        *[
+            checks[k].cast("long").alias(f"_c{i}")
+            for i, k in enumerate(names)
+        ]
+    )
+    pairs = ", ".join(f"'{k}', _c{i}" for i, k in enumerate(names))
+    return row.selectExpr(
+        f"stack({len(names)}, {pairs}) AS (check, n_bad)"
+    )
+
+
 def key_skew_report(
     df: DataFrame, key_col: str, k: int = 20
 ) -> DataFrame:

@@ -1210,6 +1210,54 @@ def test_dq_checks_catch_planted_defects(spark):
     assert report["accepted:status"] == 1  # 'Z'
 
 
+def test_fused_checks_match_standalone_and_scan_once(spark):
+    """fused_checks computes all row-level rules in one aggregate with
+    the same numbers the standalone helpers report, and its plan reads
+    the table exactly once."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.dq import fused_checks
+
+    df = spark.createDataFrame(
+        [(1, 0.05, "A"), (1, 0.5, "A"), (None, 0.05, "Z"), (2, None, "A")],
+        "k LONG, v DOUBLE, status STRING",
+    )
+    kk = F.struct(F.col("k"))
+    out = fused_checks(
+        df,
+        {
+            "null:k": F.count(F.lit(1)) - F.count(F.col("k")),
+            "dup_key:k": F.count(F.when(F.col("k").isNotNull(), kk))
+            - F.count_distinct(F.when(F.col("k").isNotNull(), kk)),
+            "range:v": F.count(
+                F.when(
+                    F.col("v").isNotNull()
+                    & ((F.col("v") < 0.0) | (F.col("v") > 0.1)),
+                    1,
+                )
+            ),
+            "accepted:status": F.count(
+                F.when(
+                    F.col("status").isNotNull()
+                    & ~F.col("status").isin(["A", "B"]),
+                    1,
+                )
+            ),
+        },
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain()  # pre-execution plan: exactly one source read
+    assert buf.getvalue().count("Scan ExistingRDD") == 1
+    got = {r["check"]: r["n_bad"] for r in out.collect()}
+    assert got == {
+        "null:k": 1, "dup_key:k": 1, "range:v": 1, "accepted:status": 1
+    }
+
+
 def test_unigram_entropy_orders_by_diversity(spark):
     from dask_sql_spark.operators.text import add_unigram_entropy
 
