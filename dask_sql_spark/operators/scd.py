@@ -72,36 +72,40 @@ def scd2_apply(
     has_update = F.col("__k").isNotNull()
 
     dim_cols = dim.columns
-    kept_current = joined.where(~has_update | ~changed).select(*dim_cols)
-    closed = (
-        joined.where(has_update & changed)
-        .withColumn(valid_to, F.col("__ts"))
-        .select(*dim_cols)
+    # kept-current and closed rows are the SAME relation with valid_to
+    # conditionally stamped — one projection of `joined`, not two
+    # filtered branches (each branch re-ran the dim scan + update join
+    # under plan inlining; with the insert branch the old shape read the
+    # dimension source nine times)
+    merged_cur = joined.select(
+        *[
+            F.when(has_update & changed, F.col("__ts"))
+            .otherwise(F.col(valid_to))
+            .alias(valid_to)
+            if c == valid_to
+            else F.col(c)
+            for c in dim_cols
+        ]
     )
 
-    # new current versions: changed keys + keys absent from the dimension
-    changed_keys = joined.where(has_update & changed).select(
-        F.col(key_col).alias("__ck")
+    # new current versions, computed directly at the BATCH grain: a
+    # latest-batch row inserts when its key has no current row or its
+    # tracked attrs differ from the current row
+    c2 = cur.select(
+        F.col(key_col).alias("__k2"),
+        *[F.col(c).alias(f"__c_{c}") for c in tracked_cols],
     )
-    new_keys = latest.join(
-        cur.select(F.col(key_col).alias("__ck")),
-        latest[key_col] == F.col("__ck"),
-        "left_anti",
-    ).select(F.col(key_col).alias("__ck"))
-    insert_keys = changed_keys.unionByName(new_keys)
+    cj = c2.join(
+        F.broadcast(latest), F.col("__k2") == latest[key_col], "right"
+    )
+    changed2 = F.lit(False)
+    for c in tracked_cols:
+        changed2 = changed2 | ~F.col(f"__c_{c}").eqNullSafe(F.col(c))
     inserts = (
-        latest.join(
-            F.broadcast(insert_keys),
-            latest[key_col] == F.col("__ck"),
-            "left_semi",
-        )
+        cj.where(F.col("__k2").isNull() | changed2)
         .withColumn(valid_from, F.col(ts_col))
         .withColumn(valid_to, F.lit(None).cast(dim.schema[valid_to].dataType))
         .select(*dim_cols)
     )
 
-    return (
-        hist.unionByName(kept_current)
-        .unionByName(closed)
-        .unionByName(inserts)
-    )
+    return hist.unionByName(merged_cur).unionByName(inserts)
