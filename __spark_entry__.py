@@ -7,12 +7,21 @@ DuckDB-equivalent SQL for the side-by-side correctness gate.
 
 Cross-engine determinism rules used throughout (see also
 dask_sql_spark/operators/hashing.py):
-- money/double sums route through DECIMAL casts (exact, order-independent),
-  then CAST back to DOUBLE so both engines emit identical doubles;
+- money/double sums scale to integer units first — CAST(ROUND(x * 10^s)
+  AS BIGINT) cents/micros, summed as BIGINT (exact, order-independent),
+  one division back — NEVER a double→DECIMAL cast: ROUND on a double is
+  a single IEEE op both engines resolve identically for every value
+  below 2^52 (ties away from zero in Spark's HALF_UP and DuckDB's
+  std::round alike), where double→DECIMAL tie rounding proved
+  engine-BUILD-dependent (round-3 driver reds; fenced by
+  tools/type_sweep.py);
 - every hash is md5-derived (identical in Spark and DuckDB);
 - LIMIT queries always carry a fully deterministic ORDER BY tie-break;
 - fp-sensitive aggregates (stddev/corr) are ROUNDed to kill last-ulp
-  engine differences.
+  engine differences;
+- a fact-scanning CTE is never referenced twice (Spark inlines CTEs
+  with no exchange reuse — multi-references re-scan; window/unpivot
+  forms keep every report single-scan).
 """
 
 from __future__ import annotations
