@@ -456,6 +456,38 @@ def test_embedding_lsh_near_dupes_recall(spark):
     assert recall >= 0.8, f"recall {recall} below multiprobe bound"
 
 
+def test_signature_join_matches_signature_col(spark):
+    """signature_join (broadcast plane table, O(1) expression tree) must
+    produce bit-identical LSH signatures to signature_col (inlined
+    literals) — same dot folds over the same doubles, different plan
+    shapes only."""
+    import numpy as np
+
+    from dask_sql_spark.operators.similarity import (
+        _hyperplanes,
+        signature_col,
+        signature_join,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, v ARRAY<DOUBLE>")
+    planes = _hyperplanes(16, 6, seed=42)
+
+    via_col = {
+        r.id: r.sig
+        for r in df.withColumn(
+            "sig", signature_col(F.col("v"), planes)
+        ).collect()
+    }
+    via_join = {
+        r.id: r.sig for r in signature_join(df, planes).collect()
+    }
+    assert via_join == via_col
+
+
 def test_embedding_lsh_kernel_parity(spark):
     """kernel="fold" (Catalyst cosine, the oracle-replayable path) and
     kernel="blas" (numpy matmul, the throughput path) must emit the SAME
