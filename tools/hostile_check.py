@@ -26,10 +26,16 @@ def main() -> int:
 
     tz = os.environ.get("HOSTILE_TZ", "Asia/Kolkata")
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    # HOSTILE_PARTS shakes out partitioning-order dependence: a gate
+    # whose value changes with the shuffle partition count (i.e. with
+    # float combine order) is a latent driver red — every reduction is
+    # supposed to be integer-exact or ROUND-masked, so any odd count
+    # must produce bitwise-identical results
+    parts = os.environ.get("HOSTILE_PARTS", "16")
     spark = (
         SparkSession.builder.master("local[16]")
         .appName("hostile_check")
-        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.shuffle.partitions", parts)
         .config("spark.sql.session.timeZone", tz)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .getOrCreate()
