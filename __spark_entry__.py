@@ -7333,6 +7333,92 @@ SELECT CAST(r_regionkey + 100 AS BIGINT) AS k, r_name AS name FROM region
 )
 
 
+def _create_table_with_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE ... WITH (location=, format=) under the value gate
+    (the reference's flagship DDL form, create_table.py): register the
+    orders parquet under a NEW name through the statement layer, then
+    aggregate through that registration — what returns went through the
+    WITH-kwargs dispatch, not the pre-registered view."""
+    ctx = _ctx(spark, sf_dir)
+    ctx.sql(
+        f"""CREATE OR REPLACE TABLE ctw_orders WITH (
+              location = '{sf_dir}/orders.parquet',
+              format = 'parquet'
+            )"""
+    )
+    return ctx.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM ctw_orders GROUP BY o_orderstatus"""
+    )
+
+
+_dfq(
+    "stmt_create_table_with",
+    _create_table_with_fn,
+    """
+SELECT o_orderstatus, COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders GROUP BY o_orderstatus
+""",
+)
+
+
+def _show_objects_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema/table lifecycle under the value gate: CREATE SCHEMA →
+    two CREATE TABLEs in it → DROP one → SHOW TABLES FROM that schema.
+    The surviving registry state is the deterministic output (scoped to
+    the gate's own schema so parallel statements elsewhere can't leak
+    in); the oracle is the literal expected listing."""
+    ctx = _ctx(spark, sf_dir)
+    ctx.sql("CREATE SCHEMA IF NOT EXISTS gate_show")
+    ctx.sql(
+        f"""CREATE OR REPLACE TABLE gate_show.keep_me WITH (
+              location = '{sf_dir}/region.parquet', format = 'parquet')"""
+    )
+    ctx.sql(
+        f"""CREATE OR REPLACE TABLE gate_show.drop_me WITH (
+              location = '{sf_dir}/nation.parquet', format = 'parquet')"""
+    )
+    ctx.sql("DROP TABLE gate_show.drop_me")
+    return ctx.sql("SHOW TABLES FROM gate_show")
+
+
+_dfq(
+    "stmt_show_objects",
+    _show_objects_fn,
+    """
+SELECT * FROM (VALUES ('keep_me')) AS t("Table")
+""",
+)
+
+
+def _show_columns_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW COLUMNS metadata statement under the value gate: the
+    customer registration's (Column, Type, Nullable) listing, fully
+    deterministic — the oracle is the literal expected schema. (A
+    timestamp column would gate the session's parquet NTZ inference
+    rather than the statement, so the probe table is all
+    integer/double/string.)"""
+    return _ctx(spark, sf_dir).sql("SHOW COLUMNS FROM customer")
+
+
+_dfq(
+    "stmt_show_columns",
+    _show_columns_fn,
+    """
+SELECT * FROM (VALUES
+  ('c_custkey', 'BIGINT', 'YES'),
+  ('c_name', 'STRING', 'YES'),
+  ('c_nationkey', 'INT', 'YES'),
+  ('c_acctbal', 'DOUBLE', 'YES'),
+  ('c_mktsegment', 'STRING', 'YES')
+) AS t("Column", "Type", "Nullable")
+""",
+)
+
+
 def _schema_evolution_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution read: two parquet generations under one
     location — v1 writes (doc_id, lang), v2 adds `source` — read back
@@ -8446,11 +8532,13 @@ _VERIFY_FIRST = [
     "source_schema_evolution", "dedup_components_minhash",
     "dedup_containment", "dedup_fuzzy_levenshtein",
     "events_resample_15min", "window_cumulative_distinct",
-    # (e) one per remaining ungated operator family
+    # (e) one per remaining ungated operator family, plus the three
+    # §2.9 statements that had only pytest evidence until this round
+    # (CREATE TABLE WITH, schema/table lifecycle + SHOW TABLES,
+    # SHOW COLUMNS)
     "sketch_hll_mergeable", "sketch_top_k", "sql_update_delete",
     "join_lateral", "sql_qualify", "dedup_embedding_lsh",
-    "dedup_incremental", "text_winnow_fingerprints",
-    "sink_partitioned_prune",
+    "stmt_create_table_with", "stmt_show_objects", "stmt_show_columns",
 ]
 
 
