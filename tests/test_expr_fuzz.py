@@ -99,3 +99,47 @@ def test_str_expr_matches_duckdb(context, duck, expr):
     got = context.sql(f"SELECT {spark_sql} AS v").collect()[0].v
     want = duck.execute(f"SELECT {duck_sql} AS v").fetchone()[0]
     assert got == want, f"{spark_sql!r} -> {got} vs {duck_sql!r} -> {want}"
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    cents=st.integers(min_value=-(10**13), max_value=10**13),
+    scale=st.sampled_from([100.0, 10000.0, 1000000.0]),
+)
+def test_round_integer_scaling_matches_duckdb(context, duck, cents, scale):
+    """The rounding-neutral gate primitive: CAST(ROUND(x * s) AS BIGINT)
+    must be bit-identical across engines for every money-like double —
+    including values that sit EXACTLY on .5 ties after scaling (both
+    engines round ties away from zero) and values a few ULPs off a
+    boundary. x is constructed as cents/100.0 so the scaled product
+    sweeps near-integer, exact-tie, and far-from-tie regimes."""
+    x = cents / 100.0
+    spark_sql = f"SELECT CAST(ROUND(CAST({x!r} AS DOUBLE) * {scale}) AS BIGINT) AS v"
+    duck_sql = spark_sql
+    got = context.sql(spark_sql).collect()[0].v
+    want = duck.execute(duck_sql).fetchone()[0]
+    assert got == want, f"x={x!r} scale={scale}: spark {got} vs duck {want}"
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_round_scaling_arbitrary_doubles_match(context, duck, vals):
+    """Same primitive over ARBITRARY doubles (not cent-aligned): both
+    engines must agree on ROUND(x * 1e6) for any representable double,
+    because the scaled product is the identical IEEE result and ROUND
+    ties go away from zero in both."""
+    exprs = ", ".join(
+        f"CAST(ROUND(CAST({v!r} AS DOUBLE) * 1000000) AS BIGINT) AS v{i}"
+        for i, v in enumerate(vals)
+    )
+    got = list(context.sql(f"SELECT {exprs}").collect()[0])
+    want = list(duck.execute(f"SELECT {exprs}").fetchone())
+    assert got == want
