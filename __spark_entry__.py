@@ -2491,30 +2491,39 @@ def _knn_confusion_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-training sanity check before trusting embeddings for dedup or
     retrieval. Scale: swap the brute scan for lsh_topk buckets; the
     confusion aggregate itself is label-cardinality sized."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from dask_sql_spark.operators.similarity import brute_force_topk
+    from dask_sql_spark.operators.dedup import cosine
 
+    # same broadcast-query / corpus-scan shape as brute_force_topk
+    # (and the same (cos DESC, id asc) rank ordering), but with labels
+    # carried through the scored join — the join-back-to-labels form
+    # re-scanned the embeddings corpus twice just to recover them
     emb = _table(spark, sf_dir, "embeddings")
-    nn = brute_force_topk(emb, emb.where("vec_id % 10 = 0"), k=1)
-    lbl = emb.select("vec_id", "label")
-    return (
-        nn.join(
-            lbl.select(
-                F.col("vec_id").alias("query_id"),
-                F.col("label").alias("label_q"),
-            ),
-            "query_id",
-        )
-        .join(
-            lbl.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("label").alias("label_n"),
-            ),
-            "neighbor_id",
-        )
-        .groupBy("label_q", "label_n")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    c = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_n"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    q = emb.where("vec_id % 10 = 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("label_q"),
+        F.col("embedding").cast("array<double>").alias("vq"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("id_b"))
+        .withColumn("cos", cosine(F.col("vq"), F.col("vb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("id_b").asc()
+    )
+    nn = scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") == 1
+    )
+    return nn.groupBy("label_q", "label_n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )
 
 
