@@ -41,6 +41,7 @@ def pack_documents(
     text_col: str = "text",
     token_count_col: str | None = None,
     partition_col: str | None = None,
+    shards: int | None = None,
 ) -> DataFrame:
     """(id, n_tokens, pack_id, pack_offset) — streaming first-fit packing
     in ``id_col`` order.
@@ -51,11 +52,16 @@ def pack_documents(
     (e.g. real BPE lengths); otherwise whitespace tokens are counted.
 
     ``partition_col`` packs independently per partition value (e.g. per
-    split or per shard) — the scalable shape: a partitioned window
-    shuffles once on that key instead of sorting globally. Without it,
-    one global window sort — at 100 TB shard first (e.g. by hash
-    bucket) and pack within shards: packs never need to be globally
-    ordered, only internally budgeted.
+    split) — a partitioned window that shuffles once on that key instead
+    of sorting globally. A cumulative window still funnels each
+    partition value through ONE task, so with a handful of splits the
+    cumsum stage caps at that many tasks. ``shards=N`` is the 100 TB
+    form: documents land deterministically in ``xxhash64(id) mod N``
+    sub-shards, packing runs per (partition, shard) — N-way parallel —
+    and ``pack_id`` = ``shard * 2^40 + local_pack`` stays globally
+    unique. Packs never need to be globally ordered, only internally
+    budgeted, so sharded packing is exactly as valid a batch plan as the
+    serial one (each pack still fills in id order within its shard).
     """
     keep = [id_col] + ([partition_col] if partition_col else [])
     if token_count_col is None:
@@ -66,18 +72,28 @@ def pack_documents(
         counted = df.select(
             *keep, F.col(token_count_col).alias("n_tokens")
         )
-    base = (
-        Window.partitionBy(partition_col) if partition_col else Window
-    )
+    part_cols = [partition_col] if partition_col else []
+    if shards is not None:
+        counted = counted.withColumn(
+            "__shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+        )
+        part_cols = part_cols + ["__shard"]
+    base = Window.partitionBy(*part_cols) if part_cols else Window
     w = base.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    local_pack = F.floor(
+        (F.col("running") - F.col("n_tokens")) / max_tokens
+    ).cast("long")
+    pack_id = (
+        (F.col("__shard") * F.lit(1 << 40) + local_pack)
+        if shards is not None
+        else local_pack
+    )
     return (
         counted.withColumn("running", F.sum("n_tokens").over(w))
         .select(
             *keep,
             "n_tokens",
-            F.floor((F.col("running") - F.col("n_tokens")) / max_tokens)
-            .cast("long")
-            .alias("pack_id"),
+            pack_id.alias("pack_id"),
             (F.col("running") - F.col("n_tokens")).alias("pack_offset"),
         )
     )

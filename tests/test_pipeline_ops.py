@@ -566,6 +566,44 @@ def test_pack_documents_budget_semantics(spark):
     assert out == {1: (0, 0), 2: (0, 3), 3: (1, 5), 4: (2, 9)}
 
 
+def test_pack_documents_sharded_parallel_form(spark):
+    """shards=N packs per deterministic hash sub-shard: every pack still
+    fills in id order within its shard and respects the budget (one
+    straddler allowed), pack ids are globally unique across shards, and
+    the assignment is deterministic run to run."""
+    import pandas as pd
+
+    from dask_sql_spark.operators.llmprep import pack_documents
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 41)),
+            "text": [" ".join(["w"] * (1 + i % 5)) for i in range(40)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = pack_documents(df, max_tokens=6, shards=4)
+    rows = out.collect()
+    again = {r.doc_id: (r.pack_id, r.pack_offset) for r in out.collect()}
+    assert {r.doc_id: (r.pack_id, r.pack_offset) for r in rows} == again
+
+    # per pack: docs fill in id order, first token inside the budget
+    by_pack: dict = {}
+    for r in rows:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for pack, members in by_pack.items():
+        members.sort(key=lambda r: r.pack_offset)
+        ids = [m.doc_id for m in members]
+        assert ids == sorted(ids)
+        base = min(m.pack_offset for m in members)
+        for m in members:
+            assert (m.pack_offset - base) < 6 or m is members[0]
+    # shards partition the id space: pack ids from different shards
+    # occupy disjoint 2^40 bands
+    bands = {r.pack_id >> 40 for r in rows}
+    assert len(bands) > 1  # 40 docs over 4 hash shards: several used
+
+
 def test_chunk_documents_overlap(spark):
     import pandas as pd
 
