@@ -52,7 +52,10 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in co.TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written dataset: glob the parts
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     filters = sys.argv[1:]
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
