@@ -127,7 +127,13 @@ def main() -> int:
         print(f"engines: duckdb={duckdb.__version__} "
               f"pyspark={pyspark.__version__}")
 
-    spark = default_spark_session(shuffle_partitions=16)
+    # CHECK_MEM / CHECK_PARTS size the session for larger SF_DIRs (the
+    # sf0.01 default gate fits the defaults; an sf1 sweep needs a real
+    # heap — local mode's driver IS the executor)
+    spark = default_spark_session(
+        shuffle_partitions=int(os.environ.get("CHECK_PARTS", "16")),
+        **{"spark.driver.memory": os.environ.get("CHECK_MEM", "4g")},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
