@@ -132,7 +132,15 @@ def main() -> int:
     # heap — local mode's driver IS the executor)
     spark = default_spark_session(
         shuffle_partitions=int(os.environ.get("CHECK_PARTS", "16")),
-        **{"spark.driver.memory": os.environ.get("CHECK_MEM", "4g")},
+        **{
+            "spark.driver.memory": os.environ.get("CHECK_MEM", "4g"),
+            # full results collect to the checker for comparison; at
+            # sf1 the biggest (per-bucket resample spines) exceed the
+            # 1g default
+            "spark.driver.maxResultSize": os.environ.get(
+                "CHECK_MAX_RESULT", "1g"
+            ),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
