@@ -8504,50 +8504,49 @@ def _driver_verified_names() -> set[str]:
     return ok
 
 
-# Round-4 window curation (round-3 judge, "Next round" #1-#5): the two
-# round-3 red rows lead, rebuilt on rounding-neutral integer-cents gates
-# (the double→DECIMAL tie-rounding class is swept repo-wide and fenced by
-# tools/type_sweep.py).  Then every other query whose oracle text changed
-# in the sweep AND has never been driver-sampled — the driver must
-# confirm the new gates under ITS DuckDB build, not just the local one.
-# Then the judge-named operators whose only oracle evidence is
-# builder-local, then one representative per remaining ungated operator
-# family (sketches, QUALIFY, LATERAL, UPDATE/DELETE, percentiles,
-# winnowing, partition-pruned sinks).  Exactly 50 names = the window.
+# Round-5 window curation (round-4 judge, "Next round" #1): the entire
+# 50-row window goes to draining the 90-query never-driver-sampled
+# backlog — zero new code gets a slot; the judge-named operators whose
+# ONLY evidence is builder-local verification lead, then one
+# representative per remaining never-sampled family. All 90 were
+# re-verified locally against DuckDB this round before curation
+# (tools/check_oracle.py: 90 pass / 0 fail). The 40 left over — plus
+# this round's four new gates (ANALYZE TABLE, DESCRIBE MODEL, Hive
+# source, CREATE EXPERIMENT) — queue behind these via registration
+# order and fit inside the round-6 window (44 ≤ 50).
 _VERIFY_FIRST = [
-    # (a) round-3 reds, now integer-cents exact
-    "stmt_merge_into", "join_salted",
-    # (b) new gates this round: Presto-wire HTTP round-trip (§2.11's
-    # first value-gated row) and IVF top-k with a fixed replayable
-    # codebook (graduates from rows-only like ann_lsh_topk did in r3)
-    "server_roundtrip", "ann_ivf_topk",
-    # (c) sweep-changed, never driver-sampled — TPC-H closure first
-    "q11_important_stock", "q20_part_promotion",
-    "window_range_interval", "window_ratio_to_report",
-    "sql_group_by_all", "scalar_pg_cast_syntax",
-    "events_rolling_anomaly", "events_ohlc_bars", "events_twap",
-    "events_daily_value_bands", "events_rollup_multires",
-    "join_point_in_time", "maint_refresh_aggregate",
-    "ml_kmeans_one_step", "emb_centroid_cosine",
-    "emb_drift_centroid_shift", "emb_quantize_int8",
-    "orders_ma_crossover", "orders_wow_growth", "orders_cohort_ltv",
-    "orders_rfm_segmentation", "customers_gini_revenue",
-    "suppliers_hhi_concentration", "parts_abc_classification",
-    "trade_flow_matrix",
-    "text_unigram_lm_bits", "text_bigram_lm_bits", "text_bm25_search",
-    "search_hybrid_rerank",
-    # (d) judge-named: operators whose only gate evidence is local
-    "stmt_optimize_roundtrip", "sink_codec_roundtrip",
-    "source_schema_evolution", "dedup_components_minhash",
-    "dedup_containment", "dedup_fuzzy_levenshtein",
-    "events_resample_15min", "window_cumulative_distinct",
-    # (e) one per remaining ungated operator family, plus the three
-    # §2.9 statements that had only pytest evidence until this round
-    # (CREATE TABLE WITH, schema/table lifecycle + SHOW TABLES,
-    # SHOW COLUMNS)
-    "sketch_hll_mergeable", "sketch_top_k", "sql_update_delete",
-    "join_lateral", "sql_qualify", "dedup_embedding_lsh",
-    "stmt_create_table_with", "stmt_show_objects", "stmt_show_columns",
+    # (a) LLM-pipeline curation ops — judge-named, no other driver
+    # evidence for the curate family at all
+    "curate_redact_pii", "curate_decontaminate", "curate_blocklist",
+    "curate_mix_corpora", "curate_semantic_decon", "curate_source_quota",
+    "curate_stratified_sample", "curate_topk_sample",
+    # (b) LLM dataset-prep ops — judge-named
+    "llm_chunk_documents", "llm_dataset_card", "llm_curriculum_order",
+    "llm_assign_splits", "llm_filter_funnel", "llm_shuffle_shards",
+    "llm_source_quality",
+    # (c) core funnel/retention analytics — judge flagged as "core
+    # funnel ops!" with no driver evidence
+    "events_funnel", "events_funnel_dropoff", "events_retention",
+    "events_dau_wau", "events_gaps_islands",
+    # (d) dedup/text operators whose table row says "local" only
+    "dedup_incremental", "dedup_incremental_near", "dedup_keeper_quality",
+    "dedup_method_overlap",
+    "text_tfidf_topterms", "text_rake_keyphrases", "text_ngram_topk",
+    "text_bpe_pairs", "text_winnow_fingerprints",
+    "search_mmr_rerank", "ann_quantized_topk", "graph_triangle_audit",
+    # (e) judge-named feature/maintenance/sink/SQL-surface ops
+    "feat_winsorize", "feat_robust_zscore",
+    "maint_snapshot_diff", "maint_cdc_apply",
+    "sink_zorder_key", "sink_partitioned_prune",
+    "sql_pivot", "sql_unpivot", "window_rolling_median",
+    # (f) TPC-H stragglers (q2 was rewritten to the window-min form in
+    # r4 — its 22/22 closure claim needs the driver row) + embeddings
+    # + one per remaining never-sampled family
+    "q2_min_cost_supplier", "q12_priority_shipping",
+    "embedding_stats", "emb_knn_label_confusion",
+    "agg_percentiles", "agg_salted_distinct",
+    "dq_k_anonymity", "dq_key_skew",
+    "stream_sliding_window",
 ]
 
 

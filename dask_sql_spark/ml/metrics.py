@@ -71,9 +71,15 @@ def evaluate(
     r2, and (when ``prob_col`` is given) log_loss. Use this instead of
     calling the scalar helpers back-to-back — each of those is its own
     scan+collect, which at corpus scale means re-reading the predictions
-    four times for numbers one reducer row can carry."""
+    four times for numbers one reducer row can carry.
+
+    Edge behavior matches the scalar helpers: an empty frame raises
+    ``ValueError`` (no metric is defined over zero rows), zero label
+    variance yields ``r2 = 0.0`` like :func:`r2_score`, and both columns
+    are cast to double so integer predictions type identically to
+    :func:`mean_squared_error`."""
     y = F.col(label_col).cast("double")
-    d = y - F.col(pred_col)
+    d = y - F.col(pred_col).cast("double")
     aggs = [
         F.avg(
             F.when(F.col(label_col) == F.col(pred_col), 1.0).otherwise(0.0)
@@ -92,6 +98,8 @@ def evaluate(
             )
         )
     row = df.agg(*aggs).collect()[0]
+    if not row["n"]:
+        raise ValueError("evaluate() requires at least one row")
     ss_tot = row["yy"] - row["ys"] * row["ys"] / row["n"]
     out = {
         "accuracy": float(row["accuracy"]),

@@ -421,17 +421,17 @@ def minhash_lsh_pairs(
 
     # one (doc, band) row per band — tiny; persisted because the bucket
     # self-join reads it twice (else the whole minhash pipeline runs 2×).
-    # Pre-partitioned on the join key BEFORE caching: the cached relation
-    # then carries (band, bucket) hash partitioning, so the self-join
-    # needs no further exchange on either side — one shuffle at build
-    # time instead of two at join time, and bench variance drops ~4×.
-    band_sigs = (
-        minhash_band_buckets(
-            df, id_col, text_col, num_perm, bands, shingle_n, sigs=sigs
-        )
-        .repartition("band", "bucket")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # Plain persist, deliberately NOT pre-repartitioned on the join key:
+    # the round-4 repartition("band","bucket")-before-persist variant
+    # forced a full-width shuffle + cache of this tiny relation and
+    # measured 1.34× slower (and far noisier) than plain persist in the
+    # driver-style min-of-n harness; AQE plans the self-join fine from
+    # the unpartitioned cache. On a real cluster feeding a LARGE corpus,
+    # a sized repartition(n, "band", "bucket") with n ∝ input bytes is
+    # the scale knob — at bench scale it is pure overhead.
+    band_sigs = minhash_band_buckets(
+        df, id_col, text_col, num_perm, bands, shingle_n, sigs=sigs
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = band_sigs.alias("a")
     b = band_sigs.alias("b")
     return (
@@ -511,10 +511,13 @@ def simhash_pairs(
 
     blocks = max_hamming + 1
     block_bits = bits // blocks
-    # blocks× rows per doc; persisted AFTER the block explode and
-    # pre-partitioned on the bucket key, so the cached relation carries
-    # (blk, blk_val) hash partitioning and the self-join adds no
-    # exchange on either side (same discipline as minhash_lsh_pairs)
+    # blocks× rows per doc; persisted AFTER the block explode because the
+    # bucket self-join reads it twice. Plain persist, NOT pre-partitioned
+    # on the bucket key — same finding as minhash_lsh_pairs: the full-
+    # width repartition-before-persist of a tiny relation measured ~1.27×
+    # slower than plain persist + AQE join planning in the driver-style
+    # harness; a sized repartition(n, ...) is the knob for a real large
+    # corpus, pure overhead at bench scale.
     sh = simhash(df, id_col, text_col, bits)
     exploded = (
         sh.select(
@@ -529,7 +532,6 @@ def simhash_pairs(
                 f" & {(1 << block_bits) - 1}"
             ),
         )
-        .repartition("blk", "blk_val")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = exploded.alias("a")

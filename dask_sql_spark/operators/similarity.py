@@ -27,11 +27,24 @@ def _exact_sum(col: Column, scale: float) -> Column:
     """Rounding-neutral exact sum of a double column: scale to integer
     units with ROUND — a single IEEE op both Spark (BigDecimal HALF_UP)
     and DuckDB (std::round) resolve identically for every double below
-    2^52, ties rounding away from zero in both — then SUM as BIGINT
-    (exact, order-independent in any combine order) and divide back.
-    Replaces double→DECIMAL casts, whose tie rounding proved
-    engine-build-dependent under the round-3 correctness driver."""
-    return F.sum(F.round(col * scale).cast("long")).cast("double") / scale
+    2^52, ties rounding away from zero in both — then SUM exactly and
+    divide back. Replaces double→DECIMAL casts, whose tie rounding proved
+    engine-build-dependent under the round-3 correctness driver.
+
+    The per-unit values are BIGINT-ranged, but the SUM accumulates as
+    DECIMAL(38,0): a BIGINT accumulator overflows once a group carries
+    ~9.2e18/scale of absolute magnitude (e.g. ~9.2e6 unit-magnitude
+    values at scale=1e12 — real at corpus-sized centroid groups), and
+    while this engine's sessions run ANSI (loud error), DuckDB promotes
+    to HUGEINT and keeps going — the exact divergence a cross-engine
+    gate must not have. DECIMAL(38,0) is an exact integer sum, still
+    order-independent in any combine order, with ~1e38 headroom matching
+    DuckDB's 128-bit HUGEINT; groups beyond THAT raise loudly in both
+    engines rather than wrapping."""
+    return (
+        F.sum(F.round(col * scale).cast("decimal(38,0)")).cast("double")
+        / scale
+    )
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:

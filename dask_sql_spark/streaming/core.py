@@ -21,24 +21,32 @@ def windowed_counts(
     window: str = "10 minutes",
     slide: str | None = None,
     watermark: str = "30 minutes",
+    unit_scale: int = 1_000_000,
 ) -> DataFrame:
-    """Tumbling (or sliding) windowed counts with late-data watermark."""
+    """Tumbling (or sliding) windowed counts with late-data watermark.
+
+    ``total_value`` accumulates as integer units of ``1/unit_scale``
+    (default micro-units): each value is quantized to
+    ``ROUND(value * unit_scale)`` and summed as BIGINT, so the running
+    state is bit-reproducible in any micro-batch arrival order and never
+    drifts like a float accumulator. The trade-offs of the quantization:
+    magnitudes below ``0.5/unit_scale`` vanish, and per-window totals
+    must stay under ~9.2e18/unit_scale (int64) — raise or lower
+    ``unit_scale`` to move the precision/headroom split. NULL values are
+    skipped (SQL SUM semantics); rows still count toward ``n``.
+    """
     win = (
         F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
     )
-    # value accumulates as integer micro-units: the incremental state a
-    # long-running stream carries never drifts the way a float
-    # accumulator does, and the total is bit-reproducible regardless of
-    # micro-batch arrival order (exact BIGINT sum, one division out)
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(win.alias("w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n"),
             (
-                F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                F.sum(F.round(F.col("value") * unit_scale).cast("long"))
                 .cast("double")
-                / 1000000.0
+                / float(unit_scale)
             ).alias("total_value"),
         )
         .select(
@@ -57,17 +65,24 @@ def sessionized(
     key_col: str = "user_id",
     gap: str = "30 minutes",
     watermark: str = "1 hour",
+    unit_scale: int = 1_000_000,
 ) -> DataFrame:
-    """Session windows (gap-based) per key — native session_window."""
+    """Session windows (gap-based) per key — native session_window.
+
+    ``total_value`` uses the same ``ROUND(value * unit_scale)`` BIGINT
+    quantization as :func:`windowed_counts` (exact, order-independent
+    state; sub-``0.5/unit_scale`` magnitudes vanish; ~9.2e18/unit_scale
+    per-session headroom — tune via ``unit_scale``).
+    """
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             (
-                F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                F.sum(F.round(F.col("value") * unit_scale).cast("long"))
                 .cast("double")
-                / 1000000.0
+                / float(unit_scale)
             ).alias("total_value"),
         )
         .select(
@@ -122,6 +137,7 @@ def stateful_running_totals(
     key_col: str = "user_id",
     value_col: str = "value",
     threshold: float | None = None,
+    unit_scale: int = 1_000_000,
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-key
     running event count + value total carried across micro-batches, with an
@@ -132,7 +148,16 @@ def stateful_running_totals(
     updated per batch, emitted as one row per key per trigger. State is a
     two-field struct, so the state store stays O(distinct keys); at 100 TB
     of stream history the state size is bounded by cardinality, not volume.
+
+    ``total_value`` carries the same ``ROUND(value * unit_scale)`` BIGINT
+    quantization as :func:`windowed_counts`: values are rounded half away
+    from zero (matching Spark/DuckDB ``ROUND``, not pandas' half-even) to
+    integer units before summing, NULL/NaN values are skipped (SQL SUM
+    semantics — their rows still count toward ``n_events``), magnitudes
+    below ``0.5/unit_scale`` vanish, and per-key lifetime totals must stay
+    under ~9.2e18/unit_scale.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -155,12 +180,18 @@ def stateful_running_totals(
     def _update(key, pdfs, state: GroupState):
         n, total_u = state.get if state.exists else (0, 0)
         for pdf in pdfs:
-            n += len(pdf)
-            total_u += int(
-                (pdf[value_col] * 1000000).round().astype("int64").sum()
+            n += len(pdf)  # COUNT(*) semantics: NULL-value rows still count
+            vals = pd.to_numeric(pdf[value_col], errors="coerce").to_numpy(
+                dtype="float64"
             )
+            vals = vals[np.isfinite(vals)]  # SUM skips NULL/NaN
+            scaled = vals * unit_scale
+            # half away from zero, matching F.round / SQL ROUND (pandas
+            # .round() is half-even and diverges on exact .5 unit ties)
+            units = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+            total_u += int(units.astype("int64").sum())
         state.update((n, total_u))
-        total = total_u / 1000000.0
+        total = total_u / float(unit_scale)
         yield pd.DataFrame(
             {
                 key_col: [key[0]],

@@ -97,31 +97,32 @@ def _decimal_cast_args(sql: str) -> list[str]:
 
 def decimal_cast_sweep() -> dict[str, list[str]]:
     """{query_name: [risky cast argument, ...]} for every oracle that
-    casts a non-integer (DOUBLE/FLOAT-typed) expression to DECIMAL.
-    The argument is typed by DuckDB itself via a DESCRIBE probe against
-    the real tables, so integer-valued columns (epoch-µs gaps, micro-unit
-    sums) pass while any double slips through and is flagged."""
+    casts a possibly-non-integer expression to DECIMAL.
+
+    The check is PURELY LEXICAL (no DuckDB typing — cast arguments often
+    reference CTE-local names that no standalone probe can resolve): an
+    argument passes only if it is a ``ROUND(...)``-wrapped expression
+    (rounding makes the cast exact) or one of the fully-enumerated
+    integer-valued names the audited oracles actually use — ``gap_us``
+    (epoch-microsecond difference, BIGINT in both engines) and ``r_m``
+    (micro-unit revenue, already ``CAST(ROUND(..*1e6) AS BIGINT)`` at its
+    definition), bare or under a single SUM. ANY other shape — including
+    a bare identifier that merely looks integer-ish — is flagged and must
+    either be rewritten to integer units or added here with a comment
+    proving its integer provenance."""
     import re
 
     import __spark_entry__ as entrymod
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     flagged: dict[str, list[str]] = {}
     for name, sql in entrymod.oracle_sql().items():
         risky = []
         for arg in _decimal_cast_args(sql):
-            # cheap integer-literal / ROUND()-wrapped args are exact
+            # ROUND(...)-wrapped args are exact at the cast
             if re.fullmatch(r"ROUND\s*\(.*\)", arg, re.IGNORECASE | re.DOTALL):
                 continue
-            # type the argument in context: SELECT typeof(arg) on a probe
-            # over the tables is fragile for CTE-local names, so fall back
-            # to a conservative lexical rule — known integer-producing
-            # shapes pass, everything else is flagged.
             if re.fullmatch(
-                r"(gap_us|dur_us|dur_ms|r_m|t_m|s_x|s_ix|i|seq|tf|cnt"
-                r"|SUM\s*\(\s*(r_m|gap_us|dur_ms|rev_c|i \* rev_c)\s*\))",
+                r"(gap_us|r_m|SUM\s*\(\s*(r_m|gap_us)\s*\))",
                 arg,
                 re.IGNORECASE,
             ):
