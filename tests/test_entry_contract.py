@@ -35,11 +35,12 @@ def test_queries_oracles_consistent():
     # only known-nondeterministic/approximate ops may skip the oracle
     # (round 4 graduated ann_ivf_topk — fixed-codebook assignment is
     # engine-independent — and dedup_embedding_lsh, whose kernel="fold"
-    # path replays the seeded planes + multiprobe + cosine in DuckDB)
+    # path replays the seeded planes + multiprobe + cosine in DuckDB;
+    # round 5 graduated sketch_hll_mergeable via its deterministic
+    # error-bound + exact-distinct form)
     assert set(qs) - set(oracles) == {
         "sample_bernoulli",
         "approx_aggregates",
-        "sketch_hll_mergeable",
     }
 
 
