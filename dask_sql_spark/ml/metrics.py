@@ -6,6 +6,12 @@ used by CREATE EXPERIMENT scoring). Here each metric is ONE Spark
 aggregate over (label, prediction) columns — a single scan, map-side
 partial aggregation, no data ever collected; only the scalar metric
 reaches the driver.
+
+Prefer :func:`evaluate` when reading MORE than one metric: it fuses
+accuracy/mse/rmse/r2 (+log_loss) into a single aggregate pass, where
+calling the scalar helpers back-to-back re-scans the predictions once
+per metric. The scalar helpers remain for single-metric reads and as
+the reference-parity API.
 """
 
 from __future__ import annotations

