@@ -217,12 +217,18 @@ def resample_fill(
     (``ts - ts % step``), which coincides with ``date_trunc`` for the
     usual steps that divide a day evenly.
 
-    Spark has no native resample/gap-fill; this is the idiomatic
-    composition: per-key bounds aggregate → ``sequence`` + ``explode``
-    spine (spine cardinality = time-range/step per key, generated on the
-    executors, never the driver) → left join of per-bucket ``max_by``
-    aggregates → ``last(ignorenulls)`` forward-fill window. Shuffles only
-    on the key.
+    Spark has no native resample/gap-fill; this is the gap-explode
+    composition: ONE groupBy to per-(key, bucket) aggregates, one window
+    over those (compact — one row per PRESENT bucket) computing the
+    forward-fill and each bucket's successor, then each present bucket
+    ``sequence``+``explode``s itself plus its trailing gap buckets,
+    carrying its fill value with it. The dense output — the largest
+    relation by far, time-range/step rows per key — is born AFTER the
+    last shuffle and flows straight to the consumer. The previous
+    spine-join form (dense spine LEFT JOIN aggregates, then a
+    forward-fill window over the DENSE rows) shuffled and sorted the
+    output-sized relation twice; at sf1/15-min (41M output rows) that
+    measured 25.0 s vs 0.97 s for this plan, bitwise-equal results.
     """
     step = parse_interval_seconds(every)
     step_us = step * 1_000_000
@@ -233,35 +239,48 @@ def resample_fill(
 
     from pyspark.sql.window import Window
 
-    bounds = events.groupBy(user_col).agg(
-        to_bucket(F.min(ts_col)).alias("__lo"),
-        to_bucket(F.max(ts_col)).alias("__hi"),
-    )
-    spine = bounds.select(
-        user_col,
-        F.explode(
-            F.sequence(
-                F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step} SECOND")
-            )
-        ).alias("bucket"),
-    )
-    hourly = events.groupBy(
+    bucketed = events.groupBy(
         user_col, to_bucket(F.col(ts_col)).alias("bucket")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.max_by(value_col, ts_col).alias("__last_v"),
     )
-    joined = spine.join(hourly, [user_col, "bucket"], "left")
-    w = (
+    # both windows share (partition, order) → one physical sort
+    w_cum = (
         Window.partitionBy(user_col)
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return joined.select(
+    w_lead = Window.partitionBy(user_col).orderBy("bucket")
+    iv = F.expr(f"INTERVAL {step} SECOND")
+    with_gaps = bucketed.select(
+        user_col,
+        F.col("bucket").alias("__b0"),
+        "n_events",
+        # ignorenulls: a present bucket whose last value is NULL inherits
+        # the previous fill, exactly like the spine-window form
+        F.last("__last_v", ignorenulls=True).over(w_cum).alias("__fill"),
+        F.lead("bucket").over(w_lead).alias("__next"),
+    )
+    return with_gaps.select(
+        user_col,
+        "__b0",
+        "n_events",
+        "__fill",
+        F.explode(
+            F.sequence(
+                F.col("__b0"),
+                F.coalesce(F.col("__next") - iv, F.col("__b0")),
+                iv,
+            )
+        ).alias("bucket"),
+    ).select(
         user_col,
         "bucket",
-        F.coalesce("n_events", F.lit(0)).alias("n_events"),
-        F.last("__last_v", ignorenulls=True).over(w).alias("filled_value"),
+        F.when(F.col("bucket") == F.col("__b0"), F.col("n_events"))
+        .otherwise(F.lit(0))
+        .alias("n_events"),
+        F.col("__fill").alias("filled_value"),
     )
 
 
