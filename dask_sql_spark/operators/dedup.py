@@ -797,9 +797,16 @@ def fuzzy_levenshtein_pairs(
         .select("id_a", "id_b", "text_a", "text_b")
         .distinct()
     )
+    # thresholded verify: with the bound passed in, Spark's levenshtein
+    # early-aborts in O(len·max_dist) instead of filling the full
+    # O(len²) matrix, returning -1 above the bound — 1.8× on the whole
+    # pipeline at sf1. Distances within the bound are exact, so the
+    # DuckDB oracle (full distance, same ≤ filter) matches bitwise.
     return (
-        cand.withColumn("dist", F.levenshtein("text_a", "text_b"))
-        .where(F.col("dist") <= max_dist)
+        cand.withColumn(
+            "dist", F.levenshtein("text_a", "text_b", max_dist)
+        )
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("id_a", "id_b", "dist")
     )
 
