@@ -5659,9 +5659,11 @@ _sqlq("orders_wow_growth", _wow_sql("STRING"), _wow_sql("VARCHAR"))
 # A/B outcome readout on top of the md5 assignment: per-arm
 # high-value-purchase conversion (plain purchase is ~universal in this
 # corpus, which degenerates the z denominator to 0/0), lift vs arm A,
-# and the two-proportion z statistic — sqrt
-# is correctly-rounded IEEE so the literal expression matches
-# cross-engine; all inputs are exact integer counts.
+# and the two-proportion z statistic. All inputs are exact integer
+# counts and single-op ratios are bitwise-portable, but the multi-op
+# lift/z chains are NOT (engines may contract mul/add differently —
+# caught as a 1-ulp z_stat divergence at sf0.1), so both are ROUNDed
+# to 9 digits, the repo-wide fp-chain discipline.
 def _ab_metrics_sql(hash_sql: str) -> str:
     return f"""
 WITH arms AS (
@@ -5685,11 +5687,12 @@ WITH arms AS (
 SELECT na, ca, nb, cb,
   CAST(ca AS DOUBLE) / na AS conv_a,
   CAST(cb AS DOUBLE) / nb AS conv_b,
-  (CAST(cb AS DOUBLE) / nb) / (CAST(ca AS DOUBLE) / na) - 1.0 AS lift_b,
-  (CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na)
+  ROUND((CAST(cb AS DOUBLE) / nb) / (CAST(ca AS DOUBLE) / na) - 1.0, 9)
+    AS lift_b,
+  ROUND((CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na)
     / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
            * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
-           * (1.0 / na + 1.0 / nb)) AS z_stat
+           * (1.0 / na + 1.0 / nb)), 9) AS z_stat
 FROM wide
 """
 
