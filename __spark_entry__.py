@@ -8566,14 +8566,17 @@ def _experiment_grid_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid tunes a fixed-rule ThresholdClassifier, so each combo's score
     is a deterministic function of the data: the model ignores its
     training folds (threshold given, nothing learned) and k-fold
-    scoring with EQUAL fold sizes (2997 = 3×999 rows, membership fixed
-    by ORDER BY + LIMIT) makes mean-of-fold-scores == the overall
-    score in exact arithmetic regardless of collect order. Scores are
-    -MSE of a 0/1 prediction vs a 0/1 label = -(error rate); scaling
-    by the row count recovers the INTEGER error count, which the
-    oracle replays exactly — the floats only carry ±ulp noise that the
-    final ROUND collapses. 4 combos ≥ the distribution threshold, so
-    the driver row attests the sc.parallelize fan-out path."""
+    scoring with EQUAL fold sizes (the LIMIT cap 2997 and every test
+    SF's orders count are divisible by folds=3; membership fixed by
+    ORDER BY + LIMIT) makes mean-of-fold-scores == the overall score
+    in exact arithmetic regardless of collect order. Scores are -MSE
+    of a 0/1 prediction vs a 0/1 label = -(error rate); scaling by the
+    ACTUAL subset row count (min(2997, |orders|), computed at run
+    time — hard-coding 2997 broke at sf0.001 where the subset is all
+    1500 rows) recovers the INTEGER error count, which the oracle
+    replays exactly — the floats only carry ±ulp noise that the final
+    ROUND collapses. 4 combos ≥ the distribution threshold, so the
+    driver row attests the sc.parallelize fan-out path."""
     from pyspark.sql import functions as F
 
     ctx = _ctx(spark, sf_dir)
@@ -8591,9 +8594,12 @@ def _experiment_grid_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS y
                 FROM orders ORDER BY o_orderkey LIMIT 2997"""
     )
+    n_rows = ctx.sql(
+        "SELECT LEAST(CAST(2997 AS BIGINT), COUNT(*)) AS n FROM orders"
+    ).collect()[0]["n"]
     return res.select(
         F.col("threshold").cast("double").alias("threshold"),
-        F.round(-F.col("mean_test_score").cast("double") * 2997)
+        F.round(-F.col("mean_test_score").cast("double") * int(n_rows))
         .cast("bigint")
         .alias("n_errors"),
     )
