@@ -2174,3 +2174,65 @@ def test_centroid_drift_identical_and_rotated(spark):
     rot = {r.label: r for r in centroid_drift(a, b).collect()}
     assert abs(rot[1].drift_cos - 1.0) < 1e-9
     assert abs(rot[2].drift_cos) < 1e-9
+
+
+def test_connected_components_long_path(spark):
+    """Round-5 regression guard for the localCheckpoint LP loop: a
+    diameter-9 path needs several propagation rounds (the shallow
+    handcrafted graph above converges in 2) — exercises the truncated
+    per-iteration lineage and the monotonic label-sum fixpoint test."""
+    from dask_sql_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 109)]  # path 100-...-109
+        + [(500, 501)],
+        "id_a LONG, id_b LONG",
+    )
+    comp = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert all(comp[v] == 100 for v in range(100, 110))
+    assert comp[500] == 500 and comp[501] == 500
+
+
+def test_fuzzy_levenshtein_threshold_exactness(spark):
+    """The thresholded levenshtein verify must keep in-bound distances
+    exact and exclude pairs above max_dist even when segment blocking
+    pairs them."""
+    from dask_sql_spark.operators.dedup import fuzzy_levenshtein_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again"
+    rows = [
+        (1, base),
+        (2, base[:-1] + "x"),          # distance 1
+        (3, base + " xxxxxxxxxx"),     # same prefix, distance 11 > 8
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {(r.id_a, r.id_b): r.dist for r in fuzzy_levenshtein_pairs(df).collect()}
+    assert out[(1, 2)] == 1
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_repetition_signals_handcrafted(spark):
+    """In-row rewrite (round 5) value pins: all-identical tokens, the
+    single-token doc (no bigrams -> 0.0), and a mixed doc."""
+    from dask_sql_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),   # 4 tokens, 1 distinct
+            (2, "word"),                  # single token
+            (3, "a b a b"),               # 4 tokens, 2 distinct
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    r1 = out[1]
+    assert r1.n_tokens == 4 and r1.dup_token_frac == 0.75
+    assert r1.top_token_frac == 1.0
+    assert r1.dup_bigram_frac == 1.0 - 1.0 / 3.0  # 3 bigrams, 1 distinct
+    r2 = out[2]
+    assert r2.n_tokens == 1 and r2.dup_bigram_frac == 0.0
+    assert r2.top_token_frac == 1.0
+    r3 = out[3]
+    assert r3.dup_token_frac == 0.5 and r3.top_token_frac == 0.5
+    # bigrams: "a b","b a","a b" -> 3 total, 2 distinct
+    assert abs(r3.dup_bigram_frac - (1.0 - 2.0 / 3.0)) < 1e-12

@@ -274,3 +274,43 @@ def test_incremental_dedup_stream_anti_joins_static_store(
     out = incremental_dedup_stream(src, store)
     rows = _run_stream(spark, out, "inc_dedup_out", mode="append")
     assert sorted(r.doc_id for r in rows) == [11, 12]
+
+
+def test_stateful_running_totals_null_values_and_tie_rounding(
+    spark, tmp_path
+):
+    """Round-5 regression guards: (a) NULL/NaN values are skipped like
+    SQL SUM (the row still counts toward n_events) instead of killing
+    the stream with a non-finite-cast error; (b) exact .5 micro-unit
+    ties round half AWAY from zero, matching F.round / SQL ROUND, not
+    pandas' half-even."""
+    import pandas as pd
+
+    from dask_sql_spark.streaming.core import stateful_running_totals
+
+    d = tmp_path / "nulls"
+    d.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 3],
+            # user 1: one real value + one NULL; user 2: a .5 micro-unit
+            # tie (0.0000005 -> 1 micro-unit half-away, 0 half-even);
+            # user 3: negative tie (-0.0000005 -> -1 micro-unit)
+            "value": [1.25, None, 0.0000005, -0.0000005],
+        }
+    )
+    pdf.to_parquet(str(d / "part.parquet"))
+    src = spark.readStream.schema("user_id BIGINT, value DOUBLE").parquet(
+        str(d)
+    )
+    rows = _run_stream(
+        spark,
+        stateful_running_totals(src, threshold=1.0),
+        "null_tie_totals",
+        mode="update",
+    )
+    by_user = {r.user_id: r for r in rows}
+    assert by_user[1].n_events == 2  # NULL row still counted
+    assert by_user[1].total_value == 1.25  # NULL skipped from the sum
+    assert by_user[2].total_value == 0.000001  # half away from zero
+    assert by_user[3].total_value == -0.000001  # symmetric for negatives
