@@ -549,23 +549,26 @@ def simhash_pairs(
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
-    cands = (
+    # hamming filter BEFORE the dedup distinct: the bucket join emits
+    # Σ bucket² candidate rows (tens of millions at 50k docs with 8-bit
+    # blocks), almost all of which fail the hamming bound — filtering
+    # map-side right after the join means the distinct's exchange
+    # carries only the true pairs (each ≤ blocks× duplicated), not the
+    # full candidate stream
+    return (
         a.join(b, on=["blk", "blk_val"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            "hamming",
         )
         .distinct()
-    )
-    return (
-        cands.withColumn(
-            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 
