@@ -8826,7 +8826,7 @@ _VERIFY_FIRST = [
 # diffing _ORACLES between the r3/r4 round commits (31 oracle texts
 # changed in the r4 integer-scaling + scan-collapse sweeps whose green
 # rows predate the rewrite) plus the queries whose SPARK side changed in
-# round 5 (LSH persist strategy, _exact_sum DECIMAL(38,0) accumulator) —
+# round 5 (LSH persist strategy, the ANSI-bounded BIGINT _exact_sum) —
 # those lead, newest code first.
 _REATTEST = [
     # r5 spark-side changes
