@@ -8829,9 +8829,18 @@ _VERIFY_FIRST = [
 # round 5 (LSH persist strategy, the ANSI-bounded BIGINT _exact_sum) —
 # those lead, newest code first.
 _REATTEST = [
-    # r5 spark-side changes
+    # r5 spark-side changes: LSH persist strategy, the ANSI-bounded
+    # BIGINT _exact_sum, the connected-components fixpoint + lineage
+    # truncation, the resample gap-explode plan, thresholded-Levenshtein
+    # verify, the shared word_ngrams gram builder (feeds shingles →
+    # minhash/jaccard/containment/spans), the fused document scorer,
+    # and the in-row repetition signals
     "dedup_minhash_lsh", "dedup_simhash", "emb_centroid_cosine",
     "emb_drift_centroid_shift",
+    "dedup_components_minhash", "events_resample_15min",
+    "dedup_fuzzy_levenshtein", "dedup_containment", "dedup_ngram_jaccard",
+    "dedup_spans", "text_repetition_signals", "text_quality",
+    "text_langid", "text_token_stats",
     # r4 oracle rewrites, heaviest/most-load-bearing first
     "q1_pricing_summary", "stream_session_window", "stream_tumbling_window",
     "events_sessionize", "events_json_extract",

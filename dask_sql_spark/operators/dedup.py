@@ -29,6 +29,7 @@ from dask_sql_spark.operators.hashing import (
     MINHASH_PRIME,
     portable_hash64,
 )
+from dask_sql_spark.operators.text import tokens, word_ngrams
 from dask_sql_spark.operators.util import ensure_parallelism
 
 
@@ -109,24 +110,15 @@ def shingles(
     """Distinct word n-gram shingles per document → (id, shingle).
 
     Tokenization = lowercase + whitespace split (identical in the SQL
-    oracle). The transform→filter builds n-grams via sliding index.
+    oracle, shared with :func:`~dask_sql_spark.operators.text.tokens`);
+    grams via :func:`~dask_sql_spark.operators.text.word_ngrams` with
+    ``keep_short=True`` — a doc shorter than n yields its single short
+    gram.
     """
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda t: t != F.lit(""),
+    df2 = ensure_parallelism(
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
     )
-    # grams via direct element access (F.get is NULL out-of-bounds even
-    # under ANSI, and concat_ws skips NULLs — so a doc shorter than n
-    # still yields its single short gram, same as the slice+array_join
-    # form this replaces at ~0.78x its cost: no per-gram array
-    # materialization)
-    df2 = ensure_parallelism(df.select(F.col(id_col), toks.alias("_t")))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(F.col("_t")) - n, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.get(F.col("_t"), i + j) for j in range(n)]
-        ),
-    )
+    grams = word_ngrams(F.col("_t"), n, keep_short=True)
     return (
         df2.select(
             F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
@@ -138,6 +130,33 @@ def shingles(
 # --------------------------------------------------------------------- #
 # n-gram Jaccard                                                        #
 # --------------------------------------------------------------------- #
+def ngram_doc_lists(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(shingle-hash, sorted doc-id list) — the reusable intermediate of
+    :func:`ngram_jaccard_pairs`. Build it yourself, ``persist()`` it, and
+    pass it via ``lists=`` when you need cache-lifecycle control (the
+    internally-built cache lives until session end); ``unpersist()`` it
+    after the pairs are consumed. ``max_df`` caps each list at the
+    stopword-gram blowup guard documented on the pairs function."""
+    sh = shingles(df, id_col, text_col, n).select(
+        F.col(id_col), portable_hash64(F.col("shingle")).alias("shingle")
+    )
+    lists = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    if max_df is not None:
+        # rows in `sh` are distinct per (doc, shingle), so size(ids) is the
+        # shingle's document frequency; the cap bounds every downstream
+        # list at max_df entries (a shingle in d docs is d²/2 pairs)
+        lists = lists.where(F.size("ids") <= max_df)
+    return lists
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -145,6 +164,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    lists: DataFrame | None = None,
 ) -> DataFrame:
     """All document pairs with shingle-set Jaccard ≥ threshold.
 
@@ -175,19 +195,13 @@ def ngram_jaccard_pairs(
     # (verified in the executed plan: 0 ReusedExchange, 3 FileScans
     # without the cache) — uncached, the whole tokenize+md5+explode
     # pipeline re-ran per branch, 2.3× slower at sf1 and neutral at
-    # sf0.1.
-    sh = shingles(df, id_col, text_col, n).select(
-        F.col(id_col), portable_hash64(F.col("shingle")).alias("shingle")
-    )
-    lists = sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_list(id_col)).alias("ids")
-    )
-    if max_df is not None:
-        # rows in `sh` are distinct per (doc, shingle), so size(ids) is the
-        # shingle's document frequency; the cap bounds every downstream
-        # list at max_df entries (a shingle in d docs is d²/2 pairs)
-        lists = lists.where(F.size("ids") <= max_df)
-    lists = lists.persist(StorageLevel.MEMORY_AND_DISK)
+    # sf0.1. The internal cache lives until session end; long-lived
+    # multi-corpus sessions should build via ngram_doc_lists, persist,
+    # pass lists=, and unpersist after consumption.
+    if lists is None:
+        lists = ngram_doc_lists(df, id_col, text_col, n, max_df).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     sizes = (
         lists.select(F.explode("ids").alias(id_col))
         .groupBy(id_col)

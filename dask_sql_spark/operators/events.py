@@ -239,7 +239,11 @@ def resample_fill(
 
     from pyspark.sql.window import Window
 
-    bucketed = events.groupBy(
+    # NULL-ts events are excluded up front: the spine-join form this
+    # plan replaced could never match them (no NULL bucket in a
+    # sequence-built spine), while here a NULL bucket would sort FIRST
+    # in the forward-fill window and could seed later buckets' fill
+    bucketed = events.where(F.col(ts_col).isNotNull()).groupBy(
         user_col, to_bucket(F.col(ts_col)).alias("bucket")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -49,8 +49,13 @@ def connected_components(
     - every iteration's labels are ``localCheckpoint``-ed, keeping the
       per-iteration plan O(1)-sized instead of one join deeper each
       round, and min-label propagation only ever DECREASES labels, so
-      the fixpoint test is one DECIMAL(38,0)-exact sum over the cached
-      frame (no join against the previous labels).
+      for exact-numeric vertex ids (integral/decimal) the fixpoint test
+      is one DECIMAL(38,0)-exact sum over the cached frame (no join
+      against the previous labels). Non-exact id types (strings, floats)
+      can't use the sum test — under ANSI the decimal cast of a string
+      id throws, and distinct float labels can alias to one integer —
+      so they fall back to a changed-label join against the previous
+      (checkpointed) labels, the classic convergence test.
     """
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = (
@@ -65,6 +70,12 @@ def connected_components(
 
     labels = verts.withColumn("comp", F.col("id")).localCheckpoint()
 
+    from pyspark.sql import types as T
+
+    sum_safe = isinstance(
+        labels.schema["comp"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    )
     prev_sum = None
     for _ in range(max_iterations):
         new_labels = (
@@ -73,13 +84,25 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        label_sum = new_labels.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        if sum_safe:
+            label_sum = new_labels.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            converged = label_sum == prev_sum
+            prev_sum = label_sum
+        else:
+            converged = (
+                new_labels.join(
+                    labels.select("id", F.col("comp").alias("__prev")), "id"
+                )
+                .where(F.col("comp") != F.col("__prev"))
+                .limit(1)
+                .count()
+                == 0
+            )
         labels = new_labels
-        if label_sum == prev_sum:
+        if converged:
             break
-        prev_sum = label_sum
     return labels.select("id", "comp")
 
 

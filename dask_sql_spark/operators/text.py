@@ -43,6 +43,34 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def word_ngrams(toks: Column, n: int, keep_short: bool = False) -> Column:
+    """Word n-grams of a token array via direct element access — the one
+    shared implementation behind :func:`dask_sql_spark.operators.dedup.
+    shingles` and :func:`ngram_topk` (previously two hand-rolled copies
+    of the same idiom with subtly different short-doc behavior).
+
+    ``F.get`` is NULL out-of-bounds even under ANSI and ``concat_ws``
+    skips NULLs, so with ``keep_short=True`` a document shorter than
+    ``n`` yields its single short gram (shingles semantics); with
+    ``keep_short=False`` it yields no grams at all (collocation-mining
+    semantics). Direct element access beats the per-gram
+    ``slice``+``array_join`` form ~0.78× (no per-gram array
+    materialization), identical output.
+    """
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)])
+
+    if keep_short:
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))), gram
+        )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def score_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Fused document scorer: token stats + quality signals + language
     guess appended in ONE ``withColumns`` call.
@@ -75,8 +103,11 @@ def score_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     # evaluates once, not once per consuming expression after
     # projection collapse (same discipline as dedup.shingles; measured
     # 1.3× at sf1, identical output)
-    tmp = df.withColumn("__toks", tokens(t))
-    toks = F.col("__toks")
+    tok_col = "__toks"
+    while tok_col in df.columns:  # never clobber (then drop) a user column
+        tok_col += "_"
+    tmp = df.withColumn(tok_col, tokens(t))
+    toks = F.col(tok_col)
     n_toks = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS["en"])))
     mean_word_len = F.when(
@@ -111,7 +142,18 @@ def score_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
             "mean_word_len": mean_word_len,
             "lang_guess": lang_expr,
         }
-    ).drop("__toks")
+    ).drop(tok_col)
+
+
+def _append_scores(
+    df: DataFrame, text_col: str, out_cols: list[str]
+) -> DataFrame:
+    """select(df columns + out_cols) over :func:`score_documents`,
+    excluding any ``out_cols`` already present on the input — re-scoring
+    an already-scored frame REPLACES the columns (withColumn semantics)
+    instead of duplicating them into an AMBIGUOUS_REFERENCE trap."""
+    base = [c for c in df.columns if c not in out_cols]
+    return score_documents(df, text_col).select(*base, *out_cols)
 
 
 def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -119,9 +161,7 @@ def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     count (reference-free; SURVEY.md §7 M6 'token counting'). A pruned
     view of :func:`score_documents` — Catalyst column-prunes the unused
     quality/langid expressions out of the physical plan."""
-    return score_documents(df, text_col).select(
-        *df.columns, "n_tokens", "n_pieces"
-    )
+    return _append_scores(df, text_col, ["n_tokens", "n_pieces"])
 
 
 def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -129,13 +169,11 @@ def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     ratio, mean word length — the standard cheap pre-filters for LLM
     training corpora (C4/Gopher-style rules). A pruned view of
     :func:`score_documents`."""
-    return score_documents(df, text_col).select(
-        *df.columns,
-        "n_chars_m",
-        "punct_ratio",
-        "digit_ratio",
-        "stopword_ratio",
-        "mean_word_len",
+    return _append_scores(
+        df,
+        text_col,
+        ["n_chars_m", "punct_ratio", "digit_ratio", "stopword_ratio",
+         "mean_word_len"],
     )
 
 
@@ -144,7 +182,7 @@ def add_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     (n-gram/stopword heuristic; ties break by fixed language order
     en→de→fr→es, 'und' for no hits at all). A pruned view of
     :func:`score_documents`."""
-    return score_documents(df, text_col).select(*df.columns, "lang_guess")
+    return _append_scores(df, text_col, ["lang_guess"])
 
 
 def fingerprint(text: Column) -> Column:
@@ -473,14 +511,7 @@ def ngram_topk(
     collapse — 3.1× slower at sf1, identical output."""
     df = ensure_parallelism(df)
     base = df.select(tokens(F.col(text_col)).alias("_t"))
-    t = F.col("_t")
-    grams = F.when(
-        F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - n),
-            lambda i: F.concat_ws(" ", *[F.get(t, i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams(F.col("_t"), n)
     return (
         base.select(F.explode(grams).alias("gram"))
         .groupBy("gram")

@@ -187,8 +187,18 @@ def stateful_running_totals(
             vals = vals[np.isfinite(vals)]  # SUM skips NULL/NaN
             scaled = vals * unit_scale
             # half away from zero, matching F.round / SQL ROUND (pandas
-            # .round() is half-even and diverges on exact .5 unit ties)
-            units = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+            # .round() is half-even and diverges on exact .5 unit ties).
+            # Implemented as an EXACT fractional-part comparison, not
+            # floor(abs+0.5): for a double just below a tie (e.g.
+            # 0.49999999999999994) abs+0.5 carries up to 1.0 in IEEE
+            # arithmetic and floor would round it, while F.round
+            # (BigDecimal HALF_UP on the exact decimal expansion) does
+            # not. abs(x) - floor(abs(x)) is exact for |x| < 2^52
+            # (Sterbenz), so the >= 0.5 test agrees with HALF_UP on
+            # every representable double.
+            a = np.abs(scaled)
+            fl = np.floor(a)
+            units = np.sign(scaled) * (fl + (a - fl >= 0.5))
             total_u += int(units.astype("int64").sum())
         state.update((n, total_u))
         total = total_u / float(unit_scale)

@@ -2236,3 +2236,82 @@ def test_repetition_signals_handcrafted(spark):
     assert r3.dup_token_frac == 0.5 and r3.top_token_frac == 0.5
     # bigrams: "a b","b a","a b" -> 3 total, 2 distinct
     assert abs(r3.dup_bigram_frac - (1.0 - 2.0 / 3.0)) < 1e-12
+
+
+# ----------------- round-5 review-fix regressions ----------------- #
+def test_connected_components_string_ids(spark):
+    """Non-numeric vertex ids use the changed-label join fixpoint (the
+    decimal-sum test would throw under ANSI on a string cast, or falsely
+    converge on floats). Chain with diameter 3 so a single propagation
+    step is provably not enough."""
+    from dask_sql_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "id_a STRING, id_b STRING",
+    )
+    comp = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert comp == {
+        "a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x",
+    }
+
+
+def test_resample_fill_null_ts_excluded(spark):
+    """NULL-ts events are dropped up front (the spine-join semantics this
+    plan replaced): they create no buckets and never seed the forward
+    fill."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from dask_sql_spark.operators.events import resample_fill
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": [pd.NaT, dt.datetime(2024, 1, 1, 10), pd.NaT],
+            "value": [99.0, 1.0, 7.0],
+        }
+    )
+    out = resample_fill(spark.createDataFrame(pdf)).toPandas()
+    assert set(out.user_id) == {1}  # user 2 had only NULL-ts events
+    assert len(out) == 1 and out.filled_value.tolist() == [1.0]
+
+
+def test_score_wrappers_replace_existing_columns(docs):
+    """Re-scoring an already-scored frame replaces the output columns
+    (withColumn semantics) instead of duplicating them into an
+    AMBIGUOUS_REFERENCE trap."""
+    from dask_sql_spark.operators.text import add_langid, add_token_stats
+
+    once = add_token_stats(docs)
+    twice = add_token_stats(once)
+    assert twice.columns == once.columns
+    assert {r.doc_id: r.n_tokens for r in twice.collect()} == {
+        r.doc_id: r.n_tokens for r in once.collect()
+    }
+    lg = add_langid(add_langid(docs))
+    assert lg.columns.count("lang_guess") == 1
+
+
+def test_ngram_doc_lists_passthrough(docs):
+    """ngram_jaccard_pairs(lists=...) matches the self-built path, giving
+    callers cache-lifecycle control over the persisted intermediate."""
+    from dask_sql_spark.operators.dedup import (
+        ngram_doc_lists,
+        ngram_jaccard_pairs,
+    )
+
+    built = ngram_doc_lists(docs).persist()
+    via = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.3, lists=built
+        ).collect()
+    }
+    auto = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    built.unpersist()
+    assert via == auto and via

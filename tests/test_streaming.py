@@ -314,3 +314,30 @@ def test_stateful_running_totals_null_values_and_tie_rounding(
     assert by_user[1].total_value == 1.25  # NULL skipped from the sum
     assert by_user[2].total_value == 0.000001  # half away from zero
     assert by_user[3].total_value == -0.000001  # symmetric for negatives
+
+
+def test_stateful_running_totals_boundary_double(spark, tmp_path):
+    """The double just below a .5 tie (nextafter(0.5, 0)) must round DOWN
+    like F.round's HALF_UP on the exact decimal expansion — the
+    floor(abs+0.5) idiom carries up to 1.0 in IEEE arithmetic and would
+    disagree with the windowed SQL paths on the same stream."""
+    import numpy as np
+    import pandas as pd
+
+    from dask_sql_spark.streaming.core import stateful_running_totals
+
+    d = tmp_path / "boundary"
+    d.mkdir()
+    pd.DataFrame(
+        {"user_id": [1], "value": [float(np.nextafter(0.5, 0))]}
+    ).to_parquet(str(d / "part.parquet"))
+    src = spark.readStream.schema("user_id BIGINT, value DOUBLE").parquet(
+        str(d)
+    )
+    rows = _run_stream(
+        spark,
+        stateful_running_totals(src, threshold=1.0, unit_scale=1),
+        "boundary_totals",
+        mode="update",
+    )
+    assert rows[0].total_value == 0.0
