@@ -2315,3 +2315,42 @@ def test_ngram_doc_lists_passthrough(docs):
     }
     built.unpersist()
     assert via == auto and via
+
+
+def test_word_ngrams_matches_python_reference(spark):
+    """Exhaustive differential check of the shared gram builder: every
+    token list of length 0..5 over a 2-letter alphabet, n in {1,2,3,5},
+    both keep_short flavors, against a plain-Python reference — one
+    Spark job per (n, flavor)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.text import word_ngrams
+
+    cases = [
+        list(t)
+        for ln in range(0, 6)
+        for t in itertools.product("ab", repeat=ln)
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i LONG, t ARRAY<STRING>"
+    )
+    for n in (1, 2, 3, 5):
+        for keep_short in (False, True):
+            got = {
+                r.i: r.g
+                for r in df.select(
+                    "i", word_ngrams(F.col("t"), n, keep_short).alias("g")
+                ).collect()
+            }
+            for i, t in enumerate(cases):
+                if len(t) >= n:
+                    want = [
+                        " ".join(t[j : j + n]) for j in range(len(t) - n + 1)
+                    ]
+                elif keep_short:
+                    want = [" ".join(t)]
+                else:
+                    want = []
+                assert got[i] == want, (n, keep_short, t, got[i], want)
