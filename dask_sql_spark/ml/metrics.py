@@ -7,11 +7,13 @@ aggregate over (label, prediction) columns — a single scan, map-side
 partial aggregation, no data ever collected; only the scalar metric
 reaches the driver.
 
-Prefer :func:`evaluate` when reading MORE than one metric: it fuses
-accuracy/mse/rmse/r2 (+log_loss) into a single aggregate pass, where
-calling the scalar helpers back-to-back re-scans the predictions once
-per metric. The scalar helpers remain for single-metric reads and as
-the reference-parity API.
+Prefer :func:`evaluate`: it fuses accuracy/mse/rmse/r2 (+log_loss) into
+a single aggregate pass. The scalar helpers remain only as the
+reference-parity API and are now thin wrappers over :func:`evaluate`
+(one fused aggregate job each; calling several back-to-back still
+re-scans once per call — batch reads through :func:`evaluate` directly).
+The sole exception is the weighted/raw-count ``accuracy_score``
+variants, whose extra parameters the fused pass doesn't carry.
 """
 
 from __future__ import annotations
@@ -31,7 +33,13 @@ def accuracy_score(
     normalize: bool = True,
     sample_weight_col: str | None = None,
 ) -> float:
-    """Fraction (or weighted fraction / raw count) of exact matches."""
+    """Fraction (or weighted fraction / raw count) of exact matches.
+
+    The default (unweighted, normalized) read routes through the fused
+    :func:`evaluate` aggregate; the weighted / raw-count variants keep a
+    dedicated single aggregate (still one scan, one job)."""
+    if sample_weight_col is None and normalize:
+        return evaluate(df, label_col, pred_col)["accuracy"]
     hit = F.when(F.col(label_col) == F.col(pred_col), 1.0).otherwise(0.0)
     if sample_weight_col is not None:
         w = F.col(sample_weight_col)
@@ -51,19 +59,21 @@ def log_loss(
     eps: float = _EPS,
 ) -> float:
     """Binary cross-entropy: labels in {0,1}, ``prob_col`` = P(y=1);
-    probabilities clipped to [eps, 1-eps] like sklearn."""
-    p = F.least(F.greatest(F.col(prob_col), F.lit(eps)), F.lit(1.0 - eps))
-    y = F.col(label_col).cast("double")
-    term = -(y * F.log(p) + (1.0 - y) * F.log(1.0 - p))
-    return float(df.agg(F.avg(term).alias("m")).collect()[0]["m"])
+    probabilities clipped to [eps, 1-eps] like sklearn. A wrapper over
+    the fused :func:`evaluate` pass (prob_col stands in for the unused
+    pred_col — same single aggregate job)."""
+    return evaluate(df, label_col, prob_col, prob_col=prob_col, eps=eps)[
+        "log_loss"
+    ]
 
 
 def mean_squared_error(
     df: DataFrame, label_col: str, pred_col: str, squared: bool = True
 ) -> float:
-    d = F.col(label_col) - F.col(pred_col)
-    mse = float(df.agg(F.avg(d * d).alias("m")).collect()[0]["m"])
-    return mse if squared else math.sqrt(mse)
+    """MSE (or RMSE with ``squared=False``) via the fused
+    :func:`evaluate` aggregate."""
+    m = evaluate(df, label_col, pred_col)
+    return m["mse"] if squared else m["rmse"]
 
 
 def evaluate(
@@ -119,17 +129,6 @@ def evaluate(
 
 
 def r2_score(df: DataFrame, label_col: str, pred_col: str) -> float:
-    """1 - SS_res/SS_tot, computed in one aggregate pass (SS_tot via
-    E[y²] - E[y]² so no second scan for the mean)."""
-    y = F.col(label_col).cast("double")
-    d = y - F.col(pred_col)
-    row = df.agg(
-        F.sum(d * d).alias("ss_res"),
-        F.sum(y * y).alias("yy"),
-        F.sum(y).alias("ys"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    ss_tot = row["yy"] - row["ys"] * row["ys"] / row["n"]
-    if ss_tot == 0:
-        return 0.0
-    return 1.0 - row["ss_res"] / ss_tot
+    """1 - SS_res/SS_tot via the fused :func:`evaluate` aggregate
+    (SS_tot from E[y²] - E[y]², so one pass; zero variance → 0.0)."""
+    return evaluate(df, label_col, pred_col)["r2"]

@@ -197,10 +197,20 @@ def ngram_jaccard_pairs(
     # pipeline re-ran per branch, 2.3× slower at sf1 and neutral at
     # sf0.1. The internal cache lives until session end; long-lived
     # multi-corpus sessions should build via ngram_doc_lists, persist,
-    # pass lists=, and unpersist after consumption.
+    # pass lists=, and unpersist after consumption (max_df is applied by
+    # ngram_doc_lists, so a caller-supplied ``lists`` must already carry
+    # its own cap — passing both is a contract violation, not a no-op).
     if lists is None:
         lists = ngram_doc_lists(df, id_col, text_col, n, max_df).persist(
             StorageLevel.MEMORY_AND_DISK
+        )
+    elif max_df is not None:
+        raise ValueError(
+            "ngram_jaccard_pairs: max_df is applied when BUILDING the "
+            "shingle→doc lists and cannot be applied to a caller-supplied "
+            "lists= relation; pass max_df to ngram_doc_lists instead "
+            "(an uncapped lists relation explodes pairs quadratically "
+            "per hot shingle)"
         )
     sizes = (
         lists.select(F.explode("ids").alias(id_col))

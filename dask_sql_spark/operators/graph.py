@@ -72,10 +72,13 @@ def connected_components(
 
     from pyspark.sql import types as T
 
+    comp_type = labels.schema["comp"].dataType
+    # DECIMAL(p, s>0) ids would be ROUNDED by the decimal(38,0) cast below
+    # (2.4→2, 1.6→2), letting distinct label states alias to one sum —
+    # only scale-0 decimals are exact under the sum test.
     sum_safe = isinstance(
-        labels.schema["comp"].dataType,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
-    )
+        comp_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ) or (isinstance(comp_type, T.DecimalType) and comp_type.scale == 0)
     prev_sum = None
     for _ in range(max_iterations):
         new_labels = (

@@ -145,15 +145,43 @@ def score_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop(tok_col)
 
 
+#: every column :func:`score_documents` appends (= may REPLACE on input)
+_SCORE_COLS = (
+    "n_tokens", "n_pieces", "n_chars_m", "punct_ratio", "digit_ratio",
+    "stopword_ratio", "mean_word_len", "lang_guess",
+)
+
+
 def _append_scores(
     df: DataFrame, text_col: str, out_cols: list[str]
 ) -> DataFrame:
     """select(df columns + out_cols) over :func:`score_documents`,
     excluding any ``out_cols`` already present on the input — re-scoring
     an already-scored frame REPLACES the columns (withColumn semantics)
-    instead of duplicating them into an AMBIGUOUS_REFERENCE trap."""
-    base = [c for c in df.columns if c not in out_cols]
-    return score_documents(df, text_col).select(*base, *out_cols)
+    instead of duplicating them into an AMBIGUOUS_REFERENCE trap.
+
+    Caller-owned columns that collide with a NON-requested score column
+    (e.g. a user-computed ``lang_guess`` on a frame passed to
+    :func:`add_token_stats`) are shielded: ``score_documents`` would
+    silently replace them via ``withColumns``, so they are renamed out of
+    the way before scoring and restored after, preserving their values.
+    """
+    protect = [
+        c for c in df.columns
+        if c in _SCORE_COLS and c not in out_cols and c != text_col
+    ]
+    renames: dict[str, str] = {}
+    for c in protect:
+        alias = f"__keep_{c}"
+        while alias in df.columns:
+            alias += "_"
+        renames[c] = alias
+    shielded = df.withColumnsRenamed(renames) if renames else df
+    base = [c for c in shielded.columns if c not in out_cols]
+    out = score_documents(shielded, text_col).select(*base, *out_cols)
+    if renames:
+        out = out.withColumnsRenamed({v: k for k, v in renames.items()})
+    return out
 
 
 def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

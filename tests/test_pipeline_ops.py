@@ -2256,6 +2256,65 @@ def test_connected_components_string_ids(spark):
     }
 
 
+def test_connected_components_decimal_scale_ids(spark):
+    """DECIMAL(p, s>0) ids must NOT take the decimal(38,0)-sum fixpoint:
+    the cast ROUNDS (2.4→2, 1.6→2), so distinct label states can alias
+    to one sum and falsely converge. This chain is built so that after
+    one propagation step the rounded label sum equals the converged
+    sum — only the changed-label join detects the difference."""
+    from decimal import Decimal
+
+    from dask_sql_spark.operators.graph import connected_components
+
+    # chain 0.6 - 1.4 - 2.4: after iteration 1 labels are
+    # {0.6:0.6, 1.4:0.6, 2.4:1.4} (rounded sum 1+1+1=3); converged
+    # labels are {0.6,0.6,0.6} (rounded sum 1+1+1=3) — sum-aliased.
+    edges = spark.createDataFrame(
+        [(Decimal("0.6"), Decimal("1.4")), (Decimal("1.4"), Decimal("2.4"))],
+        "id_a DECIMAL(3,1), id_b DECIMAL(3,1)",
+    )
+    comp = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert comp == {
+        Decimal("0.6"): Decimal("0.6"),
+        Decimal("1.4"): Decimal("0.6"),
+        Decimal("2.4"): Decimal("0.6"),
+    }
+
+
+def test_score_wrappers_preserve_caller_columns(docs):
+    """A caller-owned column that collides with a NON-requested score
+    column (e.g. a user-computed lang_guess on a frame passed to
+    add_token_stats) survives with its original values instead of being
+    silently replaced by the scorer's heuristic."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.text import add_langid, add_token_stats
+
+    tagged = docs.withColumn("lang_guess", F.lit("caller-owned"))
+    out = add_token_stats(tagged)
+    assert out.columns.count("lang_guess") == 1
+    assert {r.lang_guess for r in out.collect()} == {"caller-owned"}
+    # requesting the column still replaces it (re-scoring semantics)
+    relabel = add_langid(tagged)
+    assert "caller-owned" not in {r.lang_guess for r in relabel.collect()}
+
+
+def test_ngram_jaccard_lists_with_max_df_raises(docs):
+    """max_df is applied when BUILDING the shingle→doc lists; passing it
+    alongside a caller-supplied lists= relation is a loud error, not a
+    silent no-op."""
+    import pytest
+
+    from dask_sql_spark.operators.dedup import (
+        ngram_doc_lists,
+        ngram_jaccard_pairs,
+    )
+
+    built = ngram_doc_lists(docs)
+    with pytest.raises(ValueError, match="max_df"):
+        ngram_jaccard_pairs(docs, lists=built, max_df=100)
+
+
 def test_resample_fill_null_ts_excluded(spark):
     """NULL-ts events are dropped up front (the spine-join semantics this
     plan replaced): they create no buckets and never seed the forward
