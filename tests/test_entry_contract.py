@@ -92,13 +92,22 @@ def test_driver_window_covers_unverified_first():
 
 
 def test_verify_first_window_is_exact():
-    """_VERIFY_FIRST is sized to the driver's 50-row window, has no dups,
-    and every name is a registered query."""
+    """_VERIFY_FIRST fits the driver's 50-row window, has no dups, every
+    name is a registered query, and (round 6: the ledger-draining round)
+    it covers the ENTIRE never-driver-sampled tier — the window spills
+    into _REATTEST, which must also be dup-free."""
     import __spark_entry__ as e
 
-    assert len(e._VERIFY_FIRST) == 50
-    assert len(set(e._VERIFY_FIRST)) == 50
+    assert len(e._VERIFY_FIRST) <= 50
+    assert len(set(e._VERIFY_FIRST)) == len(e._VERIFY_FIRST)
     assert set(e._VERIFY_FIRST) <= set(e._QUERIES)
+    assert len(set(e._REATTEST)) == len(e._REATTEST)
+    assert set(e._REATTEST) <= set(e._QUERIES)
+    unverified = set(e._QUERIES) - e._driver_verified_names()
+    assert unverified <= set(e._VERIFY_FIRST), (
+        "never-sampled queries missing from the curated window: "
+        f"{sorted(unverified - set(e._VERIFY_FIRST))}"
+    )
 
 
 def test_red_rows_reenter_window(monkeypatch, tmp_path):
