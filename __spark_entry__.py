@@ -3462,6 +3462,14 @@ def _method_overlap_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _table(spark, sf_dir, "documents")
+    # each pair set is DUAL-consumed (its own count + the intersection
+    # join) — but the whole gate is ONE action, so Spark's ReusedExchange
+    # already dedupes both pipelines inside the single executed plan
+    # (verified: 2 ReusedExchange at sf0.01). An explicit persist() was
+    # measured SLOWER at sf1 (23-33s vs 18-20s: it forces eager
+    # materialization jobs the reused exchanges make redundant). The
+    # persist-the-dual-consumer discipline applies across SEPARATE
+    # actions, not within one — see SCALING.md round-6 addendum.
     mp = minhash_lsh_pairs(docs, num_perm=16, bands=8).select("id_a", "id_b")
     fp = fuzzy_levenshtein_pairs(docs, max_dist=8).select("id_a", "id_b")
     both = mp.join(fp, ["id_a", "id_b"])

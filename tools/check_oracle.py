@@ -154,9 +154,20 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     failures: list[str] = []
+    n_run = 0
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
             continue
+        # long single-session sweeps age badly: localCheckpoint RDD
+        # blocks stay pinned until BOTH the Python ref dies AND Spark's
+        # ContextCleaner sees the JVM ref collected — a 290-query run
+        # accumulated enough to turn an ~80s sf1 gate into 835s. Drop
+        # Python-side garbage every few queries so the cleaner can run.
+        n_run += 1
+        if n_run % 10 == 0:
+            import gc
+
+            gc.collect()
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
@@ -165,10 +176,12 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: SPARK ERROR\n{traceback.format_exc()}")
             continue
+        t_spark = time.time() - t0
         if name not in oracles:
             n_rows_only += 1
-            print(f"rows  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s) [no oracle]")
+            print(f"rows  {name}: {len(sdf)} rows ({t_spark:.1f}s) [no oracle]")
             continue
+        t1 = time.time()
         try:
             odf = con.execute(oracles[name]).df()
         except Exception:
@@ -176,6 +189,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: DUCKDB ERROR\n{traceback.format_exc()}")
             continue
+        t_oracle = time.time() - t1
         if hash_mode:
             hs, ho = value_hash(sdf), value_hash(odf)
             tag = "==" if hs == ho else "!="
@@ -184,10 +198,16 @@ def main() -> int:
         if diff:
             n_fail += 1
             failures.append(name)
-            print(f"FAIL  {name}: {diff}  ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            print(
+                f"FAIL  {name}: {diff}  ({len(sdf)} rows, "
+                f"spark {t_spark:.1f}s + oracle {t_oracle:.1f}s)"
+            )
         else:
             n_pass += 1
-            print(f"pass  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            print(
+                f"pass  {name}: {len(sdf)} rows "
+                f"(spark {t_spark:.1f}s + oracle {t_oracle:.1f}s)"
+            )
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
     if failures:
         print("failures:", " ".join(failures))

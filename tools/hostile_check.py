@@ -61,9 +61,15 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
             continue
+        n_run += 1
+        if n_run % 10 == 0:  # see check_oracle.py: let ContextCleaner run
+            import gc
+
+            gc.collect()
         try:
             sdf = fn(spark, sf_dir).toPandas()
             if name not in oracles:
