@@ -8916,8 +8916,12 @@ _REATTEST = [
     # DECIMAL(p,s>0)-excluding CC fixpoint guard (feeds
     # dedup_components_minhash + dedup_keeper_quality via
     # dedup_clusters)
-    "text_token_stats", "text_quality", "text_langid",
-    "dedup_components_minhash", "dedup_keeper_quality",
+    # keeper_quality leads its tier: its Spark side changed twice in
+    # round 6 (CC decimal guard + the dual-consumer localCheckpoint in
+    # dedup_clusters); text_langid is the third consumer of the same
+    # _append_scores shield the first two already cover in-window
+    "text_token_stats", "text_quality",
+    "dedup_components_minhash", "dedup_keeper_quality", "text_langid",
     # r5 spark-side changes: LSH persist strategy, the ANSI-bounded
     # BIGINT _exact_sum, the resample gap-explode plan,
     # thresholded-Levenshtein verify, the shared word_ngrams gram
