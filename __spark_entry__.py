@@ -8668,13 +8668,27 @@ def _hive_source_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             from pyspark.sql import SparkSession, functions as F
 
             # Hive LOCATION must be a directory (and testdata is
-            # read-only): expose the single parquet file through a
-            # symlink inside the gate's own scratch dir
+            # read-only): expose the parquet data through symlinks inside
+            # the gate's own scratch dir. Driver SFs ship single files;
+            # Spark-written datasets (the tiled sf1) are DIRECTORIES of
+            # part files — symlinking the dir as a file reads 0 rows, so
+            # link each part file instead.
+            src = {sf_dir + "/supplier.parquet"!r}
             loc = {os.path.join(work, "supplier_loc")!r}
             os.makedirs(loc, exist_ok=True)
-            link = os.path.join(loc, "part-0.parquet")
-            if not os.path.exists(link):
-                os.symlink({sf_dir + "/supplier.parquet"!r}, link)
+            parts = (
+                sorted(
+                    os.path.join(src, p)
+                    for p in os.listdir(src)
+                    if p.endswith(".parquet")
+                )
+                if os.path.isdir(src)
+                else [src]
+            )
+            for i, p in enumerate(parts):
+                link = os.path.join(loc, f"part-{{i}}.parquet")
+                if not os.path.exists(link):
+                    os.symlink(p, link)
 
             spark = (
                 SparkSession.builder.master("local[2]")
