@@ -2956,14 +2956,22 @@ SELECT
 
 _sqlq(
     "ds_correlated_count",
-    # q41-style: correlated COUNT(*) subquery as a filter predicate
+    # q41-style: correlated COUNT(*) subquery as a filter predicate.
+    # Correlation is EQUALITY-ONLY (faithful to q41): an added
+    # `p2.p_partkey <> p.p_partkey` correlate forced Spark's
+    # decorrelation into a BroadcastNestedLoopJoin over distinct outer
+    # keys × inner rows — measured 0.5 s / 1.9 s / 124 s at
+    # sf0.001/0.01/0.1 and unbounded at sf1 (quadratic). Since
+    # p_partkey is unique, "other rows with same (brand,type) > 2" ==
+    # "all rows with same (brand,type) > 3": same semantics, and the
+    # equality-only form decorrelates to aggregate + equi-join (see
+    # SCALING.md round-6 addendum).
     """
 SELECT DISTINCT p_name FROM part p
 WHERE p_size <= 10 AND (
   SELECT COUNT(*) FROM part p2
   WHERE p2.p_brand = p.p_brand AND p2.p_type = p.p_type
-    AND p2.p_partkey <> p.p_partkey
-) > 2
+) > 3
 ORDER BY p_name
 LIMIT 50
 """,
@@ -8936,6 +8944,10 @@ _REATTEST = [
     # _append_scores shield the first two already cover in-window
     "text_token_stats", "text_quality",
     "dedup_components_minhash", "dedup_keeper_quality", "text_langid",
+    # r6: q41 probe rewritten to equality-only correlation (the added
+    # <>-on-unique-key correlate decorrelated to a quadratic BNLJ;
+    # SCALING.md round-6 addendum) — same-SQL-both-engines, re-attest
+    "ds_correlated_count",
     # r5 spark-side changes: LSH persist strategy, the ANSI-bounded
     # BIGINT _exact_sum, the resample gap-explode plan,
     # thresholded-Levenshtein verify, the shared word_ngrams gram

@@ -155,8 +155,18 @@ def main() -> int:
     n_pass = n_fail = n_rows_only = 0
     failures: list[str] = []
     n_run = 0
+    # CHECK_EXCLUDE: comma-separated exact names to skip — for sf1
+    # sweeps where a handful of closure-style ORACLES (recursive-CTE
+    # transitive reach, all-pairs levenshtein) are super-linear in
+    # DuckDB while the Spark side stays seconds; see SCALING.md round-6
+    excluded = {
+        n for n in os.environ.get("CHECK_EXCLUDE", "").split(",") if n
+    }
     for name, fn in qs.items():
         if filters and not any(f in name for f in filters):
+            continue
+        if name in excluded:
+            print(f"skip  {name}: CHECK_EXCLUDE")
             continue
         # long single-session sweeps age badly: localCheckpoint RDD
         # blocks stay pinned until BOTH the Python ref dies AND Spark's
