@@ -4411,7 +4411,15 @@ WHERE NOT COALESCE(n_regionkey = 4, FALSE)
 
 _sqlq(
     "scalar_extract_units",
-    # dialect-provided EXTRACT units (Spark lacks them; DuckDB native)
+    # dialect-provided EXTRACT units (Spark lacks them; DuckDB native).
+    # EPOCH is gated in INTEGER MICROSECONDS (round-4 integer-units rule):
+    # the round-6 red proved ROUND(EXTRACT(EPOCH ...), 6) keeps a double
+    # whose last-place digit differs between Spark's BigDecimal-HALF_UP
+    # round and DuckDB's multiply-round-divide by 1 ulp on epoch-scale
+    # values. unix_micros(ts) / epoch_us(ts) are exact BIGINTs — no
+    # double appears anywhere in the hashed output. The dialect's
+    # EXTRACT(EPOCH) fractional-seconds rewrite itself stays covered by
+    # tests/test_dialect.py (never hash-gated on a double again).
     """
 SELECT event_id,
   EXTRACT(CENTURY FROM ts) AS c,
@@ -4419,7 +4427,7 @@ SELECT event_id,
   EXTRACT(MILLENNIUM FROM ts) AS mil,
   EXTRACT(MICROSECONDS FROM ts) AS us,
   EXTRACT(MILLISECONDS FROM ts) AS ms,
-  ROUND(EXTRACT(EPOCH FROM ts), 6) AS ep
+  unix_micros(CAST(ts AS TIMESTAMP)) AS ep_us
 FROM events
 """,
     """
@@ -4429,7 +4437,7 @@ SELECT event_id,
   EXTRACT(MILLENNIUM FROM ts) AS mil,
   EXTRACT(MICROSECONDS FROM ts) AS us,
   EXTRACT(MILLISECONDS FROM ts) AS ms,
-  ROUND(EXTRACT(EPOCH FROM ts), 6) AS ep
+  epoch_us(ts) AS ep_us
 FROM events
 """,
 )

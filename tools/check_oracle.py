@@ -117,7 +117,14 @@ def value_hash(df: pd.DataFrame) -> str:
 def main() -> int:
     args = sys.argv[1:]
     hash_mode = "--hash" in args
-    filters = [a for a in args if a != "--hash"]
+    # --bitwise: hash raw values exactly as the driver does and FAIL on
+    # digest mismatch even when the tolerant compare passes.  The plain
+    # compare's exact-or-1e-9-relative float tolerance is how the round-6
+    # `scalar_extract_units` 1-ulp divergence shipped local-green and
+    # died driver-red — use --bitwise for any gate whose hashed output
+    # keeps a float/double column.
+    bitwise = "--bitwise" in args
+    filters = [a for a in args if a not in ("--hash", "--bitwise")]
     import __spark_entry__ as entrymod
     from dask_sql_spark.context import default_spark_session
 
@@ -152,7 +159,7 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    n_pass = n_fail = n_rows_only = 0
+    n_pass = n_fail = n_rows_only = n_skip = 0
     failures: list[str] = []
     n_run = 0
     # CHECK_EXCLUDE: comma-separated exact names to skip — for sf1
@@ -166,6 +173,7 @@ def main() -> int:
         if filters and not any(f in name for f in filters):
             continue
         if name in excluded:
+            n_skip += 1
             print(f"skip  {name}: CHECK_EXCLUDE")
             continue
         # long single-session sweeps age badly: localCheckpoint RDD
@@ -200,11 +208,18 @@ def main() -> int:
             print(f"FAIL  {name}: DUCKDB ERROR\n{traceback.format_exc()}")
             continue
         t_oracle = time.time() - t1
-        if hash_mode:
+        if hash_mode or bitwise:
             hs, ho = value_hash(sdf), value_hash(odf)
             tag = "==" if hs == ho else "!="
-            print(f"hash  {name}: spark={hs[:16]} {tag} duckdb={ho[:16]}")
+            if hash_mode:
+                print(f"hash  {name}: spark={hs[:16]} {tag} duckdb={ho[:16]}")
         diff = compare(sdf, odf)
+        if bitwise and not diff and hs != ho:
+            diff = (
+                f"BITWISE hash mismatch spark={hs[:16]} != duckdb={ho[:16]} "
+                "(tolerant compare passed — a float column differs in the "
+                "last ulp; the driver would record this red)"
+            )
         if diff:
             n_fail += 1
             failures.append(name)
@@ -218,7 +233,10 @@ def main() -> int:
                 f"pass  {name}: {len(sdf)} rows "
                 f"(spark {t_spark:.1f}s + oracle {t_oracle:.1f}s)"
             )
-    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    print(
+        f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only, "
+        f"{n_skip} excluded =="
+    )
     if failures:
         print("failures:", " ".join(failures))
     return 1 if n_fail else 0

@@ -183,21 +183,166 @@ def double_agg_sweep() -> dict[str, list[str]]:
     return flagged
 
 
+# ------------------------------------------------------------------ #
+# Class 3 (round-6 `scalar_extract_units`): ROUND(x, d>0) that STAYS  #
+# double in the hashed output.                                        #
+# ------------------------------------------------------------------ #
+# Rounding x to d decimal digits is engine-stable only while the
+# rounding quantum dwarfs the argument's ulp: both engines then pick the
+# same integer n = round(x*10^d) and IEEE division / decimal→double
+# conversion both yield the identical nearest double to n/10^d.  At
+# epoch scale (|x|·10^d ~ 1.7e15) ulp(x·10^d) is 0.25 — Spark's
+# BigDecimal-HALF_UP and DuckDB's multiply-round-divide can pick
+# integers 1 apart, which is exactly how `scalar_extract_units` shipped
+# local-green (1e-9-tolerant checker) and died driver-red (raw-value
+# hash).  Two triggers:
+#   (a) STATIC: the ROUND argument references an epoch-scale source
+#       (EXTRACT(EPOCH), epoch_us/ms/ns, unix_micros/millis/seconds) —
+#       flagged unconditionally; gate such columns in integer units.
+#   (b) DYNAMIC: the site is a direct output column (`ROUND(...) AS c`)
+#       and the observed max|c|·10^d reaches ulp ≥ 1e-3 of 0.5 — i.e.
+#       max|c|·10^d ≥ 2^53·1e-3 ≈ 9.0e12 (500× safety margin on the
+#       0.5 flip boundary).
+_EPOCH_SOURCE_RE = None  # built lazily; module stays import-light
+
+
+def _round_sites(sql: str) -> list[tuple[str, int, int, str | None]]:
+    """Every ``ROUND(<arg>, <d>)`` with literal d>0 NOT enclosed in a
+    CAST(... AS <integer type>), as (arg, d, position, alias-or-None);
+    alias is captured when the site is immediately ``AS <name>``."""
+    import re
+
+    sites = []
+    for m in re.finditer(r"\bROUND\s*\(", sql, re.IGNORECASE):
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        inner = sql[m.end(): i - 1]
+        d0, last = 0, None
+        for j, ch in enumerate(inner):
+            if ch == "(":
+                d0 += 1
+            elif ch == ")":
+                d0 -= 1
+            elif ch == "," and d0 == 0:
+                last = j
+        if last is None:
+            continue  # ROUND(x): integer-valued, exact under the r4 rule
+        scale = inner[last + 1:].strip()
+        if not re.fullmatch(r"\d+", scale) or int(scale) == 0:
+            continue
+        # enclosed in an integer CAST → never double in the output
+        in_int_cast = False
+        for cm in re.finditer(r"\bCAST\s*\(", sql[: m.start()], re.IGNORECASE):
+            depth, k = 1, cm.end()
+            while k < len(sql) and depth:
+                if sql[k] == "(":
+                    depth += 1
+                elif sql[k] == ")":
+                    depth -= 1
+                k += 1
+            if k > i and re.search(
+                r"\sAS\s+(BIGINT|INT(EGER)?|SMALLINT|TINYINT)\s*$",
+                sql[cm.end(): k - 1].strip(),
+                re.IGNORECASE,
+            ):
+                in_int_cast = True
+                break
+        if in_int_cast:
+            continue
+        am = re.match(r"\s+AS\s+(\w+)", sql[i:], re.IGNORECASE)
+        sites.append(
+            (inner[:last].strip(), int(scale), m.start(), am.group(1) if am else None)
+        )
+    return sites
+
+
+def round_double_sweep(
+    oracles: dict[str, str] | None = None,
+) -> dict[str, list[str]]:
+    """{query_name: [reason, ...]} for oracles where a ROUND(x, d>0)
+    stays double in the hashed output at engine-divergent magnitude."""
+    import re
+
+    if oracles is None:
+        import __spark_entry__ as entrymod
+
+        oracles = entrymod.oracle_sql()
+    epoch_re = re.compile(
+        r"EXTRACT\s*\(\s*EPOCH|epoch_(us|ms|ns|s)\s*\(|"
+        r"unix_(micros|millis|seconds)\s*\(",
+        re.IGNORECASE,
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    flagged: dict[str, list[str]] = {}
+    for name, sql in oracles.items():
+        reasons: list[str] = []
+        probes: list[tuple[str, int]] = []
+        for arg, d, _pos, alias in _round_sites(sql):
+            if epoch_re.search(arg):
+                reasons.append(
+                    f"ROUND({arg[:60]}, {d}) over an epoch-scale source "
+                    "stays double — gate in integer units"
+                )
+            elif alias is not None:
+                probes.append((alias, d))
+        if probes:
+            try:
+                desc = {
+                    col: typ
+                    for col, typ, *_ in con.execute(f"DESCRIBE ({sql})").fetchall()
+                }
+                todo = [
+                    (a, d) for a, d in probes
+                    if desc.get(a, "").upper() in ("DOUBLE", "FLOAT", "REAL")
+                ]
+                if todo:
+                    exprs = ", ".join(
+                        f'max(abs("{a}")) AS "m_{i}"' for i, (a, _) in enumerate(todo)
+                    )
+                    row = con.execute(
+                        f"SELECT {exprs} FROM ({sql}) __t"
+                    ).fetchone()
+                    for (a, d), mx in zip(todo, row):
+                        if mx is not None and float(mx) * (10 ** d) >= 2**53 * 1e-3:
+                            reasons.append(
+                                f"ROUND(..., {d}) AS {a}: max|x|={float(mx):.3g} "
+                                f"puts x*10^{d} at ulp >= 1e-3 — engines may "
+                                "round to different integers; gate in integer "
+                                "units"
+                            )
+            except Exception as exc:
+                reasons.append(f"probe error: {str(exc).splitlines()[0][:120]}")
+        if reasons:
+            flagged[name] = reasons
+    return flagged
+
+
 def main() -> int:
     flagged = sweep()
     dec = decimal_cast_sweep()
+    rnd = round_double_sweep()
     for name, args in sorted(double_agg_sweep().items()):
         print(f"WARN-DOUBLE-AGG  {name}: {args}")
-    if not flagged and not dec:
+    if not flagged and not dec and not rnd:
         print(
             "type sweep clean: no HUGEINT/UHUGEINT oracle columns, "
-            "no double→DECIMAL casts"
+            "no double→DECIMAL casts, no engine-divergent ROUND-double "
+            "output columns"
         )
         return 0
     for name, cols in sorted(flagged.items()):
         print(f"FLAG  {name}: {cols}")
     for name, args in sorted(dec.items()):
         print(f"FLAG-DECIMAL  {name}: {args}")
+    for name, args in sorted(rnd.items()):
+        print(f"FLAG-ROUND-DOUBLE  {name}: {args}")
     return 1
 
 
