@@ -93,9 +93,18 @@ def evaluate(
     ``ValueError`` (no metric is defined over zero rows), zero label
     variance yields ``r2 = 0.0`` like :func:`r2_score`, and both columns
     are cast to double so integer predictions type identically to
-    :func:`mean_squared_error`."""
-    y = F.col(label_col).cast("double")
-    d = y - F.col(pred_col).cast("double")
+    :func:`mean_squared_error`.
+
+    Non-numeric (e.g. string classification) labels/predictions are
+    first-class for ``accuracy`` — the equality compare never casts —
+    while the regression metrics (mse/rmse/r2, log_loss) come back as
+    ``nan``: the casts are ``try_cast`` so they yield NULL rather than
+    raising under ANSI mode, and all-NULL aggregate terms are mapped to
+    ``nan`` instead of blowing up in ``float(None)``. This keeps the
+    reference dask-ml ``accuracy_score`` parity (plain equality over any
+    comparable dtype)."""
+    y = F.col(label_col).try_cast("double")
+    d = y - F.col(pred_col).try_cast("double")
     aggs = [
         F.avg(
             F.when(F.col(label_col) == F.col(pred_col), 1.0).otherwise(0.0)
@@ -107,7 +116,10 @@ def evaluate(
         F.count(F.lit(1)).alias("n"),
     ]
     if prob_col is not None:
-        p = F.least(F.greatest(F.col(prob_col), F.lit(eps)), F.lit(1.0 - eps))
+        p = F.least(
+            F.greatest(F.col(prob_col).try_cast("double"), F.lit(eps)),
+            F.lit(1.0 - eps),
+        )
         aggs.append(
             F.avg(-(y * F.log(p) + (1.0 - y) * F.log(1.0 - p))).alias(
                 "log_loss"
@@ -116,15 +128,25 @@ def evaluate(
     row = df.agg(*aggs).collect()[0]
     if not row["n"]:
         raise ValueError("evaluate() requires at least one row")
-    ss_tot = row["yy"] - row["ys"] * row["ys"] / row["n"]
+    def _f(v):  # all-NULL aggregate (non-numeric labels) → nan, not crash
+        return float(v) if v is not None else math.nan
+    mse = _f(row["mse"])
+    if row["yy"] is None or row["ys"] is None:
+        r2 = math.nan
+    else:
+        ss_tot = row["yy"] - row["ys"] * row["ys"] / row["n"]
+        r2 = (
+            0.0 if ss_tot == 0
+            else 1.0 - (row["ss_res"] if row["ss_res"] is not None else math.nan) / ss_tot
+        )
     out = {
-        "accuracy": float(row["accuracy"]),
-        "mse": float(row["mse"]),
-        "rmse": math.sqrt(float(row["mse"])),
-        "r2": 0.0 if ss_tot == 0 else 1.0 - row["ss_res"] / ss_tot,
+        "accuracy": _f(row["accuracy"]),
+        "mse": mse,
+        "rmse": math.sqrt(mse),  # sqrt(nan) == nan
+        "r2": r2,
     }
     if prob_col is not None:
-        out["log_loss"] = float(row["log_loss"])
+        out["log_loss"] = _f(row["log_loss"])
     return out
 
 

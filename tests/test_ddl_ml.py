@@ -394,6 +394,26 @@ def test_evaluate_single_pass_matches_scalar_helpers(spark):
     assert abs(m["r2"] - r2_score(df, "y", "pred")) < 1e-15
 
 
+def test_accuracy_score_string_labels(spark):
+    """String classification labels are reference-parity for
+    accuracy_score (dask-ml computes plain equality); the fused
+    evaluate() pass must not crash on them — regression metrics come
+    back nan (try_cast NULLs), accuracy stays exact."""
+    import math
+
+    from dask_sql_spark.ml.metrics import accuracy_score, evaluate
+
+    df = spark.createDataFrame(
+        [("cat", "cat"), ("dog", "cat"), ("cat", "cat"), ("bird", "bird")],
+        "y STRING, pred STRING",
+    )
+    assert accuracy_score(df, "y", "pred") == 0.75
+    assert accuracy_score(df, "y", "pred", normalize=False) == 3.0
+    m = evaluate(df, "y", "pred")
+    assert m["accuracy"] == 0.75
+    assert math.isnan(m["mse"]) and math.isnan(m["rmse"]) and math.isnan(m["r2"])
+
+
 def test_threshold_classifier_learns_mean(context):
     import pandas as pd
 
