@@ -2075,10 +2075,16 @@ WHERE ROUND(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) >= 0.12
 
 
 def _minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     from dask_sql_spark.operators.dedup import minhash_lsh_pairs
 
+    # SPARK_GRAFT_LSH_PARTS: harness hook for the sized
+    # repartition(n, "band", "bucket") scale knob (SCALING.md r7 A/B)
+    parts = int(os.environ.get("SPARK_GRAFT_LSH_PARTS", "0")) or None
     return minhash_lsh_pairs(
-        _table(spark, sf_dir, "documents"), num_perm=16, bands=8
+        _table(spark, sf_dir, "documents"), num_perm=16, bands=8,
+        band_partitions=parts,
     )
 
 

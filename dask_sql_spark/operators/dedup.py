@@ -447,6 +447,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     sigs: DataFrame | None = None,
+    band_partitions: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
@@ -466,10 +467,14 @@ def minhash_lsh_pairs(
     # driver-style min-of-n harness; AQE plans the self-join fine from
     # the unpartitioned cache. On a real cluster feeding a LARGE corpus,
     # a sized repartition(n, "band", "bucket") with n ∝ input bytes is
-    # the scale knob — at bench scale it is pure overhead.
+    # the scale knob — exposed as ``band_partitions`` (None = off; at
+    # bench scale it measured pure overhead, see SCALING.md round-7 A/B).
     band_sigs = minhash_band_buckets(
         df, id_col, text_col, num_perm, bands, shingle_n, sigs=sigs
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if band_partitions:
+        band_sigs = band_sigs.repartition(band_partitions, "band", "bucket")
+    band_sigs = band_sigs.persist(StorageLevel.MEMORY_AND_DISK)
     a = band_sigs.alias("a")
     b = band_sigs.alias("b")
     return (
