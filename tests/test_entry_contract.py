@@ -32,16 +32,11 @@ def test_queries_oracles_consistent():
     assert len(qs) >= 50
     # every oracle refers to a registered query
     assert set(oracles) <= set(qs)
-    # only known-nondeterministic/approximate ops may skip the oracle
-    # (round 4 graduated ann_ivf_topk — fixed-codebook assignment is
-    # engine-independent — and dedup_embedding_lsh, whose kernel="fold"
-    # path replays the seeded planes + multiprobe + cosine in DuckDB;
-    # round 5 graduated sketch_hll_mergeable via its deterministic
-    # error-bound + exact-distinct form)
-    assert set(qs) - set(oracles) == {
-        "sample_bernoulli",
-        "approx_aggregates",
-    }
+    # round 7 graduated the last two rows-only gates (approx_aggregates
+    # via deterministic error-bound properties, sample_bernoulli via
+    # sampling invariants): EVERY registered query now carries a value
+    # oracle — this set must stay empty
+    assert set(qs) - set(oracles) == set()
 
 
 @pytest.fixture(scope="module")
