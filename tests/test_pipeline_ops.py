@@ -89,6 +89,26 @@ def test_minhash_matches_bruteforce_jaccard(docs):
     assert true_pairs <= cands
 
 
+def test_minhash_band_partitions_same_pairs(docs):
+    """The sized repartition(n, band, bucket) scale knob (SCALING.md r7
+    A/B) must be plan-only: identical candidate pairs at any partition
+    count, including a hostile odd one."""
+    from dask_sql_spark.operators.dedup import minhash_lsh_pairs
+
+    base = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, num_perm=16, bands=8).collect()
+    }
+    for n in (1, 7):
+        got = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                docs, num_perm=16, bands=8, band_partitions=n
+            ).collect()
+        }
+        assert got == base
+
+
 def test_simhash_hamming(docs):
     from dask_sql_spark.operators.dedup import simhash, simhash_pairs
 
