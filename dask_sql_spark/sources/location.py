@@ -125,10 +125,20 @@ def to_spark_dataframe(
     if isinstance(input_table, DataFrame):
         return input_table
     if isinstance(input_table, str):
-        if format == "hive" or input_table.startswith("hive://"):
+        if (
+            format == "hive"
+            or input_table.startswith("hive://")
+            or input_table.startswith("databricks+pyhive://")
+        ):
+            # reference input_utils/sqlalchemy.py:12-16 accepts both
+            # hive:// and databricks+pyhive:// connection strings and
+            # routes them to the same Hive plugin; here both resolve
+            # through the session catalog's Hive metastore.
             from dask_sql_spark.sources.catalogs import read_hive_table
 
-            name = input_table.removeprefix("hive://")
+            name = input_table.removeprefix("hive://").removeprefix(
+                "databricks+pyhive://"
+            )
             db, _, tbl = name.rpartition(".")
             return read_hive_table(spark, tbl, db or None)
         if format == "intake":

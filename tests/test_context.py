@@ -226,3 +226,23 @@ def test_config_noop_keys_warn_not_fail(context):
         ).collect()
     assert out[0]["n"] == 1
     assert any("no Spark equivalent" in str(w.message) for w in caught)
+
+
+def test_sqlalchemy_hive_prefixes_route_to_hive(spark, monkeypatch):
+    """Reference input_utils/sqlalchemy.py:12-16: hive:// and
+    databricks+pyhive:// connection strings both route to the Hive
+    plugin. Our dispatch resolves both through read_hive_table."""
+    from dask_sql_spark.sources import catalogs
+    from dask_sql_spark.sources.location import to_spark_dataframe
+
+    seen = []
+
+    def fake_read_hive_table(sp, table, database=None):
+        seen.append((table, database))
+        return sp.range(1)
+
+    monkeypatch.setattr(catalogs, "read_hive_table", fake_read_hive_table)
+    to_spark_dataframe(spark, "hive://mydb.t1")
+    to_spark_dataframe(spark, "databricks+pyhive://mydb.t2")
+    to_spark_dataframe(spark, "hive://bare_table")
+    assert seen == [("t1", "mydb"), ("t2", "mydb"), ("bare_table", None)]
