@@ -99,3 +99,14 @@ def test_norm_integer_widths_unify():
     assert compare(a, b) is None
     assert value_hash(a) == value_hash(b)
     assert str(norm(a.copy())["n"].dtype) == "Int64"
+
+
+def test_negative_zero_caught_by_hash_not_compare():
+    """-0.0 vs 0.0: numpy == passes (compare() is blind to it) but the
+    driver's repr-based raw hash differs — exactly the class only the
+    value_hash/bitwise layer can catch.  Pins why hostile_check and
+    --bitwise both hash even after compare() passes."""
+    a = pd.DataFrame({"v": [0.0]})
+    b = pd.DataFrame({"v": [-0.0]})
+    assert compare(a.copy(), b.copy()) is None
+    assert value_hash(a) != value_hash(b)
