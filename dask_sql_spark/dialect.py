@@ -243,10 +243,14 @@ def _extract_ext_repl(m: re.Match) -> str:
         return f"CAST(FLOOR(YEAR({e}) / 10) AS BIGINT)"
     if unit.startswith("MILLEN"):
         return f"CAST(FLOOR((YEAR({e}) - 1) / 1000) + 1 AS BIGINT)"
+    # pmod, not %: Spark's % follows the dividend's sign, so pre-1970
+    # timestamps (negative unix_micros) would come back negative while
+    # the reference surface (Postgres/DuckDB EXTRACT) is the always-
+    # non-negative seconds-within-minute. pmod == % for positive epochs.
     if unit.startswith("MICROSECOND"):
-        return f"({us} % 60000000)"
+        return f"pmod({us}, 60000000)"
     if unit.startswith("MILLISECOND"):
-        return f"(({us} % 60000000) DIV 1000)"
+        return f"(pmod({us}, 60000000) DIV 1000)"
     return f"({us} / 1000000.0)"  # EPOCH
 
 

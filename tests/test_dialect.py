@@ -196,6 +196,25 @@ def test_extract_extended_units(context):
     assert (row.c, row.d, row.m, row.us, row.ms) == (21, 202, 3, 42000047, 42999)
 
 
+def test_extract_subsecond_units_pre_1970(context):
+    """MICROSECONDS/MILLISECONDS are the NON-NEGATIVE seconds-within-
+    minute (Postgres/DuckDB EXTRACT) even for negative unix epochs:
+    Spark's % follows the dividend's sign, so the rewrite must use pmod
+    or every pre-1970 timestamp comes back negative (differential-
+    verified vs DuckDB over 1900/1960/1969 + the 1970 boundary)."""
+    row = context.sql(
+        "SELECT EXTRACT(MICROSECONDS FROM TIMESTAMP '1969-12-31 23:59:30.123456') AS us69, "
+        "EXTRACT(MILLISECONDS FROM TIMESTAMP '1969-12-31 23:59:30.123456') AS ms69, "
+        "EXTRACT(MICROSECONDS FROM TIMESTAMP '1900-01-01 00:00:00.25') AS us00, "
+        "EXTRACT(MICROSECONDS FROM TIMESTAMP '1970-01-01 00:00:00') AS usep, "
+        "EXTRACT(MICROSECONDS FROM TIMESTAMP '1969-12-31 23:59:59.999999') AS usmx "
+        "FROM df_simple LIMIT 1"
+    ).collect()[0]
+    assert (row.us69, row.ms69, row.us00, row.usep, row.usmx) == (
+        30123456, 30123, 250000, 0, 59999999,
+    )
+
+
 def test_fetch_first_rewrites_to_limit():
     from dask_sql_spark.dialect import rewrite
 
