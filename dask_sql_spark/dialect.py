@@ -154,6 +154,18 @@ _SIMILAR_RE = re.compile(
 )
 
 
+# one-unit INTERVAL literal per trunc unit: Spark's interval grammar has
+# no QUARTER (and WEEK is safer as 7 DAY), although date_trunc supports
+# both — the reference itself only implements DAY..MICROSECOND
+# (call.py:791-805, NotImplementedError beyond), so everything here is
+# a superset of its surface.
+_CEIL_STEP = {"QUARTER": "'3' MONTH", "WEEK": "'7' DAY"}
+
+
+def _ceil_step(unit: str) -> str:
+    return _CEIL_STEP.get(unit, f"'1' {unit}")
+
+
 def _ceil_floor_repl(m: re.Match) -> str:
     fn, expr, unit = m.group(1).upper(), m.group(2), m.group(3).upper()
     if fn == "FLOOR":
@@ -162,7 +174,7 @@ def _ceil_floor_repl(m: re.Match) -> str:
     trunc = f"date_trunc('{unit}', {expr})"
     return (
         f"CASE WHEN {trunc} = CAST({expr} AS TIMESTAMP) THEN {trunc} "
-        f"ELSE {trunc} + INTERVAL '1' {unit} END"
+        f"ELSE {trunc} + INTERVAL {_ceil_step(unit)} END"
     )
 
 
@@ -217,7 +229,7 @@ def _timestamp_ceil_floor_repl(m: re.Match) -> str:
         return trunc
     return (
         f"CASE WHEN {trunc} = CAST({expr} AS TIMESTAMP) THEN {trunc} "
-        f"ELSE {trunc} + INTERVAL '1' {unit} END"
+        f"ELSE {trunc} + INTERVAL {_ceil_step(unit)} END"
     )
 
 

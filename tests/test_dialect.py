@@ -67,6 +67,25 @@ def test_rewrite_ceil_floor_to_unit():
     assert "date_trunc('MONTH', ts)" in out and "INTERVAL '1' MONTH" in out
 
 
+def test_ceil_to_quarter_and_week(context):
+    """Spark's interval grammar has no QUARTER (and WEEK is safer as
+    7 DAY) even though date_trunc supports both — the CEIL step must go
+    through the unit→interval map or `CEIL(ts TO QUARTER)` is a parse
+    error. Superset of the reference surface (call.py:791-805 implements
+    only DAY..MICROSECOND)."""
+    row = context.sql(
+        "SELECT CEIL(TIMESTAMP '2021-02-15 10:31:02' TO QUARTER) AS q, "
+        "CEIL(TIMESTAMP '2021-04-01 00:00:00' TO QUARTER) AS q_edge, "
+        "CEIL(TIMESTAMP '2021-02-15 10:31:02' TO WEEK) AS w, "
+        "TIMESTAMPCEIL(TIMESTAMP '2021-02-15 10:31:02', 'QUARTER') AS fq "
+        "FROM df_simple LIMIT 1"
+    ).collect()[0]
+    assert str(row.q) == "2021-04-01 00:00:00"
+    assert str(row.q_edge) == "2021-04-01 00:00:00"  # on-boundary: no step
+    assert str(row.w) == "2021-02-22 00:00:00"
+    assert str(row.fq) == "2021-04-01 00:00:00"
+
+
 def test_rewrite_rand_integer():
     assert "FLOOR(RAND() * (10))" in rewrite("SELECT RAND_INTEGER(10)")
     assert "RAND(7)" in rewrite("SELECT RAND_INTEGER(7, 10)")
