@@ -267,18 +267,21 @@ def _extract_ext_repl(m: re.Match) -> str:
 
 
 # SUBSTRING/SUBSTR start clamping — the reference clamps start <= 0 to the
-# string head and keeps the requested length (call.py:526-546); Spark's
-# negative start counts from the END. Clamp with GREATEST so both the
-# FROM/FOR and comma forms behave reference-exactly. Conservative arg
-# patterns (no nested parens): nested-call starts are left native, which
-# is safe — they are never negative in the reference surface.
+# string head and keeps the requested length (call.py:532-540:
+# `if start <= 0: start = 0; end = length + start`); Spark's (and
+# DuckDB's) negative start counts from the END. Clamp with GREATEST so
+# both the FROM/FOR and comma forms behave reference-exactly. The first
+# argument uses _ARG (quoted literals + two paren levels) and the
+# rewrite runs on the full text — the old chunk-masked `[^()]+?` form
+# silently left `SUBSTRING('lit' FROM -3 FOR 6)` and nested-call
+# arguments on Spark's from-the-end semantics.
 _SUBSTRING_FROM_RE = re.compile(
-    r"\bSUBSTRING\s*\(\s*([^()]+?)\s+FROM\s+([^()]+?)"
+    r"\bSUBSTRING\s*\(\s*" + _ARG + r"\s+FROM\s+([^()]+?)"
     r"(?:\s+FOR\s+([^()]+?))?\s*\)",
     re.IGNORECASE,
 )
 _SUBSTR_COMMA_RE = re.compile(
-    r"\bSUBSTR(ING)?\s*\(\s*([^(),]+?)\s*,\s*([^(),]+?)\s*"
+    r"\bSUBSTR(ING)?\s*\(\s*" + _ARG + r"\s*,\s*([^(),]+?)\s*"
     r"(?:,\s*([^(),]+?)\s*)?\)",
     re.IGNORECASE,
 )
@@ -518,12 +521,10 @@ def rewrite(sql: str) -> str:
     # the EXTRACT expr may itself contain a literal (TIMESTAMP '...'), so
     # this runs on the full text — the pattern is specific enough
     sql = _EXTRACT_EXT_RE.sub(_extract_ext_repl, sql)
-    sql = _rewrite_outside_literals(
-        sql, lambda chunk: _SUBSTRING_FROM_RE.sub(_substring_from_repl, chunk)
-    )
-    sql = _rewrite_outside_literals(
-        sql, lambda chunk: _SUBSTR_COMMA_RE.sub(_substr_comma_repl, chunk)
-    )
+    # SUBSTRING/SUBSTR args may be string literals or nested calls, so
+    # these run on the full text (same convention as DSQL_TOTIMESTAMP)
+    sql = _SUBSTRING_FROM_RE.sub(_substring_from_repl, sql)
+    sql = _SUBSTR_COMMA_RE.sub(_substr_comma_repl, sql)
 
     # SIMILAR TO spans a literal, so run on the full text
     def _similar_repl(m: re.Match) -> str:

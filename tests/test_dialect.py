@@ -67,6 +67,22 @@ def test_rewrite_ceil_floor_to_unit():
     assert "date_trunc('MONTH', ts)" in out and "INTERVAL '1' MONTH" in out
 
 
+def test_substring_clamp_literal_and_nested_args(context):
+    """The clamp rewrite must also fire when the first argument is a
+    string literal or a nested call — the old chunk-masked pattern
+    silently left those on Spark's from-the-end semantics. Reference
+    call.py:532-540: start <= 0 clamps to the head, requested length
+    kept."""
+    row = context.sql(
+        "SELECT SUBSTRING('hello' FROM -3 FOR 6) AS a, "
+        "SUBSTRING(TRIM('  hello  ') FROM -2 FOR 4) AS b, "
+        "SUBSTR('hello', -3, 2) AS d, "
+        "SUBSTRING('hello' FROM 2 FOR 3) AS e "
+        "FROM df_simple LIMIT 1"
+    ).collect()[0]
+    assert (row.a, row.b, row.d, row.e) == ("hello", "hell", "he", "ell")
+
+
 def test_ceil_to_quarter_and_week(context):
     """Spark's interval grammar has no QUARTER (and WEEK is safer as
     7 DAY) even though date_trunc supports both — the CEIL step must go
