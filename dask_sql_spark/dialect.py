@@ -189,6 +189,11 @@ def _rand_integer_repl(m: re.Match) -> str:
 _C_TO_JAVA = {
     "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
     "%H": "HH", "%M": "mm", "%S": "ss", "%f": "SSSSSS",
+    # the reference accepts any strptime token (call.py:632-641 defers
+    # to datetime.strptime / dd.to_datetime); map the rest of the
+    # common surface onto Java DateTimeFormatter equivalents
+    "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE",
+    "%I": "hh", "%p": "a", "%j": "DDD", "%z": "xx",
 }
 
 

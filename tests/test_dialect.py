@@ -67,6 +67,27 @@ def test_rewrite_ceil_floor_to_unit():
     assert "date_trunc('MONTH', ts)" in out and "INTERVAL '1' MONTH" in out
 
 
+def test_dsql_totimestamp_strptime_tokens(context):
+    """DSQL_TOTIMESTAMP accepts C-strptime formats (reference
+    call.py:632-641 defers to datetime.strptime); the token map must
+    cover month names, 12-hour + AM/PM and day-of-year, and unparseable
+    strings come back NULL (try_to_timestamp), with integer epochs
+    falling through to timestamp_seconds."""
+    row = context.sql(
+        "SELECT DSQL_TOTIMESTAMP('04 Mar 2021 05:06 PM', '%d %b %Y %I:%M %p') AS a, "
+        "DSQL_TOTIMESTAMP('2021-100', '%Y-%j') AS b, "
+        "DSQL_TOTIMESTAMP('March 04, 2021', '%B %d, %Y') AS d, "
+        "DSQL_TOTIMESTAMP('garbage', '%Y-%m-%d') AS n, "
+        "DSQL_TOTIMESTAMP(1614834367, '%Y') AS ep "
+        "FROM df_simple LIMIT 1"
+    ).collect()[0]
+    assert str(row.a) == "2021-03-04 17:06:00"
+    assert str(row.b) == "2021-04-10 00:00:00"  # day-of-year 100
+    assert str(row.d) == "2021-03-04 00:00:00"
+    assert row.n is None
+    assert str(row.ep) == "2021-03-04 05:06:07"
+
+
 def test_substring_clamp_literal_and_nested_args(context):
     """The clamp rewrite must also fire when the first argument is a
     string literal or a nested call — the old chunk-masked pattern
