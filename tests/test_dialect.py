@@ -164,6 +164,24 @@ def test_qualify_with_alias_and_limit(context):
     assert [r.user_id for r in out] == [1, 1]
 
 
+def test_qualify_over_group_by_via_output_alias(context):
+    """QUALIFY after GROUP BY: windows over the aggregated rows work
+    when the predicate references the head query's OUTPUT columns (the
+    documented contract — raw aggregate expressions like SUM(v) inside
+    QUALIFY are not re-resolvable post-aggregation and raise Spark's
+    unresolved-column error; use the select-list alias instead)."""
+    import pandas as pd
+
+    context.create_table(
+        "qgb", pd.DataFrame({"g": ["a", "a", "b", "b", "b"], "v": [1, 2, 3, 4, 5]})
+    )
+    out = context.sql(
+        "SELECT g, SUM(v) AS s FROM qgb WHERE v > 1 GROUP BY g "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY s DESC) = 1"
+    ).collect()
+    assert [(r.g, r.s) for r in out] == [("b", 12)]
+
+
 def test_qualify_untouched_when_absent():
     from dask_sql_spark.dialect import rewrite_qualify
 
