@@ -17,7 +17,21 @@ parser rejects or mis-interprets:
 Everything else (FILTER clauses, TABLESAMPLE, DISTRIBUTE BY, grouping sets,
 EXISTS/IN subqueries, window frames…) parses natively in Spark SQL and is
 deliberately NOT touched here. The rewriter is token-aware enough to skip
-string literals so patterns inside quotes are not mangled.
+string literals so patterns inside quotes are not mangled (chunk-masked
+rewrites via ``_rewrite_outside_literals``; full-text rewrites whose match
+may begin with a literal use ``_sub_skipping_literals`` instead).
+
+Known, intentional reference divergence — integer literal width: the
+reference plans bare integer literals as Int64 (DataFusion typing,
+src/expression.rs:518-549), so ``SELECT (((0+67)*70)*(71*(75*86)))``
+returns 2,147,785,500 there. This engine keeps Spark's INT32 literal
+typing under ANSI mode and raises ARITHMETIC_OVERFLOW — exactly as the
+DuckDB oracle does (OutOfRange on INT32 multiply), so engine and oracle
+agree; the differential fuzz suite asserts error PARITY for this class
+(tests/test_expr_fuzz.py). Users who want the reference's behavior can
+CAST a literal to BIGINT; an implicit literal-widening rewrite was
+considered and rejected as it would silently change every INT-typed
+output column to BIGINT.
 """
 
 from __future__ import annotations
@@ -137,6 +151,46 @@ def _rewrite_outside_literals(sql: str, fn) -> str:
     return "".join(chunk if is_lit else fn(chunk) for chunk, is_lit in _split_literals(sql))
 
 
+def _literal_spans(sql: str) -> list[tuple[int, int]]:
+    """(start, end) offsets of every quoted string literal (quotes included)."""
+    spans: list[tuple[int, int]] = []
+    pos = 0
+    for chunk, is_lit in _split_literals(sql):
+        end = pos + len(chunk)
+        if is_lit:
+            spans.append((pos, end))
+        pos = end
+    return spans
+
+
+def _sub_skipping_literals(pattern: re.Pattern, repl, sql: str) -> str:
+    """``pattern.sub(repl, sql)``, but a match whose start offset falls
+    STRICTLY INSIDE a quoted string literal is left untouched.
+
+    Used for the rewrites whose matched text may legitimately *contain or
+    begin with* a literal (``SUBSTRING('lit' FROM -3)``, ``CEIL(TIMESTAMP
+    '...' TO DAY)``, ``expr SIMILAR TO 'pat'``) and therefore cannot run
+    through the chunk-masked ``_rewrite_outside_literals`` — without this
+    guard, keyword-looking text inside an ordinary string value (e.g.
+    ``SELECT 'use SUBSTRING(x FROM 2)' AS tip``) would be mutated. A match
+    starting exactly AT a literal's opening quote is allowed: that is the
+    literal-as-first-argument case. Offsets are computed on the input
+    string, which is what ``re.sub`` iterates over, so spans stay valid.
+    """
+    spans = _literal_spans(sql)
+
+    def guarded(m: re.Match) -> str:
+        s = m.start()
+        for lo, hi in spans:
+            if lo < s < hi:
+                return m.group(0)
+            if lo >= s:
+                break
+        return repl(m)
+
+    return pattern.sub(guarded, sql)
+
+
 _CEIL_FLOOR_RE = re.compile(
     r"\b(CEIL|CEILING|FLOOR)\s*\(\s*([^()]+?)\s+TO\s+(" + _UNITS + r")\s*\)",
     re.IGNORECASE,
@@ -193,7 +247,12 @@ _C_TO_JAVA = {
     # to datetime.strptime / dd.to_datetime); map the rest of the
     # common surface onto Java DateTimeFormatter equivalents
     "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE",
-    "%I": "hh", "%p": "a", "%j": "DDD", "%z": "xx",
+    # %z: Python strptime accepts +HHMM, +HH:MM and literal 'Z'; no single
+    # Java token covers all three ('XX' = Z/+HHMM, 'XXX' = Z/+HH:MM), so
+    # c_format_to_java_variants() expands a %z format into both candidates
+    # and DSQL_TOTIMESTAMP COALESCEs over them. (+HHMMSS offsets are not
+    # supported — vanishingly rare and unrepresentable in one formatter.)
+    "%I": "hh", "%p": "a", "%j": "DDD", "%z": "XX",
 }
 
 
@@ -201,6 +260,16 @@ def c_format_to_java(fmt: str) -> str:
     for c, j in _C_TO_JAVA.items():
         fmt = fmt.replace(c, j)
     return fmt
+
+
+def c_format_to_java_variants(fmt: str) -> list[str]:
+    """All Java pattern candidates for a strftime format, most common
+    first. Formats without %z yield one candidate; %z yields the +HHMM/'Z'
+    form ('XX') then the +HH:MM/'Z' form ('XXX')."""
+    if "%z" not in fmt:
+        return [c_format_to_java(fmt)]
+    masked = c_format_to_java(fmt.replace("%z", "\x00"))
+    return [masked.replace("\x00", tok) for tok in ("XX", "XXX")]
 
 
 # first-argument matcher tolerating two levels of nested parens (enough
@@ -219,10 +288,15 @@ _TIMESTAMP_CEIL_FLOOR_RE = re.compile(
 
 
 def _dsql_totimestamp_repl(m: re.Match) -> str:
-    expr, fmt = m.group(1), c_format_to_java(m.group(2))
-    # int epochs go through timestamp_seconds, strings through to_timestamp
+    expr = m.group(1)
+    # int epochs go through timestamp_seconds, strings through
+    # try_to_timestamp; a %z format expands to both offset-token variants
+    tries = ", ".join(
+        f"try_to_timestamp(CAST({expr} AS STRING), '{fmt}')"
+        for fmt in c_format_to_java_variants(m.group(2))
+    )
     return (
-        f"COALESCE(try_to_timestamp(CAST({expr} AS STRING), '{fmt}'), "
+        f"COALESCE({tries}, "
         f"timestamp_seconds(try_cast(CAST({expr} AS STRING) AS BIGINT)))"
     )
 
@@ -511,12 +585,14 @@ def rewrite(sql: str) -> str:
     )
     sql = rewrite_order_by_nulls(sql)
 
-    # CEIL(x TO unit) exprs may contain literals (TIMESTAMP '...'), so this
-    # one runs on the full text; the pattern is specific enough not to fire
-    # inside ordinary strings.
-    sql = _CEIL_FLOOR_RE.sub(_ceil_floor_repl, sql)
-    sql = _DSQL_TOTIMESTAMP_RE.sub(_dsql_totimestamp_repl, sql)
-    sql = _TIMESTAMP_CEIL_FLOOR_RE.sub(_timestamp_ceil_floor_repl, sql)
+    # CEIL(x TO unit) exprs may contain literals (TIMESTAMP '...'), so
+    # these run on the full text with a literal-span guard: a match that
+    # STARTS inside a quoted string is skipped (it is string data, not SQL).
+    sql = _sub_skipping_literals(_CEIL_FLOOR_RE, _ceil_floor_repl, sql)
+    sql = _sub_skipping_literals(_DSQL_TOTIMESTAMP_RE, _dsql_totimestamp_repl, sql)
+    sql = _sub_skipping_literals(
+        _TIMESTAMP_CEIL_FLOOR_RE, _timestamp_ceil_floor_repl, sql
+    )
     sql = _rewrite_outside_literals(
         sql, lambda chunk: _RAND_INTEGER_RE.sub(_rand_integer_repl, chunk)
     )
@@ -524,12 +600,13 @@ def rewrite(sql: str) -> str:
         sql, lambda chunk: _TRUNCATE_RE.sub(_truncate_repl, chunk)
     )
     # the EXTRACT expr may itself contain a literal (TIMESTAMP '...'), so
-    # this runs on the full text — the pattern is specific enough
-    sql = _EXTRACT_EXT_RE.sub(_extract_ext_repl, sql)
+    # this runs on the full text with the literal-span guard
+    sql = _sub_skipping_literals(_EXTRACT_EXT_RE, _extract_ext_repl, sql)
     # SUBSTRING/SUBSTR args may be string literals or nested calls, so
-    # these run on the full text (same convention as DSQL_TOTIMESTAMP)
-    sql = _SUBSTRING_FROM_RE.sub(_substring_from_repl, sql)
-    sql = _SUBSTR_COMMA_RE.sub(_substr_comma_repl, sql)
+    # these run on the full text with the literal-span guard (a match
+    # starting inside a string value must not be rewritten)
+    sql = _sub_skipping_literals(_SUBSTRING_FROM_RE, _substring_from_repl, sql)
+    sql = _sub_skipping_literals(_SUBSTR_COMMA_RE, _substr_comma_repl, sql)
 
     # SIMILAR TO spans a literal, so run on the full text
     def _similar_repl(m: re.Match) -> str:
@@ -539,5 +616,5 @@ def rewrite(sql: str) -> str:
         base = f"regexp_like({expr}, '{regex_sql}')"
         return f"NOT {base}" if neg else base
 
-    sql = _SIMILAR_RE.sub(_similar_repl, sql)
+    sql = _sub_skipping_literals(_SIMILAR_RE, _similar_repl, sql)
     return sql

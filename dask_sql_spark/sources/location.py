@@ -139,6 +139,22 @@ def to_spark_dataframe(
             name = input_table.removeprefix("hive://").removeprefix(
                 "databricks+pyhive://"
             )
+            # the reference's scheme is a FULL SQLAlchemy connection URL
+            # (token:...@host:port/database); this engine reads through
+            # the session catalog's metastore instead, so only the
+            # `scheme://db.table` shorthand is meaningful. Reject real
+            # connection URLs loudly rather than mangling them into a
+            # nonsense db/table lookup.
+            if any(c in name for c in "@/:"):
+                raise ValueError(
+                    f"remote connection strings are not supported: "
+                    f"{input_table!r}. This engine resolves hive:// and "
+                    f"databricks+pyhive:// through the active Spark "
+                    f"session's Hive metastore — use the "
+                    f"'databricks+pyhive://db.table' (or 'hive://db.table') "
+                    f"shorthand and configure the metastore on the "
+                    f"SparkSession instead."
+                )
             db, _, tbl = name.rpartition(".")
             return read_hive_table(spark, tbl, db or None)
         if format == "intake":

@@ -138,6 +138,41 @@ def test_rewrite_skips_string_literals():
     assert rewrite(q) == q
 
 
+def test_fulltext_rewrites_skip_matches_inside_literals():
+    """The full-text rewrites (SUBSTRING clamp, CEIL-TO, EXTRACT,
+    DSQL_TOTIMESTAMP, SIMILAR TO) must not mutate keyword-looking text
+    inside ordinary string VALUES — r7 ADVICE: the clamp rewrite was
+    changing `'use SUBSTRING(x FROM 2) here'` to a different literal."""
+    for q in (
+        "SELECT 'use SUBSTRING(x FROM 2) here' AS tip FROM t",
+        "SELECT 'try SUBSTR(name, 2, 3) maybe' AS tip FROM t",
+        "SELECT 'CEIL(ts TO DAY) then EXTRACT(EPOCH FROM ts)' AS doc FROM t",
+        "SELECT 'x SIMILAR TO ''a%'' matches' AS doc FROM t",
+        "SELECT 'DSQL_TOTIMESTAMP(a, ''%Y'') parses' AS doc FROM t",
+    ):
+        assert rewrite(q) == q, q
+    # …while a literal AS the first argument still rewrites
+    out = rewrite("SELECT SUBSTRING('hello' FROM -3 FOR 6) AS a")
+    assert "GREATEST(-3, 1)" in out
+
+
+def test_dsql_totimestamp_offset_forms(context):
+    """%z parity with Python strptime (reference defers to
+    datetime.strptime, call.py:632-641): +HHMM, +HH:MM and literal 'Z'
+    must all parse — Java 'XX' alone rejects '+05:30', so the rewrite
+    COALESCEs over the 'XX' and 'XXX' token variants. Session TZ is UTC,
+    so a +0530 input lands at 23:36:07 the previous day."""
+    row = context.sql(
+        "SELECT DSQL_TOTIMESTAMP('2021-03-04 05:06:07 +0530', '%Y-%m-%d %H:%M:%S %z') AS a, "
+        "DSQL_TOTIMESTAMP('2021-03-04 05:06:07 +05:30', '%Y-%m-%d %H:%M:%S %z') AS b, "
+        "DSQL_TOTIMESTAMP('2021-03-04 05:06:07 Z', '%Y-%m-%d %H:%M:%S %z') AS z "
+        "FROM df_simple LIMIT 1"
+    ).collect()[0]
+    assert str(row.a) == "2021-03-03 23:36:07"
+    assert row.b == row.a
+    assert str(row.z) == "2021-03-04 05:06:07"
+
+
 def test_qualify_rewrite_top2_per_group(context):
     out = context.sql(
         """
