@@ -571,9 +571,29 @@ class Context:
                         chunk,
                         flags=re.IGNORECASE,
                     )
+            # UNQUALIFIED names resolve against the CURRENT schema when it
+            # is non-default (reference context.py: USE SCHEMA s; SELECT
+            # ... FROM t reads s.t) — rewrite bare table names of the
+            # current schema to their mangled views. Anchored to
+            # table-position keywords so a column (or keyword) that merely
+            # shares a table's name is never touched; root-schema tables
+            # are already registered under their bare names.
+            if self.schema_name != DEFAULT_SCHEMA_NAME:
+                for table in self.schemas[self.schema_name].tables:
+                    t = re.escape(table)
+                    chunk = re.sub(
+                        rf"\b(FROM|JOIN|INTO|UPDATE|TABLE)(\s+)"
+                        rf"(?:{t}|\"{t}\"|`{t}`)(?![\w.])",
+                        rf"\1\2{self._view_name(table, self.schema_name)}",
+                        chunk,
+                        flags=re.IGNORECASE,
+                    )
             return chunk
 
-        if all(s == DEFAULT_SCHEMA_NAME for s in self.schemas):
+        if (
+            all(s == DEFAULT_SCHEMA_NAME for s in self.schemas)
+            and self.schema_name == DEFAULT_SCHEMA_NAME
+        ):
             return sql
         return _rewrite_outside_literals(sql, _rewrite_chunk)
 

@@ -199,6 +199,25 @@ def test_drop_schema_unknown_raises(context):
         context.drop_schema("no_such_schema")
 
 
+def test_use_schema_resolves_unqualified_names(context):
+    """Reference parity: after USE SCHEMA s, an unqualified table name
+    resolves in the current schema (dask-sql context.py current-schema
+    resolution); switching back to root restores bare-name resolution."""
+    import pandas as pd
+
+    context.sql("CREATE SCHEMA IF NOT EXISTS use_s")
+    context.create_table("ut", pd.DataFrame({"x": [1, 2, 3]}), schema_name="use_s")
+    context.sql("USE SCHEMA use_s")
+    try:
+        assert context.sql("SELECT COUNT(*) AS n FROM ut").collect()[0].n == 3
+        assert context.sql("SELECT SUM(x) AS s FROM `ut`").collect()[0].s == 6
+    finally:
+        context.sql("USE SCHEMA root")
+    with pytest.raises(Exception):
+        context.sql("SELECT * FROM ut").collect()  # not in root
+    context.sql("DROP SCHEMA use_s")
+
+
 def test_parse_kwargs_nested_parens():
     from dask_sql_spark.plans.statements import parse_kwargs
 

@@ -68,13 +68,14 @@ class _FakeCtx:
     _qualify_schema_tables = _C._qualify_schema_tables
     _view_name = _C._view_name
 
-    def __init__(self, schema, table):
+    def __init__(self, schema, table, current="root"):
         import types
 
         self.schemas = {
             "root": types.SimpleNamespace(tables={}),
             schema: types.SimpleNamespace(tables={table: None}),
         }
+        self.schema_name = current
 
 
 @settings(max_examples=100, deadline=None)
@@ -96,6 +97,33 @@ def test_qualifier_rewrite_quoted_forms(schema, table, quote):
     # string literals keep the dotted form verbatim
     lit = ctx._qualify_schema_tables(f"SELECT '{schema}.{table}' AS s")
     assert f"'{schema}.{table}'" in lit
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    schema=_identifier(),
+    table=_identifier(),
+    quote=st.sampled_from(['', '"', '`']),
+)
+def test_qualifier_rewrite_unqualified_current_schema(schema, table, quote):
+    """With USE SCHEMA active, a bare table name in table position
+    (FROM/JOIN/…) rewrites to the current schema's mangled view; the
+    same word as a column reference or inside a string literal is left
+    alone."""
+    if schema == "root" or schema == table:
+        return
+    if table.lower() in {"other_t", "from", "join", "into", "update", "table"}:
+        return  # degenerate names the probe query itself uses
+    ctx = _FakeCtx(schema, table, current=schema)
+    q = f"{quote}{table}{quote}"
+    out = ctx._qualify_schema_tables(f"SELECT x FROM {q} WHERE x > 0")
+    assert f"FROM {schema}__{table}" in out
+    # column position: untouched
+    col = ctx._qualify_schema_tables(f"SELECT {table} FROM other_t")
+    assert f"SELECT {table} FROM other_t" == col
+    # string literals: verbatim
+    lit = ctx._qualify_schema_tables(f"SELECT 'FROM {table}' AS s FROM other_t")
+    assert f"'FROM {table}'" in lit
 
 
 @settings(max_examples=100, deadline=None)
