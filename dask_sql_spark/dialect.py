@@ -173,18 +173,25 @@ def _sub_skipping_literals(pattern: re.Pattern, repl, sql: str) -> str:
     through the chunk-masked ``_rewrite_outside_literals`` — without this
     guard, keyword-looking text inside an ordinary string value (e.g.
     ``SELECT 'use SUBSTRING(x FROM 2)' AS tip``) would be mutated. A match
-    starting exactly AT a literal's opening quote is allowed: that is the
-    literal-as-first-argument case. Offsets are computed on the input
-    string, which is what ``re.sub`` iterates over, so spans stay valid.
+    starting exactly AT a literal's opening quote is allowed only when it
+    extends BEYOND that literal (the literal-as-first-operand case,
+    ``'x' SIMILAR TO 'p'``); a match confined within one literal is that
+    literal's own content — e.g. ``''' SIMILAR TO '''`` is a single
+    literal whose value is ``' SIMILAR TO '``, which the regex would
+    otherwise misread as an empty-string SIMILAR TO expression. Offsets
+    are computed on the input string, which is what ``re.sub`` iterates
+    over, so spans stay valid.
     """
     spans = _literal_spans(sql)
 
     def guarded(m: re.Match) -> str:
-        s = m.start()
+        s, e = m.start(), m.end()
         for lo, hi in spans:
-            if lo < s < hi:
+            if lo < s < hi:  # starts strictly inside a literal
                 return m.group(0)
-            if lo >= s:
+            if s == lo and e <= hi:  # confined within one literal
+                return m.group(0)
+            if lo >= e:
                 break
         return repl(m)
 

@@ -154,6 +154,41 @@ def test_fulltext_rewrites_skip_matches_inside_literals():
     # …while a literal AS the first argument still rewrites
     out = rewrite("SELECT SUBSTRING('hello' FROM -3 FOR 6) AS a")
     assert "GREATEST(-3, 1)" in out
+    # a literal as the SIMILAR TO left operand still rewrites
+    out = rewrite("SELECT 'abc' SIMILAR TO 'a%' AS m")
+    assert "regexp_like" in out
+    # …but a single literal whose CONTENT merely looks like a SIMILAR TO
+    # expression (escaped quotes) is one span and must stay verbatim
+    q = "SELECT ''' SIMILAR TO ''' AS s FROM t"
+    assert rewrite(q) == q
+
+
+def test_rewrite_preserves_every_literal_verbatim():
+    """Property: whatever the rewrites do around them, quoted string
+    VALUES come through character-for-character (hypothesis over an
+    alphabet dense in rewrite keywords)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        lit=st.text(
+            st.sampled_from(list("abS SUBSTRINGFROMCEILTODAYEXTRACT()%z,'" )),
+            max_size=24,
+        )
+    )
+    def check(lit):
+        esc = lit.replace("'", "''")
+        q = (
+            f"SELECT '{esc}' AS s, SUBSTRING(c_name FROM -2 FOR 3) AS t "
+            f"FROM customer WHERE c_name SIMILAR TO 'C%'"
+        )
+        out = rewrite(q)
+        assert f"'{esc}'" in out, (lit, out)
+        assert "GREATEST(-2, 1)" in out
+        assert "regexp_like" in out
+
+    check()
 
 
 def test_dsql_totimestamp_offset_forms(context):
