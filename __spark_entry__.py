@@ -9244,6 +9244,14 @@ _REATTEST = [
     "scalar_string",           # SUBSTR comma-form consumers
     "try_cast_ops",            # SUBSTRING comma-form consumer
     "q22_global_sales",        # SUBSTRING comma-form consumer
+    # r8 statements-layer audit: DML clause boundaries now found on
+    # literal-masked text (UPDATE/DELETE/MERGE handlers); the gates
+    # exercising those handlers re-attest post-edit
+    "sql_update_delete",
+    "stmt_merge_into",
+    "maint_cdc_apply",
+    "events_resample_fill",
+    "ml_predict_mean",
 ]
 
 

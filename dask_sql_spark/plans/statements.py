@@ -257,6 +257,59 @@ def parse_kwargs(body: str) -> dict:
     return out
 
 
+def _mask_literals(sql: str) -> str:
+    """Same-length copy of ``sql`` with string-literal CONTENTS blanked to
+    spaces (quotes kept, '' escapes preserved as two blanks), so the
+    structural statement regexes cannot match keywords like WHERE/WHEN
+    inside string VALUES. Group spans from a match on the masked text
+    index directly into the original (lengths are identical)."""
+    out: list[str] = []
+    in_str = False
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if not in_str:
+            out.append(ch)
+            if ch == "'":
+                in_str = True
+        elif ch == "'":
+            if i + 1 < n and sql[i + 1] == "'":
+                out.append("  ")
+                i += 2
+                continue
+            out.append("'")
+            in_str = False
+        else:
+            out.append(" ")
+        i += 1
+    return "".join(out)
+
+
+class _SpanMatch:
+    """re.Match-alike whose groups slice the ORIGINAL text using the span
+    of a match made on the literal-masked twin (same length)."""
+
+    def __init__(self, m: re.Match, original: str):
+        self._m = m
+        self._original = original
+
+    def group(self, idx: int = 0) -> str | None:
+        s, e = self._m.span(idx)
+        return None if s < 0 else self._original[s:e]
+
+    def groups(self) -> tuple:
+        return tuple(self.group(i) for i in range(1, self._m.re.groups + 1))
+
+
+def _match_masked(pattern: re.Pattern, sql: str) -> _SpanMatch | None:
+    """Match ``pattern`` against the literal-masked text, return a match
+    proxy whose groups come from the original — for statements whose
+    clause structure (WHERE/WHEN boundaries) must ignore keyword-looking
+    text inside string values."""
+    m = pattern.match(_mask_literals(sql))
+    return _SpanMatch(m, sql) if m else None
+
+
 def _split_top_commas(s: str) -> list[str]:
     """Split on commas at paren depth 0, skipping string literals."""
     parts: list[str] = []
@@ -320,8 +373,12 @@ def _execute_merge(context: "Context", m: re.Match) -> DataFrame:
     do_delete = False
     insert_cols: list[str] | None = None
     insert_vals: list[str] | None = None
-    for wm in _WHEN_CLAUSE.finditer(whens):
-        neg, action = wm.group(1), wm.group(2).strip()
+    # WHEN-clause boundaries found on literal-masked text (a SET value
+    # like 'WHEN MATCHED THEN' must not start a new clause); the action
+    # text itself is sliced from the original
+    for wm in _WHEN_CLAUSE.finditer(_mask_literals(whens)):
+        neg = wm.group(1)
+        action = whens[wm.start(2):wm.end(2)].strip()
         upper = action.upper()
         if not neg and upper.startswith("UPDATE"):
             update_set = re.sub(r"^UPDATE\s+SET\s+", "", action, flags=_FLAGS)
@@ -752,15 +809,19 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
         create_model(context, name, parse_kwargs(body), select)
         return context._empty_result()
 
-    m = _MERGE_INTO.match(sql)
+    # DML clause boundaries (WHERE / WHEN ...) are found on the
+    # literal-masked text so keyword-looking string VALUES ('... WHERE
+    # ...') can never mis-split the statement; groups still come from
+    # the original text.
+    m = _match_masked(_MERGE_INTO, sql)
     if m:
         return _execute_merge(context, m)
 
-    m = _DELETE_FROM.match(sql)
+    m = _match_masked(_DELETE_FROM, sql)
     if m and context._table_exists(_unquote(m.group(1))):
         return _execute_delete(context, m)
 
-    m = _UPDATE_TABLE.match(sql)
+    m = _match_masked(_UPDATE_TABLE, sql)
     if m and context._table_exists(_unquote(m.group(1))):
         return _execute_update(context, m)
 

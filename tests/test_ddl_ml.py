@@ -199,6 +199,50 @@ def test_drop_schema_unknown_raises(context):
         context.drop_schema("no_such_schema")
 
 
+def test_dml_keywords_inside_string_literals(context):
+    """r8 adversarial audit: DML clause boundaries (WHERE/WHEN) are found
+    on literal-masked text — a string VALUE containing ' WHERE ' or
+    'WHEN MATCHED THEN' must neither mis-split the statement nor start a
+    clause (the old regexes split UPDATE's SET at the first textual
+    WHERE and MERGE's WHEN list at any WHEN, both parse errors)."""
+    import pandas as pd
+
+    context.create_table(
+        "dmlkw", pd.DataFrame({"x": [1, 2, 3, 4], "s": list("abcd")})
+    )
+    context.sql("UPDATE dmlkw SET s = ' WHERE x = 1 ' WHERE x = 4")
+    assert context.sql(
+        "SELECT s FROM dmlkw WHERE x = 4"
+    ).collect()[0].s == " WHERE x = 1 "
+
+    context.sql(
+        "CREATE OR REPLACE TABLE dmlkw2 AS SELECT x, s FROM dmlkw WHERE x <= 2"
+    )
+    context.sql(
+        """MERGE INTO dmlkw2 USING dmlkw ON dmlkw2.x = dmlkw.x
+           WHEN MATCHED THEN UPDATE SET s = 'WHEN MATCHED THEN'
+           WHEN NOT MATCHED THEN INSERT (x, s) VALUES (dmlkw.x, dmlkw.s)"""
+    )
+    rows = sorted((r.x, r.s) for r in context.sql("SELECT x, s FROM dmlkw2").collect())
+    assert rows == [
+        (1, "WHEN MATCHED THEN"), (2, "WHEN MATCHED THEN"),
+        (3, "c"), (4, " WHERE x = 1 "),
+    ]
+
+    # ON condition containing a WHEN-laden literal
+    context.sql(
+        """MERGE INTO dmlkw2 USING dmlkw
+           ON dmlkw2.x = dmlkw.x AND dmlkw.s <> ' WHEN '
+           WHEN MATCHED THEN DELETE"""
+    )
+    assert context.sql("SELECT COUNT(*) AS n FROM dmlkw2").collect()[0].n == 0
+
+    context.sql("DELETE FROM dmlkw WHERE s = ' WHERE x = 1 '")
+    assert context.sql("SELECT COUNT(*) AS n FROM dmlkw").collect()[0].n == 3
+    context.drop_table("dmlkw")
+    context.drop_table("dmlkw2")
+
+
 def test_use_schema_resolves_unqualified_names(context):
     """Reference parity: after USE SCHEMA s, an unqualified table name
     resolves in the current schema (dask-sql context.py current-schema
