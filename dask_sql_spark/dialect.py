@@ -404,7 +404,14 @@ def _truncate_repl(m: re.Match) -> str:
 
 
 _QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
-_QUALIFY_TAIL_RE = re.compile(r"\b(?:ORDER\s+BY|LIMIT|OFFSET)\b", re.IGNORECASE)
+# what ends a QUALIFY predicate: the statement tail (ORDER BY/LIMIT/
+# OFFSET) or a set operation joining the NEXT query block (UNION/
+# INTERSECT/EXCEPT/MINUS — QUALIFY binds to its own block, so the
+# wrapper encloses only the left branch and the tail keeps the rest)
+_QUALIFY_TAIL_RE = re.compile(
+    r"\b(?:ORDER\s+BY|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT|MINUS)\b",
+    re.IGNORECASE,
+)
 
 # ORDER BY default null placement: the reference follows Calcite/Postgres
 # (ASC → NULLS LAST, DESC → NULLS FIRST — "nulls are largest"); Spark's

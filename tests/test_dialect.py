@@ -282,6 +282,32 @@ def test_qualify_inside_subquery_and_cte(context):
     assert len(both) == 1
 
 
+def test_qualify_before_set_operation(context):
+    """r8 audit: QUALIFY binds to its own query block, so a following
+    UNION/EXCEPT must end the predicate (previously swallowed into it —
+    a parse error). The wrapper encloses only the left branch; a trailing
+    ORDER BY still applies to the whole set result."""
+    rows = sorted(
+        r.user_id
+        for r in context.sql(
+            """SELECT user_id FROM user_table_1
+               QUALIFY ROW_NUMBER() OVER (ORDER BY user_id) = 1
+               UNION ALL SELECT user_id FROM user_table_1 WHERE user_id = 3"""
+        ).collect()
+    )
+    assert rows == [1, 3]
+    ordered = [
+        r.user_id
+        for r in context.sql(
+            """SELECT user_id FROM user_table_1
+               QUALIFY ROW_NUMBER() OVER (ORDER BY user_id) = 1
+               UNION ALL SELECT user_id FROM user_table_1 WHERE user_id = 3
+               ORDER BY user_id DESC"""
+        ).collect()
+    ]
+    assert ordered == [3, 1]
+
+
 def test_qualify_untouched_when_absent():
     from dask_sql_spark.dialect import rewrite_qualify
 
