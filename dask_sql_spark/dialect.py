@@ -263,10 +263,47 @@ _C_TO_JAVA = {
 }
 
 
-def c_format_to_java(fmt: str) -> str:
-    for c, j in _C_TO_JAVA.items():
-        fmt = fmt.replace(c, j)
-    return fmt
+def c_format_to_java(fmt: str, overrides: dict[str, str] | None = None) -> str:
+    """Tokenize a strftime format into a Java DateTimeFormatter pattern.
+
+    ``%X`` directives map through the token table; ``%%`` is a literal
+    percent; everything else is literal TEXT — and any literal run
+    containing a letter must be single-quoted, because Java reserves all
+    of a-zA-Z as pattern letters (the reference parses via
+    datetime.strptime, where ``'%Y-%m-%dT%H:%M:%S'`` and
+    ``'%d at %H'``-style formats are routine; unquoted they raise
+    INVALID_DATETIME_PATTERN here)."""
+    table = _C_TO_JAVA if overrides is None else {**_C_TO_JAVA, **overrides}
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if lit:
+            text = "".join(lit)
+            if any(ch.isalpha() for ch in text):
+                out.append("'" + text.replace("'", "''") + "'")
+            else:
+                out.append(text)
+            lit.clear()
+
+    i, n = 0, len(fmt)
+    while i < n:
+        if fmt[i] == "%" and i + 1 < n:
+            tok = fmt[i : i + 2]
+            if tok == "%%":
+                lit.append("%")
+                i += 2
+                continue
+            j = table.get(tok)
+            if j is not None:
+                flush()
+                out.append(j)
+                i += 2
+                continue
+        lit.append(fmt[i])
+        i += 1
+    flush()
+    return "".join(out)
 
 
 def c_format_to_java_variants(fmt: str) -> list[str]:
@@ -275,8 +312,7 @@ def c_format_to_java_variants(fmt: str) -> list[str]:
     form ('XX') then the +HH:MM/'Z' form ('XXX')."""
     if "%z" not in fmt:
         return [c_format_to_java(fmt)]
-    masked = c_format_to_java(fmt.replace("%z", "\x00"))
-    return [masked.replace("\x00", tok) for tok in ("XX", "XXX")]
+    return [c_format_to_java(fmt, {"%z": tok}) for tok in ("XX", "XXX")]
 
 
 # first-argument matcher tolerating two levels of nested parens (enough
@@ -297,9 +333,13 @@ _TIMESTAMP_CEIL_FLOOR_RE = re.compile(
 def _dsql_totimestamp_repl(m: re.Match) -> str:
     expr = m.group(1)
     # int epochs go through timestamp_seconds, strings through
-    # try_to_timestamp; a %z format expands to both offset-token variants
+    # try_to_timestamp; a %z format expands to both offset-token variants.
+    # Java patterns may contain single quotes (literal-text quoting), so
+    # SQL-escape them when embedding in the rewritten call.
     tries = ", ".join(
-        f"try_to_timestamp(CAST({expr} AS STRING), '{fmt}')"
+        "try_to_timestamp(CAST({} AS STRING), '{}')".format(
+            expr, fmt.replace("'", "''")
+        )
         for fmt in c_format_to_java_variants(m.group(2))
     )
     return (

@@ -191,6 +191,24 @@ def test_rewrite_preserves_every_literal_verbatim():
     check()
 
 
+def test_dsql_totimestamp_literal_text_and_percent(context):
+    """r8 audit: strftime formats may contain literal TEXT (ISO 'T',
+    prose like ' at ') and '%%' percent escapes — datetime.strptime (the
+    reference path) parses them as literals, but Java reserves every
+    letter as a pattern letter, so unquoted they raised
+    INVALID_DATETIME_PATTERN. The tokenizer now single-quotes literal
+    runs containing letters and maps %% to a literal percent."""
+    row = context.sql(
+        "SELECT DSQL_TOTIMESTAMP('2021-03-04T05:06:07', '%Y-%m-%dT%H:%M:%S') AS a, "
+        "DSQL_TOTIMESTAMP('2021-03-04 at 05:06', '%Y-%m-%d at %H:%M') AS b, "
+        "DSQL_TOTIMESTAMP('% 2021', '%% %Y') AS p "
+        "FROM df_simple LIMIT 1"
+    ).collect()[0]
+    assert str(row.a) == "2021-03-04 05:06:07"
+    assert str(row.b) == "2021-03-04 05:06:00"
+    assert str(row.p) == "2021-01-01 00:00:00"
+
+
 def test_dsql_totimestamp_offset_forms(context):
     """%z parity with Python strptime (reference defers to
     datetime.strptime, call.py:632-641): +HHMM, +HH:MM and literal 'Z'
