@@ -117,6 +117,9 @@ class Context:
             DEFAULT_SCHEMA_NAME: SchemaContainer(DEFAULT_SCHEMA_NAME)
         }
         self.schema_name = DEFAULT_SCHEMA_NAME
+        # reference context.py exposes catalog_name (default "dask_sql");
+        # SHOW SCHEMAS FROM <catalog> and the JDBC shim validate against it
+        self.catalog_name = "dask_sql_spark"
 
     # ------------------------------------------------------------------ #
     # table registry                                                     #

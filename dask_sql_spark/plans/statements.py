@@ -67,7 +67,15 @@ _ALTER_TABLE = re.compile(
 _ALTER_SCHEMA = re.compile(
     r"^\s*ALTER\s+SCHEMA\s+([\w\"`]+)\s+RENAME\s+TO\s+([\w\"`]+)\s*$", _FLAGS
 )
-_SHOW_SCHEMAS = re.compile(r"^\s*SHOW\s+SCHEMAS\s*$", _FLAGS)
+# SHOW SCHEMAS [FROM <catalog>] [LIKE '<name>'] — reference
+# show_schemas.py:19-44: output includes the presto-compat
+# "information_schema" row, LIKE filters by exact equality, and a
+# non-default catalog raises
+_SHOW_SCHEMAS = re.compile(
+    r"^\s*SHOW\s+SCHEMAS(?:\s+FROM\s+([\w\"`]+))?"
+    r"(?:\s+LIKE\s+'((?:[^']|'')*)')?\s*$",
+    _FLAGS,
+)
 _SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES(?:\s+FROM\s+([\w\"`]+))?\s*$", _FLAGS)
 _SHOW_COLUMNS = re.compile(r"^\s*SHOW\s+COLUMNS\s+FROM\s+([\w.\"`]+)\s*$", _FLAGS)
 _SHOW_MODELS = re.compile(r"^\s*SHOW\s+MODELS\s*$", _FLAGS)
@@ -721,9 +729,22 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
             df.createOrReplaceTempView(context._view_name(t, new))
         return context._empty_result()
 
-    if _SHOW_SCHEMAS.match(sql):
+    m = _SHOW_SCHEMAS.match(sql)
+    if m:
+        catalog, like = m.group(1), m.group(2)
+        catalog_name = getattr(context, "catalog_name", "dask_sql_spark")
+        if catalog and _unquote(catalog) != catalog_name:
+            raise RuntimeError(
+                f"A catalog with the name {_unquote(catalog)} is not present."
+            )
+        # presto-compat: information_schema is always listed (reference
+        # show_schemas.py:30-32); LIKE is an exact-equality filter there
+        names = sorted(context.schemas) + ["information_schema"]
+        if like is not None:
+            want = like.replace("''", "'")
+            names = [s for s in names if s == want]
         return spark.createDataFrame(
-            [(s,) for s in sorted(context.schemas)], "Schema: string"
+            [(s,) for s in names], "Schema: string"
         )
 
     m = _SHOW_TABLES.match(sql)

@@ -199,6 +199,27 @@ def test_drop_schema_unknown_raises(context):
         context.drop_schema("no_such_schema")
 
 
+def test_show_schemas_like_and_catalog(context):
+    """Reference show_schemas.py:19-44: SHOW SCHEMAS lists
+    information_schema (presto compat), LIKE filters by exact equality,
+    and a non-default catalog raises."""
+    context.sql("CREATE SCHEMA IF NOT EXISTS like_s")
+    try:
+        all_schemas = [r.Schema for r in context.sql("SHOW SCHEMAS").collect()]
+        assert "information_schema" in all_schemas and "like_s" in all_schemas
+        exact = [r.Schema for r in context.sql("SHOW SCHEMAS LIKE 'like_s'").collect()]
+        assert exact == ["like_s"]
+        # exact equality, not a wildcard match (reference df.Schema == like)
+        none = [r.Schema for r in context.sql("SHOW SCHEMAS LIKE 'like_%'").collect()]
+        assert none == []
+        ok = [r.Schema for r in context.sql("SHOW SCHEMAS FROM dask_sql_spark").collect()]
+        assert "like_s" in ok
+        with pytest.raises(RuntimeError, match="catalog"):
+            context.sql("SHOW SCHEMAS FROM other_catalog")
+    finally:
+        context.sql("DROP SCHEMA like_s")
+
+
 def test_dml_keywords_inside_string_literals(context):
     """r8 adversarial audit: DML clause boundaries (WHERE/WHEN) are found
     on literal-masked text — a string VALUE containing ' WHERE ' or
