@@ -76,7 +76,10 @@ _SHOW_SCHEMAS = re.compile(
     r"(?:\s+LIKE\s+'((?:[^']|'')*)')?\s*$",
     _FLAGS,
 )
-_SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES(?:\s+FROM\s+([\w\"`]+))?\s*$", _FLAGS)
+# SHOW TABLES FROM [<catalog>.]<schema> (reference show_tables.py:19-49)
+_SHOW_TABLES = re.compile(
+    r"^\s*SHOW\s+TABLES(?:\s+FROM\s+([\w.\"`]+))?\s*$", _FLAGS
+)
 _SHOW_COLUMNS = re.compile(r"^\s*SHOW\s+COLUMNS\s+FROM\s+([\w.\"`]+)\s*$", _FLAGS)
 _SHOW_MODELS = re.compile(r"^\s*SHOW\s+MODELS\s*$", _FLAGS)
 _DESCRIBE_MODEL = re.compile(r"^\s*DESCRIBE\s+MODEL\s+([\w.\"`]+)\s*$", _FLAGS)
@@ -750,6 +753,14 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
     m = _SHOW_TABLES.match(sql)
     if m:
         schema = _unquote(m.group(1)) if m.group(1) else context.schema_name
+        # reference show_tables.py:32-40: FROM [<catalog>.]<schema> — a
+        # leading catalog part must name the context's catalog
+        if "." in schema:
+            catalog, schema = schema.split(".", 1)
+            if catalog != getattr(context, "catalog_name", "dask_sql_spark"):
+                raise RuntimeError(
+                    f"A catalog with the name {catalog} is not present."
+                )
         if schema not in context.schemas:
             raise RuntimeError(f"Schema {schema} does not exist")
         names = sorted(context.schemas[schema].tables)

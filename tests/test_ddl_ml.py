@@ -216,6 +216,15 @@ def test_show_schemas_like_and_catalog(context):
         assert "like_s" in ok
         with pytest.raises(RuntimeError, match="catalog"):
             context.sql("SHOW SCHEMAS FROM other_catalog")
+        # SHOW TABLES FROM [<catalog>.]<schema> (reference show_tables.py)
+        context.sql("CREATE OR REPLACE TABLE like_s.lt AS SELECT 1 AS x")
+        qual = [
+            r.Table
+            for r in context.sql("SHOW TABLES FROM dask_sql_spark.like_s").collect()
+        ]
+        assert qual == ["lt"]
+        with pytest.raises(RuntimeError, match="catalog"):
+            context.sql("SHOW TABLES FROM wrong_cat.like_s")
     finally:
         context.sql("DROP SCHEMA like_s")
 
