@@ -53,8 +53,13 @@ _DROP_TABLE = re.compile(
 _DROP_MODEL = re.compile(
     r"^\s*DROP\s+MODEL\s+(IF\s+EXISTS\s+)?([\w.\"`]+)\s*$", _FLAGS
 )
+# CREATE [OR REPLACE] SCHEMA [IF NOT EXISTS] <name> — reference
+# create_catalog_schema.py:31-43: an existing schema raises unless
+# IF NOT EXISTS (no-op) or OR REPLACE (reset)
 _CREATE_SCHEMA = re.compile(
-    r"^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?([\w\"`]+)\s*$", _FLAGS
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"([\w\"`]+)\s*$",
+    _FLAGS,
 )
 _DROP_SCHEMA = re.compile(
     r"^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?([\w\"`]+)\s*$", _FLAGS
@@ -674,7 +679,18 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
 
     m = _CREATE_SCHEMA.match(sql)
     if m:
-        context.create_schema(_unquote(m.group(2)))
+        replace, if_not_exists, name = m.groups()
+        name = _unquote(name)
+        if name in context.schemas:
+            if if_not_exists:
+                return context._empty_result()
+            if not replace:
+                raise RuntimeError(
+                    f"A Schema with the name {name} is already present."
+                )
+            # OR REPLACE resets the schema (and cleans its temp views)
+            context.drop_schema(name)
+        context.create_schema(name)
         return context._empty_result()
 
     m = _DROP_SCHEMA.match(sql)

@@ -199,6 +199,23 @@ def test_drop_schema_unknown_raises(context):
         context.drop_schema("no_such_schema")
 
 
+def test_create_schema_duplicate_and_replace(context):
+    """Reference create_catalog_schema.py:31-43: a duplicate CREATE
+    SCHEMA raises unless IF NOT EXISTS (no-op) or OR REPLACE (reset —
+    the schema's tables are gone afterwards)."""
+    import pandas as pd
+
+    context.sql("CREATE SCHEMA dup_s")
+    with pytest.raises(RuntimeError, match="already present"):
+        context.sql("CREATE SCHEMA dup_s")
+    context.sql("CREATE SCHEMA IF NOT EXISTS dup_s")  # no-op
+    context.create_table("keep", pd.DataFrame({"x": [1]}), schema_name="dup_s")
+    assert "keep" in context.schemas["dup_s"].tables
+    context.sql("CREATE OR REPLACE SCHEMA dup_s")
+    assert context.schemas["dup_s"].tables == {}
+    context.sql("DROP SCHEMA dup_s")
+
+
 def test_show_schemas_like_and_catalog(context):
     """Reference show_schemas.py:19-44: SHOW SCHEMAS lists
     information_schema (presto compat), LIKE filters by exact equality,
