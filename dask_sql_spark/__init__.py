@@ -18,8 +18,30 @@ package supplies the capability shim around it:
 """
 
 from dask_sql_spark.context import Context
-from dask_sql_spark.datacontainer import Aggregation
+from dask_sql_spark.datacontainer import Aggregation, Statistics
 
 __version__ = "0.1.0"
 
-__all__ = ["Context", "Aggregation", "__version__"]
+__all__ = [
+    "Context",
+    "Aggregation",
+    "Statistics",
+    "cmd_loop",
+    "run_server",
+    "__version__",
+]
+
+
+def __getattr__(name: str):
+    # reference __init__.py exports cmd_loop and run_server at package
+    # level (dask_sql/__init__.py:10-13); import lazily so `import
+    # dask_sql_spark` stays light for query-only users
+    if name == "cmd_loop":
+        from dask_sql_spark.cmd import cmd_loop
+
+        return cmd_loop
+    if name == "run_server":
+        from dask_sql_spark.server.app import run_server
+
+        return run_server
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
