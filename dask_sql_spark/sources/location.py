@@ -31,15 +31,39 @@ _EXT_TO_FORMAT = {
 }
 
 
+# compression suffixes Spark's text-based readers decode transparently;
+# the REAL format extension sits underneath (/data/x.csv.gz → csv)
+_COMPRESSION_EXTS = frozenset(
+    {".gz", ".gzip", ".bz2", ".zst", ".xz", ".lz4", ".deflate", ".snappy"}
+)
+
+
+def _split_ext(base: str) -> str:
+    _, ext = os.path.splitext(base)
+    return ext.replace("*", "").replace("?", "").lower()
+
+
 def _infer_format(path: str) -> str:
     # dispatch on the real extension, ignoring glob characters anywhere in
     # the basename (/data/part-*.parquet, /data/*.csv, /data/dir/)
     base = path.rstrip("/")
-    _, ext = os.path.splitext(base)
-    ext = ext.replace("*", "").replace("?", "").lower()
+    ext = _split_ext(base)
+    if ext in _COMPRESSION_EXTS:
+        base = os.path.splitext(base)[0]
+        ext = _split_ext(base)
     if ext in _EXT_TO_FORMAT:
         return _EXT_TO_FORMAT[ext]
-    # directory of parquet files is the common lake layout
+    # an unrecognized alphabetic extension is almost certainly a format we
+    # don't dispatch (the reference raises `Can not read files of format
+    # <ext>`, location.py:52); silently scanning it as parquet would
+    # produce a baffling low-level error or garbage instead
+    if ext and ext[1:].isalpha():
+        raise ValueError(
+            f"cannot infer a reader for {path!r} (extension {ext!r}); "
+            f"pass format=... explicitly"
+        )
+    # directory of parquet files (or numeric shard suffix) is the common
+    # lake layout
     return "parquet"
 
 

@@ -248,6 +248,29 @@ def test_sqlalchemy_hive_prefixes_route_to_hive(spark, monkeypatch):
     assert seen == [("t1", "mydb"), ("t2", "mydb"), ("bare_table", None)]
 
 
+def test_format_inference_compression_and_unknown(spark, tmp_path):
+    """r8 audit: /x.csv.gz must dispatch as csv (Spark decodes the gzip
+    transparently), and an unknown alphabetic extension raises instead
+    of silently scanning as parquet (reference location.py:52 raises
+    'Can not read files of format <ext>')."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from dask_sql_spark.sources.location import _infer_format, read_location
+
+    assert _infer_format("/d/x.csv.gz") == "csv"
+    assert _infer_format("/d/x.jsonl.zst") == "json"
+    assert _infer_format("/d/dir/") == "parquet"
+    assert _infer_format("/d/shard.001") == "parquet"
+    with _pytest.raises(ValueError, match="format"):
+        _infer_format("/d/file.xyz")
+
+    p = tmp_path / "t.csv.gz"
+    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_csv(p, index=False)
+    rows = sorted(tuple(r) for r in read_location(spark, str(p)).collect())
+    assert rows == [(1, "x"), (2, "y")]
+
+
 def test_sqlalchemy_full_connection_url_rejected_loudly(spark):
     """r7 ADVICE: the reference's databricks+pyhive:// scheme is a full
     SQLAlchemy URL (token:...@host:port/database); silently rpartition-ing
