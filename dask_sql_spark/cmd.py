@@ -16,12 +16,15 @@ if TYPE_CHECKING:
     from dask_sql_spark.context import Context
 
 _HELP = """\
-Meta commands:
+Meta commands (reference cmd.py:84-96):
   \\l            list schemas
-  \\dt           list tables in the current schema
-  \\df           list registered functions
-  \\dm           list registered models
+  \\dt [schema]  list tables
+  \\df [schema]  list registered functions
+  \\dm [schema]  list registered models
+  \\de [schema]  list experiments
+  \\dss <schema> switch schema
   \\d <table>    describe a table
+  \\d?, help, ?  show this help
   \\conninfo     show session info
   \\q | quit     exit
 Anything else is executed as SQL."""
@@ -35,25 +38,48 @@ def run_command(context: "Context", line: str) -> str:
         return ""
     if line in ("\\q", "quit", "exit"):
         raise EOFError
-    if line in ("\\h", "help", "\\?"):
+    if line in ("\\h", "help", "\\?", "\\d?", "?"):
         return _HELP
-    if line == "\\l":
+    cmd, _, arg = line.partition(" ")
+    arg = arg.strip()
+
+    def _schema(name: str):
+        sname = name or context.schema_name
+        if sname not in context.schemas:
+            raise RuntimeError(f"Schema {sname} does not exist")
+        return context.schemas[sname]
+
+    if cmd == "\\l":
         return "\n".join(sorted(context.schemas))
-    if line == "\\dt":
-        return "\n".join(sorted(context.schemas[context.schema_name].tables))
-    if line == "\\df":
-        return "\n".join(sorted(context.schemas[context.schema_name].functions))
-    if line == "\\dm":
-        return "\n".join(sorted(context.schemas[context.schema_name].models))
-    if line == "\\conninfo":
+    if cmd == "\\dt":
+        return "\n".join(sorted(_schema(arg).tables))
+    if cmd == "\\df":
+        return "\n".join(sorted(_schema(arg).functions))
+    if cmd == "\\dm":
+        return "\n".join(sorted(_schema(arg).models))
+    if cmd == "\\de":
+        return "\n".join(sorted(getattr(_schema(arg), "experiments", {})))
+    if cmd == "\\dss":
+        if arg not in context.schemas:
+            return f"Schema {arg} not available"
+        context.schema_name = arg
+        return f"schema: {arg}"
+    if cmd == "\\dsc":
+        # reference switches the Dask cluster here; a Spark master is
+        # fixed at session build, so surface that instead of silently
+        # accepting the switch
+        return (
+            "Spark's master is fixed when the session is built; start a "
+            "new Context(spark=...) against the desired cluster instead"
+        )
+    if cmd == "\\conninfo":
         sc = context.spark.sparkContext
         return (
             f"spark {sc.version} | master {sc.master} | "
             f"schema {context.schema_name}"
         )
-    if line.startswith("\\d "):
-        name = line[3:].strip()
-        df = context._get_table(name)
+    if cmd == "\\d" and arg:
+        df = context._get_table(arg)
         return "\n".join(
             f"{f.name}\t{f.dataType.simpleString()}" for f in df.schema.fields
         )

@@ -133,6 +133,31 @@ def test_cli_meta_commands(context):
     assert "a\tbigint" in desc
 
 
+def test_cli_schema_scoped_meta_commands(context):
+    """r8: reference cmd.py:84-96 parity — [schema] arguments on the
+    listing commands, \\de for experiments, \\dss to switch schema,
+    \\d? as a help alias."""
+    import pandas as pd
+
+    from dask_sql_spark.cmd import run_command
+
+    context.sql("CREATE SCHEMA IF NOT EXISTS cli_s")
+    try:
+        context.create_table("ct", pd.DataFrame({"x": [1]}), schema_name="cli_s")
+        assert "ct" in run_command(context, "\\dt cli_s")
+        assert "ct" not in run_command(context, "\\dt")
+        assert run_command(context, "\\de") == ""
+        assert "Meta commands" in run_command(context, "\\d?")
+        assert "cli_s" in run_command(context, "\\dss cli_s")
+        assert context.schema_name == "cli_s"
+        assert "ct" in run_command(context, "\\dt")
+        assert "not available" in run_command(context, "\\dss ghost")
+        assert "fixed" in run_command(context, "\\dsc scheduler:8786")
+    finally:
+        run_command(context, "\\dss root")
+        context.sql("DROP SCHEMA cli_s")
+
+
 def test_cli_sql(context):
     from dask_sql_spark.cmd import run_command
 
