@@ -146,7 +146,9 @@ def test_cli_schema_scoped_meta_commands(context):
         context.create_table("ct", pd.DataFrame({"x": [1]}), schema_name="cli_s")
         assert "ct" in run_command(context, "\\dt cli_s")
         assert "ct" not in run_command(context, "\\dt")
-        assert run_command(context, "\\de") == ""
+        # scope to the fresh schema: the shared session fixture may carry
+        # experiments registered by earlier tests
+        assert run_command(context, "\\de cli_s") == ""
         assert "Meta commands" in run_command(context, "\\d?")
         assert "cli_s" in run_command(context, "\\dss cli_s")
         assert context.schema_name == "cli_s"
