@@ -136,3 +136,53 @@ def test_unquote_normalizes_quoted_parts(parts, quote):
 
     quoted = ".".join(f"{quote}{p}{quote}" for p in parts)
     assert _unquote(quoted) == ".".join(parts)
+
+
+@st.composite
+def _dialect_query(draw):
+    """A SELECT over df_simple composed from the rewriter's own surface:
+    clamped SUBSTRING forms, CEIL/FLOOR TO units, extended EXTRACT,
+    SIMILAR TO, DSQL_TOTIMESTAMP, optional QUALIFY (possibly nested in a
+    derived table) and a keyword-laden string literal thrown in."""
+    exprs = ["a", "b"]
+    if draw(st.booleans()):
+        start = draw(st.integers(min_value=-3, max_value=3))
+        exprs.append(f"SUBSTRING(CAST(a AS STRING) FROM {start} FOR 2) AS sub")
+    if draw(st.booleans()):
+        unit = draw(st.sampled_from(["DAY", "MONTH", "QUARTER", "WEEK"]))
+        fn = draw(st.sampled_from(["CEIL", "FLOOR"]))
+        exprs.append(f"{fn}(TIMESTAMP '2021-02-15 10:31:02' TO {unit}) AS cf")
+    if draw(st.booleans()):
+        u = draw(st.sampled_from(["CENTURY", "DECADE", "MILLISECONDS"]))
+        exprs.append(f"EXTRACT({u} FROM TIMESTAMP '2021-02-15 10:31:02') AS ex")
+    if draw(st.booleans()):
+        exprs.append("CAST(a AS STRING) SIMILAR TO '[12]%' AS sim")
+    if draw(st.booleans()):
+        exprs.append("DSQL_TOTIMESTAMP('2021-100', '%Y-%j') AS ts")
+    if draw(st.booleans()):
+        lit = draw(st.sampled_from([
+            "use SUBSTRING(x FROM 2)", "CEIL(ts TO DAY)", "a SIMILAR TO 'b%'",
+            " WHERE x = 1 ", "QUALIFY rank", "FROM t UNION ALL",
+        ]))
+        exprs.append("'{}' AS note".format(lit.replace("'", "''")))
+    body = f"SELECT {', '.join(exprs)} FROM df_simple"
+    if draw(st.booleans()):
+        body += " QUALIFY ROW_NUMBER() OVER (ORDER BY a) <= 2"
+        if draw(st.booleans()):
+            body = f"SELECT * FROM ({body}) q"
+    if draw(st.booleans()):
+        body += " ORDER BY a"
+    if draw(st.booleans()):
+        body += " LIMIT 3"
+    return body
+
+
+@settings(max_examples=60, deadline=None)
+@given(q=_dialect_query())
+def test_rewritten_queries_always_execute(context, q):
+    """Robustness property guarding future rewriter edits: any
+    composition of the dialect surface (plus keyword-laden literals)
+    must rewrite to SQL Spark can parse AND execute — a rewrite that
+    produces a ParseException or drops a clause fails here loudly."""
+    rows = context.sql(q).collect()
+    assert rows is not None
