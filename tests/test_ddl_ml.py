@@ -675,3 +675,58 @@ def test_mean_regressor_statement_path(context):
 
     with _pytest.raises(ValueError):
         MeanRegressor().fit([[1.0]])
+
+
+def test_dml_sequence_matches_pandas_model(context):
+    """Differential fuzz of the DML handlers (r8 literal-masked
+    rewrite): random INSERT/UPDATE/DELETE sequences against a scratch
+    table must match a pure-pandas model of the same statements. Values
+    include keyword-laden strings so the clause-boundary masking stays
+    honest."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vals = st.sampled_from(
+        ["plain", " WHERE x = 1 ", "WHEN MATCHED THEN", "a,b", "it''s", ""]
+    )
+    ops = st.lists(
+        st.tuples(st.sampled_from(["insert", "update", "delete"]),
+                  st.integers(min_value=0, max_value=9), vals),
+        min_size=1, max_size=6,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(ops=ops)
+    def check(ops):
+        context.create_table(
+            "dml_fuzz", pd.DataFrame({"x": [0, 1, 2], "s": ["a", "b", "c"]})
+        )
+        model = pd.DataFrame({"x": [0, 1, 2], "s": ["a", "b", "c"]})
+        try:
+            for op, key, val in ops:
+                sql_val = val  # '' escapes already doubled in the corpus
+                pd_val = val.replace("''", "'")
+                if op == "insert":
+                    context.sql(f"INSERT INTO dml_fuzz VALUES ({key}, '{sql_val}')")
+                    model = pd.concat(
+                        [model, pd.DataFrame({"x": [key], "s": [pd_val]})],
+                        ignore_index=True,
+                    )
+                elif op == "update":
+                    context.sql(
+                        f"UPDATE dml_fuzz SET s = '{sql_val}' WHERE x = {key}"
+                    )
+                    model.loc[model.x == key, "s"] = pd_val
+                else:
+                    context.sql(f"DELETE FROM dml_fuzz WHERE x = {key}")
+                    model = model[model.x != key]
+            got = sorted(
+                (r.x, r.s) for r in context.sql("SELECT x, s FROM dml_fuzz").collect()
+            )
+            want = sorted(zip(model.x.tolist(), model.s.tolist()))
+            assert got == want, (ops, got, want)
+        finally:
+            context.drop_table("dml_fuzz")
+
+    check()
