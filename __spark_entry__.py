@@ -3563,10 +3563,13 @@ def _method_overlap_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _dfq(
     "dedup_method_overlap",
     _method_overlap_fn,
+    # AS MATERIALIZED: DuckDB 1.0 inlines CTEs per reference, so pm/pf
+    # (each referenced 3-4x below) were recomputed every time — >9 min at
+    # sf1; materialized, 3 s. Pure evaluation strategy, values identical.
     f"""
-WITH pm AS ({{M}}),
-pf AS ({{F}}),
-b AS (SELECT pm.id_a, pm.id_b FROM pm JOIN pf
+WITH pm AS MATERIALIZED ({{M}}),
+pf AS MATERIALIZED ({{F}}),
+b AS MATERIALIZED (SELECT pm.id_a, pm.id_b FROM pm JOIN pf
       ON pm.id_a = pf.id_a AND pm.id_b = pf.id_b)
 SELECT
   (SELECT CAST(COUNT(*) AS BIGINT) FROM pm) AS n_minhash,
@@ -3665,15 +3668,18 @@ def _triangle_audit_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _dfq(
     "graph_triangle_audit",
     _triangle_audit_fn,
+    # AS MATERIALIZED on pairs/e/tri: DuckDB 1.0 re-inlines each CTE per
+    # reference (e is read 5x, tri 3x) — sf1-intractable without it,
+    # 15 s with. Values identical.
     f"""
-WITH pairs AS ({_minhash_oracle()}),
-e AS (SELECT DISTINCT id_a AS a, id_b AS b FROM pairs),
+WITH pairs AS MATERIALIZED ({_minhash_oracle()}),
+e AS MATERIALIZED (SELECT DISTINCT id_a AS a, id_b AS b FROM pairs),
 deg AS (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
     SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
   ) t GROUP BY node
 ),
-tri AS (
+tri AS MATERIALIZED (
   SELECT ab.a AS ta, ab.b AS tb, bc.b AS tc
   FROM e ab JOIN e bc ON ab.b = bc.a
   JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
@@ -3700,8 +3706,10 @@ FROM deg LEFT JOIN tn ON deg.node = tn.node
 _dfq(
     "dedup_components_minhash",
     _components_fn,
+    # pairs AS MATERIALIZED: keeps DuckDB 1.0 from re-deriving the whole
+    # minhash pipeline inside the recursive closure (54 s → 9 s at sf1).
     f"""
-WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_oracle()}),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
@@ -6528,8 +6536,12 @@ def _keeper_quality_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _dfq(
     "dedup_keeper_quality",
     _keeper_quality_fn,
+    # AS MATERIALIZED on pairs/comp/ranked: the final SELECT reads ranked
+    # twice (directly + through keep), and DuckDB 1.0's CTE inlining
+    # re-derives the recursive closure for each — sf1-intractable
+    # without it, 22 s with. Values identical.
     f"""
-WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_oracle()}),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
@@ -6540,13 +6552,13 @@ reach(a, b) AS (
   UNION
   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
 ),
-comp AS (
+comp AS MATERIALIZED (
   SELECT d.doc_id AS id,
     LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS comp
   FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
   GROUP BY d.doc_id
 ),
-ranked AS (
+ranked AS MATERIALIZED (
   SELECT c.id, c.comp,
     ROW_NUMBER() OVER (
       PARTITION BY c.comp ORDER BY d.n_chars DESC, c.id
@@ -9252,6 +9264,15 @@ _REATTEST = [
     "maint_cdc_apply",
     "events_resample_fill",
     "ml_predict_mean",
+    # r8: oracle texts gained AS MATERIALIZED hints (DuckDB 1.0 CTE
+    # re-inlining made them sf1-intractable; values identical) — the
+    # whole former sf1-exclusion set re-attests, fuzzy included (its
+    # oracle is unchanged but it rejoins the sf1 sweep)
+    "dedup_components_minhash",
+    "dedup_keeper_quality",
+    "dedup_method_overlap",
+    "graph_triangle_audit",
+    "dedup_fuzzy_levenshtein",
 ]
 
 
