@@ -574,23 +574,6 @@ class Context:
                         chunk,
                         flags=re.IGNORECASE,
                     )
-            # UNQUALIFIED names resolve against the CURRENT schema when it
-            # is non-default (reference context.py: USE SCHEMA s; SELECT
-            # ... FROM t reads s.t) — rewrite bare table names of the
-            # current schema to their mangled views. Anchored to
-            # table-position keywords so a column (or keyword) that merely
-            # shares a table's name is never touched; root-schema tables
-            # are already registered under their bare names.
-            if self.schema_name != DEFAULT_SCHEMA_NAME:
-                for table in self.schemas[self.schema_name].tables:
-                    t = re.escape(table)
-                    chunk = re.sub(
-                        rf"\b(FROM|JOIN|INTO|UPDATE|TABLE)(\s+)"
-                        rf"(?:{t}|\"{t}\"|`{t}`)(?![\w.])",
-                        rf"\1\2{self._view_name(table, self.schema_name)}",
-                        chunk,
-                        flags=re.IGNORECASE,
-                    )
             return chunk
 
         if (
@@ -598,7 +581,54 @@ class Context:
             and self.schema_name == DEFAULT_SCHEMA_NAME
         ):
             return sql
-        return _rewrite_outside_literals(sql, _rewrite_chunk)
+        sql = _rewrite_outside_literals(sql, _rewrite_chunk)
+        if self.schema_name != DEFAULT_SCHEMA_NAME:
+            sql = self._rewrite_unqualified_tables(sql)
+        return sql
+
+    def _rewrite_unqualified_tables(self, sql: str) -> str:
+        """UNQUALIFIED names resolve against the CURRENT schema when it is
+        non-default (reference context.py: USE SCHEMA s; SELECT ... FROM t
+        reads s.t) — rewrite bare table names of the current schema to
+        their mangled views. Anchored to table-position keywords so a
+        column (or keyword) that merely shares a table's name is never
+        touched; root-schema tables are already registered under their
+        bare names. A ``FROM`` that is *call syntax* — ``EXTRACT(unit FROM
+        expr)``, ``TRIM(... FROM s)``, ``SUBSTRING(s FROM n)``,
+        ``OVERLAY(s PLACING r FROM n)`` — is NOT table position: a column
+        after that FROM sharing a table's name must stay untouched, so
+        this runs full-text with a literal mask + an innermost-call mask
+        instead of the chunk rewriter."""
+        import re
+
+        from dask_sql_spark.dialect import _literal_mask
+
+        for table in self.schemas[self.schema_name].tables:
+            t = re.escape(table)
+            pat = re.compile(
+                rf"\b(FROM|JOIN|INTO|UPDATE|TABLE)(\s+)"
+                rf"(?:{t}|\"{t}\"|`{t}`)(?![\w.])",
+                re.IGNORECASE,
+            )
+            lit = _literal_mask(sql)
+            func_mask = _from_func_call_mask(sql, lit)
+            out: list[str] = []
+            last = 0
+            for m in pat.finditer(sql):
+                if lit[m.start()]:
+                    continue
+                if m.group(1).upper() == "FROM" and func_mask[m.start()]:
+                    continue
+                out.append(sql[last : m.start()])
+                out.append(
+                    m.group(1)
+                    + m.group(2)
+                    + self._view_name(table, self.schema_name)
+                )
+                last = m.end()
+            out.append(sql[last:])
+            sql = "".join(out)
+        return sql
 
     # ------------------------------------------------------------------ #
     # introspection                                                      #
@@ -646,6 +676,34 @@ class Context:
             return self.sql(query, return_futures=False)
 
         ip.register_magic_function(_sql_magic, "line_cell", "sql")
+
+
+_FROM_CALL_FUNCS = frozenset({"EXTRACT", "TRIM", "SUBSTRING", "OVERLAY"})
+
+
+def _from_func_call_mask(sql: str, lit_mask: list[bool]) -> list[bool]:
+    """True at positions whose INNERMOST unclosed paren is the argument
+    list of a function where FROM is call syntax (EXTRACT/TRIM/SUBSTRING/
+    OVERLAY). Innermost-only: a derived-table subquery nested deeper
+    re-opens ordinary table position."""
+    n = len(sql)
+    out = [False] * n
+    stack: list[bool] = []
+    for i in range(n):
+        if not lit_mask[i]:
+            ch = sql[i]
+            if ch == "(":
+                j = i - 1
+                while j >= 0 and sql[j].isspace():
+                    j -= 1
+                e = j + 1
+                while j >= 0 and (sql[j].isalnum() or sql[j] == "_"):
+                    j -= 1
+                stack.append(sql[j + 1 : e].upper() in _FROM_CALL_FUNCS)
+            elif ch == ")" and stack:
+                stack.pop()
+        out[i] = bool(stack) and stack[-1]
+    return out
 
 
 def _missing_table_name(e: Exception) -> str | None:

@@ -452,6 +452,16 @@ _QUALIFY_TAIL_RE = re.compile(
     r"\b(?:ORDER\s+BY|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT|MINUS)\b",
     re.IGNORECASE,
 )
+# a set-operation keyword STARTS the query block a QUALIFY belongs to when
+# it precedes the QUALIFY at depth 0: the wrapper head must begin AFTER the
+# last such keyword (QUALIFY in the RIGHT branch of `... UNION ALL SELECT
+# ... QUALIFY p` binds to the right SELECT only, not the combined rows).
+# `SELECT * EXCEPT (cols)` is a select-list modifier, not a set operation —
+# discriminated by the preceding `*`.
+_QUALIFY_SETOP_RE = re.compile(
+    r"\b(?:UNION|INTERSECT|EXCEPT|MINUS)\b(?:\s+(?:ALL|DISTINCT)\b)?",
+    re.IGNORECASE,
+)
 
 # ORDER BY default null placement: the reference follows Calcite/Postgres
 # (ASC → NULLS LAST, DESC → NULLS FIRST — "nulls are largest"); Spark's
@@ -656,11 +666,23 @@ def rewrite_qualify(sql: str) -> str:
         None,
     )
     tail_start = tail_m.start() if tail_m else len(sql)
-    head = sql[: m.start()].strip()
+    # head starts after the LAST depth-0 set-op keyword preceding the
+    # QUALIFY (right-branch case); `* EXCEPT (cols)` is skipped — it is a
+    # select-list modifier, not a set operation
+    head_start = 0
+    for sm in _QUALIFY_SETOP_RE.finditer(sql, 0, m.start()):
+        if not mask[sm.start()]:
+            continue
+        if sql[: sm.start()].rstrip().endswith("*"):
+            continue
+        head_start = sm.end()
+    prefix = sql[:head_start].rstrip() + " " if head_start else ""
+    head = sql[head_start : m.start()].strip()
     pred = sql[m.end() : tail_start].strip()
-    tail = sql[tail_start:].strip()
+    # the tail may hold further set-op branches with their own QUALIFYs
+    tail = rewrite_qualify(sql[tail_start:].strip())
     out = (
-        f"SELECT * EXCEPT (__qualify__) FROM ("
+        f"{prefix}SELECT * EXCEPT (__qualify__) FROM ("
         f"SELECT *, ({pred}) AS __qualify__ FROM ({head}) __qualify_src"
         f") __qualify_out WHERE __qualify__"
     )

@@ -78,7 +78,7 @@ _ALTER_SCHEMA = re.compile(
 # non-default catalog raises
 _SHOW_SCHEMAS = re.compile(
     r"^\s*SHOW\s+SCHEMAS(?:\s+FROM\s+([\w\"`]+))?"
-    r"(?:\s+LIKE\s+'((?:[^']|'')*)')?\s*$",
+    r"(?:\s+LIKE\s+(?:'((?:[^']|'')*)'|([\w$]+)))?\s*$",
     _FLAGS,
 )
 # SHOW TABLES FROM [<catalog>.]<schema> (reference show_tables.py:19-49)
@@ -750,17 +750,19 @@ def maybe_handle_custom_statement(context: "Context", sql: str) -> DataFrame | N
 
     m = _SHOW_SCHEMAS.match(sql)
     if m:
-        catalog, like = m.group(1), m.group(2)
+        catalog, like_q, like_u = m.group(1), m.group(2), m.group(3)
         catalog_name = getattr(context, "catalog_name", "dask_sql_spark")
         if catalog and _unquote(catalog) != catalog_name:
             raise RuntimeError(
                 f"A catalog with the name {_unquote(catalog)} is not present."
             )
         # presto-compat: information_schema is always listed (reference
-        # show_schemas.py:30-32); LIKE is an exact-equality filter there
+        # show_schemas.py:30-32); LIKE is an exact-equality filter there.
+        # The pattern may be quoted ('foo') or a bare identifier (foo) —
+        # both previously-silently-unmatched forms now filter correctly.
         names = sorted(context.schemas) + ["information_schema"]
-        if like is not None:
-            want = like.replace("''", "'")
+        if like_q is not None or like_u is not None:
+            want = like_q.replace("''", "'") if like_q is not None else like_u
             names = [s for s in names if s == want]
         return spark.createDataFrame(
             [(s,) for s in names], "Schema: string"

@@ -309,6 +309,65 @@ def test_use_schema_resolves_unqualified_names(context):
     context.sql("DROP SCHEMA use_s")
 
 
+def test_use_schema_ignores_from_call_syntax(context):
+    """r9 advisor fix: under USE SCHEMA s, a column reference after the
+    FROM of EXTRACT(unit FROM expr) / TRIM(... FROM s) / OVERLAY /
+    SUBSTRING that shares a table's name must NOT be rewritten to the
+    mangled view name — FROM there is call syntax, not table position."""
+    import pandas as pd
+
+    context.sql("CREATE SCHEMA IF NOT EXISTS use_fx")
+    # table named `ts` + a table `txt` whose column is also named ts/txt
+    context.create_table(
+        "ts",
+        pd.DataFrame({"ts": pd.to_datetime(["2024-03-05", "2025-07-01"])}),
+        schema_name="use_fx",
+    )
+    context.create_table(
+        "txt", pd.DataFrame({"txt": ["  pad  ", "xx"]}), schema_name="use_fx"
+    )
+    context.sql("USE SCHEMA use_fx")
+    try:
+        years = sorted(
+            r.y
+            for r in context.sql(
+                "SELECT EXTRACT(YEAR FROM ts) AS y FROM ts"
+            ).collect()
+        )
+        assert years == [2024, 2025]
+        trimmed = sorted(
+            r.t
+            for r in context.sql(
+                "SELECT TRIM(BOTH ' ' FROM txt) AS t FROM txt"
+            ).collect()
+        )
+        assert trimmed == ["pad", "xx"]
+        # derived-table FROM nested deeper than the call still rewrites
+        n = context.sql(
+            "SELECT COUNT(*) AS n FROM (SELECT EXTRACT(DAY FROM ts) AS d FROM ts) q"
+        ).collect()[0].n
+        assert n == 2
+    finally:
+        context.sql("USE SCHEMA root")
+        context.sql("DROP SCHEMA use_fx")
+
+
+def test_show_schemas_like_unquoted(context):
+    """r9 advisor fix: SHOW SCHEMAS LIKE foo (bare identifier) filters the
+    registry exactly like the quoted form instead of falling through to
+    spark.sql and returning Spark's own catalogs."""
+    context.sql("CREATE SCHEMA IF NOT EXISTS like_u")
+    try:
+        got = [r.Schema for r in context.sql("SHOW SCHEMAS LIKE like_u").collect()]
+        assert got == ["like_u"]
+        missing = [
+            r.Schema for r in context.sql("SHOW SCHEMAS LIKE nope_zz").collect()
+        ]
+        assert missing == []
+    finally:
+        context.sql("DROP SCHEMA like_u")
+
+
 def test_parse_kwargs_nested_parens():
     from dask_sql_spark.plans.statements import parse_kwargs
 

@@ -270,6 +270,48 @@ def test_qualify_over_group_by_via_output_alias(context):
     assert [(r.g, r.s) for r in out] == [("b", 12)]
 
 
+def test_qualify_right_branch_of_set_op(context):
+    """r9 advisor fix: QUALIFY in the RIGHT branch of a set operation
+    binds to its own block — the wrapper head starts after the last
+    depth-0 set-op keyword, so the window never sees the combined rows."""
+    rows = sorted(
+        (r.user_id, r.b)
+        for r in context.sql(
+            """SELECT user_id, b FROM user_table_1 WHERE user_id = 1
+               UNION ALL
+               SELECT user_id, b FROM user_table_1
+               QUALIFY ROW_NUMBER() OVER (ORDER BY b, user_id) = 1"""
+        ).collect()
+    )
+    # left branch keeps (1,3); right branch's QUALIFY picks only ITS
+    # min-(b,user_id) row (2,1) — the buggy rewrite filtered both down
+    # to a single row
+    assert rows == [(1, 3), (2, 1)]
+    both = sorted(
+        (r.user_id, r.b)
+        for r in context.sql(
+            """SELECT user_id, b FROM user_table_1
+               QUALIFY ROW_NUMBER() OVER (ORDER BY b, user_id) = 1
+               UNION ALL
+               SELECT user_id, b FROM user_table_1
+               QUALIFY ROW_NUMBER() OVER (ORDER BY b DESC, user_id DESC) = 1"""
+        ).collect()
+    )
+    assert both == [(2, 1), (3, 3)]
+
+
+def test_qualify_star_except_not_a_set_op():
+    """`SELECT * EXCEPT (cols)` is a select-list modifier: the EXCEPT must
+    not be mistaken for a set-operation boundary when locating the
+    QUALIFY head."""
+    from dask_sql_spark.dialect import rewrite_qualify
+
+    out = rewrite_qualify(
+        "SELECT * EXCEPT (a) FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY b) = 1"
+    )
+    assert "FROM (SELECT * EXCEPT (a) FROM t) __qualify_src" in out
+
+
 def test_qualify_inside_subquery_and_cte(context):
     """r8 audit: QUALIFY nested in a derived table / CTE body / both
     levels at once rewrites recursively (innermost first) — previously a
@@ -281,7 +323,9 @@ def test_qualify_inside_subquery_and_cte(context):
              QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY b) = 1
            ) ORDER BY g"""
     ).collect()
-    assert [r.b for r in rows] == sorted(r.b for r in rows) or len(rows) > 0
+    # one min-b row per user_id (QUALIFY filtered inside the derived
+    # table), then sorted by g by the outer ORDER BY
+    assert [(r.g, r.b) for r in rows] == [(1, 3), (2, 1), (3, 3)]
     n = context.sql(
         """WITH top1 AS (
              SELECT user_id, b FROM user_table_1

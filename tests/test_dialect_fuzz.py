@@ -66,6 +66,7 @@ class _FakeCtx:
     from dask_sql_spark.context import Context as _C
 
     _qualify_schema_tables = _C._qualify_schema_tables
+    _rewrite_unqualified_tables = _C._rewrite_unqualified_tables
     _view_name = _C._view_name
 
     def __init__(self, schema, table, current="root"):
