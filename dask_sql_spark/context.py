@@ -75,6 +75,12 @@ def default_spark_session(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
+        # reference dialect parity (Calcite/ANSI, reference planner): a
+        # double-quoted token is an IDENTIFIER, not a string literal —
+        # `SELECT "from" FROM "select"` works for keyword-laden names.
+        # This also makes the dialect layer's single-quote-only literal
+        # masks exactly right for what Spark now treats as string data.
+        "spark.sql.ansi.doubleQuotedIdentifiers": "true",
         # read TIMESTAMP(NANOS) parquet as long; sources/location.py
         # restores them to timestamps losslessly
         "spark.sql.legacy.parquet.nanosAsLong": "true",

@@ -54,6 +54,15 @@ _PRESTO_TYPES = {
 def presto_type(dt: T.DataType) -> str:
     if isinstance(dt, T.DecimalType):
         return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return f"array({presto_type(dt.elementType)})"
+    if isinstance(dt, T.MapType):
+        return f"map({presto_type(dt.keyType)},{presto_type(dt.valueType)})"
+    if isinstance(dt, T.StructType):
+        inner = ",".join(
+            f"{f.name} {presto_type(f.dataType)}" for f in dt.fields
+        )
+        return f"row({inner})"
     return _PRESTO_TYPES.get(dt, "varchar")
 
 
@@ -72,9 +81,20 @@ def _columns_payload(schema: T.StructType) -> list[dict[str, Any]]:
 
 
 def _json_value(v: Any) -> Any:
+    """JSON-encodable form of one result value. Recurses through arrays,
+    maps, and Rows (structs) — the r9 wire audit found a temporal inside
+    a collect_list / named_struct crashed the handler connection."""
     import datetime
     import decimal
 
+    from pyspark.sql import Row
+
+    if isinstance(v, Row):
+        return {k: _json_value(x) for k, x in v.asDict().items()}
+    if isinstance(v, dict):
+        return {str(k): _json_value(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_json_value(x) for x in v]
     if isinstance(v, (datetime.datetime, datetime.date)):
         return str(v)
     if isinstance(v, decimal.Decimal):
@@ -256,7 +276,9 @@ class SQLServer:
                 pass
 
             def _reply(self, code: int, payload: dict) -> None:
-                body = json.dumps(payload).encode()
+                # default=str: never drop the connection over an exotic
+                # value type — stringify is the Presto-JSON fallback
+                body = json.dumps(payload, default=str).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
@@ -271,7 +293,14 @@ class SQLServer:
                 if self.path.rstrip("/") != "/v1/statement":
                     return self._reply(404, {"error": {"message": "not found"}})
                 length = int(self.headers.get("Content-Length", 0))
-                sql = self.rfile.read(length).decode("utf-8")
+                try:
+                    sql = self.rfile.read(length).decode("utf-8")
+                except UnicodeDecodeError:
+                    # malformed body must get a JSON 400, not a dropped
+                    # connection (r9 wire audit)
+                    return self._reply(
+                        400, {"error": {"message": "statement is not UTF-8"}}
+                    )
                 if not sql.strip():
                     return self._reply(
                         400, {"error": {"message": "empty statement"}}

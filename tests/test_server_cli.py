@@ -93,6 +93,92 @@ def test_jdbc_metadata(server):
     assert ("df_simple", "a") in cols
 
 
+def test_jdbc_metadata_query_actually_executes(server):
+    """r9 wire audit: the shim must run the client's REAL query — WHERE,
+    projection, and ORDER BY apply to the metadata views instead of
+    replaying the whole catalog."""
+    payload = _poll(
+        _post(
+            server,
+            "SELECT table_schem, table_name FROM system.jdbc.tables "
+            "WHERE table_schem = 'zz_no_such_schema'",
+        )
+    )
+    assert payload["stats"]["state"] == "FINISHED"
+    assert payload["data"] == []
+    assert [c["name"] for c in payload["columns"]] == [
+        "table_schem",
+        "table_name",
+    ]
+    payload = _poll(
+        _post(
+            server,
+            "SELECT column_name FROM system.jdbc.columns "
+            "WHERE table_name = 'df_simple' ORDER BY ordinal_position",
+        )
+    )
+    assert [r[0] for r in payload["data"]] == ["a", "b"]
+
+
+def test_jdbc_ref_inside_string_literal_is_data(server):
+    """r9 wire audit: 'system.jdbc.tables' inside a string VALUE is data —
+    the query must run as an ordinary statement, not be hijacked into a
+    metadata replay."""
+    payload = _poll(
+        _post(server, "SELECT 'see system.jdbc.tables docs' AS tip")
+    )
+    assert payload["stats"]["state"] == "FINISHED"
+    assert payload["data"] == [["see system.jdbc.tables docs"]]
+    assert payload["columns"][0]["name"] == "tip"
+
+
+def test_nested_values_serialize(server):
+    """r9 wire audit: arrays/structs holding temporals crashed the JSON
+    encoder and dropped the connection; they now serialize recursively
+    with proper Presto type names."""
+    payload = _poll(
+        _post(
+            server,
+            "SELECT array(DATE '2024-01-01', DATE '2024-01-02') AS ds, "
+            "named_struct('a', 1, 'when', DATE '2024-01-01') AS st",
+        )
+    )
+    assert payload["stats"]["state"] == "FINISHED"
+    [[ds, st]] = payload["data"]
+    assert ds == ["2024-01-01", "2024-01-02"]
+    assert st == {"a": 1, "when": "2024-01-01"}
+    types = {c["name"]: c["type"] for c in payload["columns"]}
+    assert types["ds"] == "array(date)"
+    assert types["st"] == "row(a integer,when date)"
+
+
+def test_double_quoted_identifiers(server, context):
+    """Reference dialect parity (Calcite/ANSI): double quotes quote
+    IDENTIFIERS, so keyword-laden names work through the wire."""
+    import pandas as pd
+
+    context.create_table("select", pd.DataFrame({"from": [7]}))
+    try:
+        payload = _poll(_post(server, 'SELECT "from" FROM "select"'))
+        assert payload["stats"]["state"] == "FINISHED"
+        assert payload["data"] == [[7]]
+    finally:
+        context.drop_table("select")
+
+
+def test_non_utf8_body_is_400(server):
+    """r9 wire audit: a malformed (non-UTF-8) POST body gets a JSON 400,
+    not a dropped connection."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/statement",
+        data=b"SELECT '\xff\xfe'",
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
+
+
 def test_multi_page_fetch(context):
     """A result larger than page_size streams across several nextUri pages
     (reference pages via server/app.py:40-66 + responses.py)."""
