@@ -139,6 +139,82 @@ def test_unquote_normalizes_quoted_parts(parts, quote):
     assert _unquote(quoted) == ".".join(parts)
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    table=_identifier(),
+    func=st.sampled_from(
+        [
+            "EXTRACT(YEAR FROM {t})",
+            "TRIM(BOTH 'x' FROM {t})",
+            "SUBSTRING({t} FROM 2)",
+            "OVERLAY({t} PLACING 'z' FROM 1)",
+        ]
+    ),
+)
+def test_unqualified_rewrite_skips_from_call_syntax(table, func):
+    """r9 advisor-fix property: under USE SCHEMA, a table-named column
+    after a call-syntax FROM (EXTRACT/TRIM/...) is never rewritten, while
+    the query's real table-position FROM still is."""
+    if table == "root":
+        return
+    ctx = _FakeCtx("s1", table, current="s1")
+    expr = func.format(t=table)
+    out = ctx._qualify_schema_tables(f"SELECT {expr} FROM {table}")
+    assert out == f"SELECT {expr} FROM s1__{table}"
+    # a derived table nested deeper than a call re-opens table position
+    out2 = ctx._qualify_schema_tables(
+        f"SELECT EXTRACT(DAY FROM ({table}.c)) FROM (SELECT * FROM {table}) q"
+    )
+    assert f"FROM (SELECT * FROM s1__{table}) q" in out2
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    left_max=st.integers(min_value=1, max_value=3),
+    setop=st.sampled_from(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"]),
+    qual_side=st.sampled_from(["left", "right", "both"]),
+    k=st.integers(min_value=1, max_value=2),
+)
+def test_qualify_set_op_branches_differential(
+    context, left_max, setop, qual_side, k
+):
+    """r9 advisor-fix property: QUALIFY binds to its OWN branch of a set
+    operation. Differential oracle computed in plain Python over the
+    known df_simple fixture (a=[1,2,3], b=[1.1,2.2,3.3])."""
+    data = [(1, 1.1), (2, 2.2), (3, 3.3)]
+    lq = (
+        f" QUALIFY ROW_NUMBER() OVER (ORDER BY a, b) <= {k}"
+        if qual_side in ("left", "both")
+        else ""
+    )
+    rq = (
+        f" QUALIFY ROW_NUMBER() OVER (ORDER BY a DESC, b DESC) <= {k}"
+        if qual_side in ("right", "both")
+        else ""
+    )
+    sql = (
+        f"SELECT a, b FROM df_simple WHERE a <= {left_max}{lq} "
+        f"{setop} SELECT a, b FROM df_simple{rq}"
+    )
+    got = sorted((int(r.a), round(float(r.b), 1)) for r in context.sql(sql).collect())
+
+    left = [r for r in data if r[0] <= left_max]
+    if lq:
+        left = sorted(left)[:k]
+    right = list(data)
+    if rq:
+        right = sorted(right, reverse=True)[:k]
+    if setop == "UNION ALL":
+        want = sorted(left + right)
+    elif setop == "UNION":
+        want = sorted(set(left) | set(right))
+    elif setop == "INTERSECT":
+        want = sorted(set(left) & set(right))
+    else:  # EXCEPT
+        want = sorted(set(left) - set(right))
+    assert got == want, f"sql={sql}"
+
+
 @st.composite
 def _dialect_query(draw):
     """A SELECT over df_simple composed from the rewriter's own surface:
