@@ -80,10 +80,16 @@ def asof_join(
     ).where(F.col("__side") == 1).drop("__side")
 
     if tolerance_seconds is not None:
+        # integer microseconds, not unix_timestamp (which truncates to
+        # whole seconds — a 0.9 s gap would pass a 0.5 s tolerance);
+        # matches nearest_join's arithmetic
         gap = F.abs(
-            F.unix_timestamp(F.col(on)) - F.unix_timestamp(F.col(matched_on))
+            F.unix_micros(F.col(on).cast("timestamp"))
+            - F.unix_micros(F.col(matched_on).cast("timestamp"))
         )
-        keep = F.col(matched_on).isNotNull() & (gap <= F.lit(tolerance_seconds))
+        keep = F.col(matched_on).isNotNull() & (
+            gap <= F.lit(int(tolerance_seconds * 1_000_000))
+        )
         filled = filled.select(
             *[
                 F.when(keep, F.col(c)).otherwise(F.lit(None)).alias(c)

@@ -114,6 +114,33 @@ def test_asof_forward_and_tolerance(spark, asof_frames):
     assert pd.isna(tol.loc[(2, _ts(11)), "right_p"])
 
 
+def test_asof_subsecond_tolerance(spark):
+    """r9 audit fix: the tolerance gap is integer MICROseconds — a 0.9 s
+    gap must fail a 0.5 s tolerance (the old unix_timestamp arithmetic
+    truncated both to whole seconds, so 0.9 s ≤ 0.5 s 'passed'). Matches
+    pandas merge_asof(tolerance=...) behavior."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0), (2, t0 + dt.timedelta(seconds=10))], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t0 - dt.timedelta(milliseconds=900), 11),  # gap 0.9s
+            (2, t0 + dt.timedelta(seconds=10) - dt.timedelta(milliseconds=400), 22),
+        ],
+        "k int, ts timestamp, p int",
+    )
+    out = (
+        asof_join(left, right, on="ts", by="k", tolerance_seconds=0.5)
+        .toPandas()
+        .set_index("k")
+    )
+    assert pd.isna(out.loc[1, "right_p"])  # 0.9s > 0.5s: nulled
+    assert out.loc[2, "right_p"] == 22     # 0.4s <= 0.5s: kept
+
+
 def test_asof_no_by_keys(spark):
     left = spark.createDataFrame(pd.DataFrame({"ts": [_ts(10), _ts(11)], "v": [1, 2]}))
     right = spark.createDataFrame(
@@ -253,3 +280,72 @@ def test_nearest_join_directions_and_tolerance(spark):
     )
     r = nearest_join(tie, right, on="ts", by="user_id").collect()[0]
     assert r.right_val == 90.0
+
+
+def test_asof_family_differential_vs_pandas(spark):
+    """r9 audit: seeded differential sweep of the whole as-of family
+    (backward/forward/nearest × tolerance × duplicate keys × empty right
+    side) against pandas merge_asof — 45 comparisons. Guards boundary
+    semantics (ties at the timestamp, no-candidate partitions,
+    tolerance edges) against future plan rewrites."""
+    import datetime as dt
+    import random
+
+    from dask_sql_spark.operators.joins import nearest_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    rng = random.Random(42)
+    for trial in range(15):
+        nl, nr = rng.randint(1, 6), rng.randint(0, 6)
+        pl = pd.DataFrame(
+            {
+                "k": pd.array([rng.choice([1, 2]) for _ in range(nl)], dtype="int64"),
+                "ts": [t0 + dt.timedelta(seconds=rng.randint(0, 20)) for _ in range(nl)],
+            }
+        ).drop_duplicates(["k", "ts"]).sort_values(["k", "ts"]).reset_index(drop=True)
+        pr = pd.DataFrame(
+            {
+                "k": pd.array([rng.choice([1, 2]) for _ in range(nr)], dtype="int64"),
+                "ts": pd.to_datetime(
+                    [t0 + dt.timedelta(seconds=rng.randint(0, 20)) for _ in range(nr)]
+                ),
+                "p": pd.array(list(range(nr)), dtype="int64"),
+            }
+        ).drop_duplicates(["k", "ts"]).sort_values(["k", "ts"]).reset_index(drop=True)
+        sl = spark.createDataFrame(pl)
+        sr = (
+            spark.createDataFrame(pr)
+            if len(pr)
+            else spark.createDataFrame([], "k bigint, ts timestamp, p bigint")
+        )
+
+        def oracle(direction, tol):
+            return pd.merge_asof(
+                pl.sort_values("ts"),
+                pr.sort_values("ts").rename(
+                    columns={"ts": "right_ts", "p": "right_p"}
+                ),
+                left_on="ts", right_on="right_ts", by="k", direction=direction,
+                tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+            ).sort_values(["k", "ts"]).reset_index(drop=True)
+
+        for direction in ("backward", "forward"):
+            tol = rng.choice([None, 3, 7])
+            got = (
+                asof_join(sl, sr, on="ts", by="k", direction=direction,
+                          tolerance_seconds=tol)
+                .toPandas().sort_values(["k", "ts"]).reset_index(drop=True)
+            )
+            want = oracle(direction, tol)
+            assert list(got["right_p"].fillna(-1)) == list(
+                want["right_p"].fillna(-1)
+            ), f"asof {direction} tol={tol} trial={trial}"
+        tol = rng.choice([None, 3, 7])
+        got = (
+            nearest_join(sl, sr, on="ts", by="k", tolerance_seconds=tol)
+            .toPandas().sort_values(["k", "ts"]).reset_index(drop=True)
+        )
+        want = oracle("nearest", tol)
+        assert list(got["right_p"].fillna(-1)) == list(
+            want["right_p"].fillna(-1)
+        ), f"nearest tol={tol} trial={trial}"
