@@ -9447,6 +9447,12 @@ _REATTEST = [
     "graph_triangle_audit",
     "dedup_fuzzy_levenshtein",
     "ann_ivf_topk",
+    # r9 joins audit: asof_join's tolerance arithmetic went micros-exact.
+    # Neither gate passes tolerance_seconds (plans byte-identical — the
+    # edit sits inside the untaken branch), but the consumers of the
+    # edited file re-attest anyway.
+    "join_asof",
+    "join_point_in_time",
 ]
 
 
