@@ -284,3 +284,70 @@ def test_hll_mergeable_sketch_accuracy(sf_tables):
         "SELECT COUNT(DISTINCT o_custkey) AS n FROM orders"
     ).collect()[0].n
     assert abs(rows[0].approx_total - exact_total) <= max(2, 0.05 * exact_total)
+
+
+def test_groups_frame_differential_vs_model(spark):
+    """r9 audit: seeded 20-trial differential sweep of groups_frame
+    against a plain-Python SQL:2011 GROUPS model (dense-rank interval
+    over peer groups) — random tie-heavy data, sum/count/min/max,
+    bounded and UNBOUNDED bounds in both directions. DuckDB 1.0 has no
+    GROUPS mode, so the model oracle stands in."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.window_ext import UNBOUNDED, groups_frame
+
+    rng = random.Random(11)
+
+    def model(pdf, prec, foll, fn):
+        out = {}
+        for _, sub in pdf.groupby("g"):
+            ranks = {o: i + 1 for i, o in enumerate(sorted(sub["o"].unique()))}
+            for _, row in sub.iterrows():
+                r = ranks[row["o"]]
+                lo = -(10**9) if prec == UNBOUNDED else r - prec
+                hi = 10**9 if foll == UNBOUNDED else r + foll
+                vals = [
+                    int(x)
+                    for o, x in zip(sub["o"], sub["x"])
+                    if lo <= ranks[o] <= hi
+                ]
+                out[row["rid"]] = {
+                    "sum": sum(vals),
+                    "count": len(vals),
+                    "min": min(vals),
+                    "max": max(vals),
+                }[fn]
+        return out
+
+    aggs = {
+        "sum": F.sum("x"),
+        "count": F.count("*"),
+        "min": F.min("x"),
+        "max": F.max("x"),
+    }
+    for trial in range(20):
+        n = rng.randint(1, 20)
+        pdf = pd.DataFrame(
+            {
+                "g": pd.array([rng.choice([0, 1]) for _ in range(n)], dtype="int64"),
+                "o": pd.array([rng.randint(0, 5) for _ in range(n)], dtype="int64"),
+                "x": pd.array([rng.randint(-10, 10) for _ in range(n)], dtype="int64"),
+                "rid": pd.array(range(n), dtype="int64"),
+            }
+        )
+        prec = rng.choice([0, 1, 2, UNBOUNDED])
+        foll = rng.choice([0, 1, 2, UNBOUNDED])
+        fn = rng.choice(list(aggs))
+        got = {
+            int(r.rid): int(r.v)
+            for r in groups_frame(
+                spark.createDataFrame(pdf), ["g"], "o", aggs[fn],
+                preceding=prec, following=foll, out_col="v",
+            ).collect()
+        }
+        assert got == model(pdf, prec, foll, fn), (
+            f"trial={trial} fn={fn} prec={prec} foll={foll}"
+        )
