@@ -9453,6 +9453,10 @@ _REATTEST = [
     # edited file re-attest anyway.
     "join_asof",
     "join_point_in_time",
+    # r9 mappings probe: struct field names keep their case in SQL type
+    # names. Flat-type outputs are byte-identical (the gates' tables have
+    # no nested columns), but the consumers re-attest as discipline.
+    "stmt_show_columns",
 ]
 
 

@@ -138,5 +138,20 @@ def python_to_spark_type(t: Any) -> T.DataType:
 
 def spark_type_to_sql_name(dt: T.DataType) -> str:
     """Spark type → SQL type name, for SHOW COLUMNS / DESCRIBE output
-    (reference python_to_sql_type, mappings.py:49-64)."""
+    (reference python_to_sql_type, mappings.py:49-64). Struct FIELD
+    names are identifiers, not keywords — they keep their case (the r9
+    probe caught `struct<a:int>` rendering as STRUCT<A:INT>); only the
+    type words themselves uppercase."""
+    if isinstance(dt, T.StructType):
+        inner = ",".join(
+            f"{f.name}:{spark_type_to_sql_name(f.dataType)}" for f in dt.fields
+        )
+        return f"STRUCT<{inner}>"
+    if isinstance(dt, T.ArrayType):
+        return f"ARRAY<{spark_type_to_sql_name(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return (
+            f"MAP<{spark_type_to_sql_name(dt.keyType)},"
+            f"{spark_type_to_sql_name(dt.valueType)}>"
+        )
     return dt.simpleString().upper()

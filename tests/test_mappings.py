@@ -49,3 +49,24 @@ def test_unknown_raises():
 def test_sql_name_roundtrip():
     assert spark_type_to_sql_name(T.LongType()) == "BIGINT"
     assert spark_type_to_sql_name(T.StringType()) == "STRING"
+
+
+def test_sql_name_nested_preserves_field_case():
+    """r9 probe fix: struct FIELD names are identifiers and keep their
+    case; only type words uppercase — recursively through arrays/maps."""
+    dt = T.StructType(
+        [
+            T.StructField("myField", T.IntegerType()),
+            T.StructField(
+                "tags", T.ArrayType(T.MapType(T.StringType(), T.DoubleType()))
+            ),
+        ]
+    )
+    assert (
+        spark_type_to_sql_name(dt)
+        == "STRUCT<myField:INT,tags:ARRAY<MAP<STRING,DOUBLE>>>"
+    )
+    assert spark_type_to_sql_name(T.ArrayType(T.TimestampType())) == (
+        "ARRAY<TIMESTAMP>"
+    )
+    assert spark_type_to_sql_name(T.DecimalType(12, 3)) == "DECIMAL(12,3)"
