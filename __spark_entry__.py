@@ -9457,6 +9457,11 @@ _REATTEST = [
     # names. Flat-type outputs are byte-identical (the gates' tables have
     # no nested columns), but the consumers re-attest as discipline.
     "stmt_show_columns",
+    # r9 mappings probe #2: python_to_spark_type gained a DDL-parser
+    # fallback after the existing lookups (existing inputs resolve
+    # identically); the register_function consumers re-attest.
+    "udf_column_squash",
+    "udf_row_classify",
 ]
 
 

@@ -70,6 +70,9 @@ _DTYPE_NAME_TO_SPARK: dict[str, T.DataType] = {
     "object": T.StringType(),
     "string": T.StringType(),
     "str": T.StringType(),
+    # pandas categorical: values collect as their string labels (the
+    # reference's dask meta does the same); r9 probe gap
+    "category": T.StringType(),
     "datetime64[ns]": T.TimestampType(),
     "datetime64[us]": T.TimestampType(),
     "timedelta64[ns]": T.DayTimeIntervalType(),
@@ -123,6 +126,15 @@ def python_to_spark_type(t: Any) -> T.DataType:
         # fall through: maybe a pandas dtype string like "int64"
         if t in _DTYPE_NAME_TO_SPARK:
             return _DTYPE_NAME_TO_SPARK[t]
+        # last resort: Spark's own DDL parser covers the compound and
+        # parameterized names the tables above don't enumerate —
+        # array<...>, map<...>, struct<...>, varchar(n)/char(n),
+        # numeric(p,s), interval units (r9 probe; needs a live session,
+        # which every register_function caller has)
+        try:
+            return T.DataType.fromDDL(t)
+        except Exception:
+            pass
         raise NotImplementedError(f"No Spark type known for {t!r}")
     if t in _PYTHON_TO_SPARK:
         return _PYTHON_TO_SPARK[t]

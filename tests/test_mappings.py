@@ -70,3 +70,24 @@ def test_sql_name_nested_preserves_field_case():
         "ARRAY<TIMESTAMP>"
     )
     assert spark_type_to_sql_name(T.DecimalType(12, 3)) == "DECIMAL(12,3)"
+
+
+def test_python_to_spark_type_ddl_fallback(spark):
+    """r9 probe gaps: compound/parameterized SQL type strings resolve
+    through Spark's own DDL parser, and pandas 'category' maps to
+    string. Unknown names still raise."""
+    assert python_to_spark_type("array<int>") == T.ArrayType(T.IntegerType())
+    assert python_to_spark_type("map<string,double>") == T.MapType(
+        T.StringType(), T.DoubleType()
+    )
+    assert python_to_spark_type("struct<a:int,b:string>") == T.StructType(
+        [
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+    assert python_to_spark_type("varchar(255)") == T.VarcharType(255)
+    assert python_to_spark_type("numeric(10,2)") == T.DecimalType(10, 2)
+    assert python_to_spark_type("category") == T.StringType()
+    with pytest.raises(NotImplementedError):
+        python_to_spark_type("NOT_A_TYPE")
