@@ -9462,6 +9462,10 @@ _REATTEST = [
     # identically); the register_function consumers re-attest.
     "udf_column_squash",
     "udf_row_classify",
+    # r9 probe #3: to_spark_dataframe's empty-pandas and error-fallback
+    # branches changed (string/location paths byte-identical); the
+    # location-dispatch gate re-attests as the file's representative.
+    "source_formats_roundtrip",
 ]
 
 

@@ -194,7 +194,26 @@ def to_spark_dataframe(
         import pandas as pd
 
         if isinstance(input_table, pd.DataFrame):
-            return spark.createDataFrame(_normalize_pandas(input_table))
+            pdf = _normalize_pandas(input_table)
+            if len(pdf) == 0:
+                # dtypes carry the schema even with zero rows (the
+                # reference registers empty frames; Spark's row-based
+                # inference raises CANNOT_INFER_EMPTY_SCHEMA) — build
+                # the schema explicitly from the dtypes (r9 probe)
+                from pyspark.sql import types as T
+
+                from dask_sql_spark.mappings import python_to_spark_type
+
+                schema = T.StructType(
+                    [
+                        T.StructField(
+                            str(c), python_to_spark_type(pdf[c].dtype)
+                        )
+                        for c in pdf.columns
+                    ]
+                )
+                return spark.createDataFrame([], schema)
+            return spark.createDataFrame(pdf)
     except ImportError:  # pragma: no cover
         pass
     try:
@@ -212,7 +231,17 @@ def to_spark_dataframe(
     except ImportError:  # pragma: no cover
         pass
     # final fallback: rows/dicts
-    return spark.createDataFrame(input_table)
+    try:
+        return spark.createDataFrame(input_table)
+    except TypeError as e:
+        # a clear input-contract error instead of Spark's opaque
+        # "'object' object is not iterable" (r9 probe; reference
+        # input_utils raises the equivalent for unknown plugins)
+        raise ValueError(
+            f"Unsupported input type {type(input_table).__name__!r} for "
+            "create_table: expected a Spark or pandas DataFrame, a "
+            "pyarrow Table, a location string, or rows/dicts"
+        ) from e
 
 
 # unsigned → next-wider signed, preserving NULLs; Spark has no unsigned

@@ -287,3 +287,40 @@ def test_sqlalchemy_full_connection_url_rejected_loudly(spark):
     ):
         with _pytest.raises(ValueError, match="shorthand"):
             to_spark_dataframe(spark, url)
+
+
+def test_create_table_empty_pandas_frame(context):
+    """r9 probe fix: an EMPTY pandas frame registers with its dtype-carried
+    schema (Spark's row inference would raise CANNOT_INFER_EMPTY_SCHEMA);
+    queries over it run and return zero rows with the right types."""
+    import pandas as pd
+
+    context.create_table(
+        "empty_t",
+        pd.DataFrame(
+            {
+                "a": pd.array([], dtype="int64"),
+                "s": pd.array([], dtype="object"),
+                "ts": pd.Series([], dtype="datetime64[ns]"),
+            }
+        ),
+    )
+    out = context.sql("SELECT a, s, ts FROM empty_t WHERE a > 0")
+    assert out.collect() == []
+    types = dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)
+    assert types == {"a": "bigint", "s": "string", "ts": "timestamp"}
+    # UNION with a populated frame type-checks against the dtype schema
+    n = context.sql(
+        "SELECT COUNT(*) AS n FROM "
+        "(SELECT a FROM empty_t UNION ALL SELECT CAST(1 AS BIGINT))"
+    ).collect()[0].n
+    assert n == 1
+
+
+def test_create_table_unsupported_object_clear_error(context):
+    """r9 probe fix: an unsupported input raises a clear input-contract
+    ValueError, not Spark's opaque 'object is not iterable' TypeError."""
+    import pytest
+
+    with pytest.raises(ValueError, match="Unsupported input type 'object'"):
+        context.create_table("bad", object())
