@@ -1753,7 +1753,9 @@ _dfq(
     "stream_sliding_window",
     _sliding_fn,
     # each event belongs to the 4 epoch-aligned 15-min slides covering it:
-    # start_k = 15min-bucket(ts) - k*15min, k = 0..3
+    # start_k = 15min-bucket(ts) - k*15min, k = 0..3. The % bucket here
+    # assumes post-epoch ts (true of the testdata); F.window's own
+    # pre-epoch alignment is Spark-internal and not replicated.
     """
 WITH hits AS (
   SELECT make_timestamp(
@@ -4384,15 +4386,22 @@ def _resample_fn_every(every: str):
 
 def _resample_oracle(step_seconds: int) -> str:
     """Epoch-aligned bucket twin of resample_fill for any whole-second
-    step: bucket = make_timestamp(us - us % step_us), identical arithmetic
-    to the operator's timestamp_micros(us - us % step_us)."""
+    step: bucket = make_timestamp(us - floormod(us, step_us)), identical
+    arithmetic to the operator's timestamp_micros(us - pmod(us, step_us)).
+    The double-mod ((us % s) + s) % s is DuckDB's portable floor-mod —
+    plain % is sign-of-dividend and would shift pre-epoch events one
+    bucket late (round-9 events audit)."""
     step_us = step_seconds * 1_000_000
-    bk = f"make_timestamp(epoch_us(ts) - epoch_us(ts) % {step_us})"
+
+    def fm(e: str) -> str:
+        return f"(({e} % {step_us}) + {step_us}) % {step_us}"
+
+    bk = f"make_timestamp(epoch_us(ts) - {fm('epoch_us(ts)')})"
     return f"""
 WITH bounds AS (
   SELECT user_id,
-    make_timestamp(epoch_us(MIN(ts)) - epoch_us(MIN(ts)) % {step_us}) AS lo,
-    make_timestamp(epoch_us(MAX(ts)) - epoch_us(MAX(ts)) % {step_us}) AS hi
+    make_timestamp(epoch_us(MIN(ts)) - {fm('epoch_us(MIN(ts))')}) AS lo,
+    make_timestamp(epoch_us(MAX(ts)) - {fm('epoch_us(MAX(ts))')}) AS hi
   FROM events GROUP BY user_id
 ),
 spine AS (
@@ -9466,6 +9475,16 @@ _REATTEST = [
     # branches changed (string/location paths byte-identical); the
     # location-dispatch gate re-attests as the file's representative.
     "source_formats_roundtrip",
+    # r9 events audit: resample_fill buckets went pmod (floor) on both
+    # sides — results identical on post-epoch testdata (verified bitwise
+    # at sf0.01 in-session), but the plans changed, so all three
+    # resample gates re-attest; event_transitions gained an optional
+    # tiebreak (default keeps the old plan), its consumers re-attest as
+    # the file's representatives.
+    "events_resample_fill",
+    "events_resample_15min",
+    "events_resample_1day",
+    "events_transitions",
 ]
 
 

@@ -119,18 +119,27 @@ def event_transitions(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """First-order transition counts (Markov edges) between consecutive
     event types within each user's timeline: (from_type, to_type, n).
     The terminal event of each user maps to to_type NULL, kept so the
     out-degree of every type sums to its event count.
 
+    With duplicate (user, ts) pairs the within-tie order — hence the
+    edge counts — is engine-dependent; pass ``tiebreak_col`` (e.g. the
+    event id) to make the timeline total-ordered and the counts
+    deterministic (round-9 events audit; the default stays ts-only so
+    existing plans are unchanged — the bundled events tables have no
+    (user, ts) duplicates).
+
     One shuffle on ``user_col`` for the lead window, then a count
     aggregate on the (from, to) pair — map-side partial agg applies.
     """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    order = [ts_col] if tiebreak_col is None else [ts_col, tiebreak_col]
+    w = Window.partitionBy(user_col).orderBy(*order)
     return (
         events.select(
             F.col(type_col).alias("from_type"),
@@ -213,9 +222,13 @@ def resample_fill(
     filled_value).
 
     ``every`` is any whole-second interval ('30 seconds', '15 minutes',
-    '1 hour', '1 day', …); buckets are epoch-aligned
-    (``ts - ts % step``), which coincides with ``date_trunc`` for the
-    usual steps that divide a day evenly.
+    '1 hour', '1 day', …); buckets are epoch-aligned FLOOR buckets
+    (``ts - pmod(ts, step)``), which coincides with ``date_trunc`` for
+    the usual steps that divide a day evenly — including pre-1970
+    timestamps, where a plain ``%`` (sign-of-dividend in both Spark and
+    DuckDB) would round toward zero and shift events one bucket late
+    (round-9 audit finding: 1969-12-31 22:30 bucketed to 23:00 instead
+    of 22:00 under ``%``).
 
     Spark has no native resample/gap-fill; this is the gap-explode
     composition: ONE groupBy to per-(key, bucket) aggregates, one window
@@ -235,7 +248,8 @@ def resample_fill(
 
     def to_bucket(c: Column) -> Column:
         us = _epoch_us(c)
-        return F.timestamp_micros(us - us % F.lit(step_us))
+        # pmod, not %: floor-aligned buckets for negative (pre-epoch) us
+        return F.timestamp_micros(us - F.pmod(us, F.lit(step_us)))
 
     from pyspark.sql.window import Window
 
