@@ -9485,6 +9485,13 @@ _REATTEST = [
     "events_resample_15min",
     "events_resample_1day",
     "events_transitions",
+    # r9 maintenance audit: snapshot_diff presence markers (NULL-key
+    # classification fix — testdata keys are non-NULL, results
+    # unchanged, plan changed); scd2_apply gained broadcast/tiebreak
+    # knobs (defaults keep the old plan, its consumer re-attests as the
+    # file's representative).
+    "maint_snapshot_diff",
+    "scd2_dimension_merge",
 ]
 
 

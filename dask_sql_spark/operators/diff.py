@@ -31,8 +31,14 @@ def snapshot_diff(
 ) -> DataFrame:
     """(key…, change) with change ∈ insert | delete | change | same.
 
-    ``compare_cols`` defaults to every shared non-key column. NULL-safe:
-    a value flipping to/from NULL counts as a change.
+    ``compare_cols`` defaults to every shared non-key column. NULL-safe
+    throughout: a value flipping to/from NULL counts as a change, and
+    NULL keys pair up across snapshots (the join is ``<=>``); presence
+    on each side is tracked with explicit marker columns, not key
+    NULL-ness — an all-NULL key present in both snapshots classifies
+    same/change, not insert (round-9 audit finding). Keys are assumed
+    unique per snapshot (a keyed table); duplicate keys would
+    cross-multiply in the full outer join.
     """
     if compare_cols is None:
         compare_cols = [
@@ -41,19 +47,21 @@ def snapshot_diff(
     o = old.select(
         *[F.col(c).alias(f"__ok_{c}") for c in key_cols],
         *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__o_present"),
     )
     n = new.select(
         *[F.col(c).alias(f"__nk_{c}") for c in key_cols],
         *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__n_present"),
     )
     cond = [F.col(f"__ok_{c}").eqNullSafe(F.col(f"__nk_{c}")) for c in key_cols]
     joined = o.join(n, on=cond, how="full_outer")
 
-    in_old = F.lit(False)
-    in_new = F.lit(False)
-    for c in key_cols:  # full-outer leaves the absent side's keys NULL
-        in_old = in_old | F.col(f"__ok_{c}").isNotNull()
-        in_new = in_new | F.col(f"__nk_{c}").isNotNull()
+    # full-outer leaves the absent side entirely NULL, so the marker
+    # column is the presence test — key NULL-ness is not (NULL keys are
+    # legitimate row identities under the <=> join)
+    in_old = F.col("__o_present").isNotNull()
+    in_new = F.col("__n_present").isNotNull()
     same = F.lit(True)
     for c in compare_cols:
         same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))

@@ -31,15 +31,30 @@ def scd2_apply(
     ts_col: str = "ts",
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
+    broadcast_updates: bool = True,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Apply an update batch to an SCD2 dimension and return the new
     dimension state.
 
     ``dim`` carries (key, tracked attrs, valid_from, valid_to) with
-    ``valid_to IS NULL`` marking current rows. ``updates`` carries
-    (key, tracked attrs, ts). Per key, only the LATEST update (max ts,
-    deterministic) is applied — intra-batch history is collapsed, the
-    standard daily-delta semantics.
+    ``valid_to IS NULL`` marking current rows — at most ONE current row
+    per key (the SCD2 invariant; duplicates would cross-multiply the
+    join). ``updates`` carries (key, tracked attrs, ts). Per key, only
+    the LATEST update (max ts) is applied — intra-batch history is
+    collapsed, the standard daily-delta semantics. With duplicate
+    (key, ts) pairs in the batch the winner is engine-dependent; pass
+    ``tiebreak_col`` (e.g. a change-log sequence number) to make it
+    total-ordered. Updates are assumed to postdate the current rows
+    they close (``ts >= valid_from``) — an out-of-order ts would stamp
+    a ``valid_to`` before its row's ``valid_from``, which this function
+    does not detect.
+
+    ``broadcast_updates=True`` fits the normal shape (daily deltas vs a
+    full dimension); set it False when the batch is too large for a
+    broadcast hash join — the key join then shuffles both sides
+    (round-9 audit: the broadcast was previously unconditional, an OOM
+    hazard for backfill-sized batches).
 
     Row sets in the result:
     - history rows: unchanged, passed through
@@ -49,12 +64,18 @@ def scd2_apply(
     - one new current row per changed or brand-new key
     """
     upd_cols = [key_col, *tracked_cols, ts_col]
-    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
+    order = [F.col(ts_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    sel = upd_cols if tiebreak_col is None or tiebreak_col in upd_cols else (
+        upd_cols + [tiebreak_col]
+    )
     latest = (
-        updates.select(*upd_cols)
+        updates.select(*sel)
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__rn")
+        .select(*upd_cols)
     )
 
     hist = dim.where(F.col(valid_to).isNotNull())
@@ -65,7 +86,9 @@ def scd2_apply(
         F.col(ts_col).alias("__ts"),
         *[F.col(c).alias(f"__u_{c}") for c in tracked_cols],
     )
-    joined = cur.join(F.broadcast(u), cur[key_col] == F.col("__k"), "left")
+    if broadcast_updates:
+        u = F.broadcast(u)
+    joined = cur.join(u, cur[key_col] == F.col("__k"), "left")
     changed = F.lit(False)
     for c in tracked_cols:
         changed = changed | ~F.col(c).eqNullSafe(F.col(f"__u_{c}"))
@@ -95,9 +118,8 @@ def scd2_apply(
         F.col(key_col).alias("__k2"),
         *[F.col(c).alias(f"__c_{c}") for c in tracked_cols],
     )
-    cj = c2.join(
-        F.broadcast(latest), F.col("__k2") == latest[key_col], "right"
-    )
+    lat = F.broadcast(latest) if broadcast_updates else latest
+    cj = c2.join(lat, F.col("__k2") == latest[key_col], "right")
     changed2 = F.lit(False)
     for c in tracked_cols:
         changed2 = changed2 | ~F.col(f"__c_{c}").eqNullSafe(F.col(c))
