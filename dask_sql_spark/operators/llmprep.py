@@ -63,6 +63,8 @@ def pack_documents(
     budgeted, so sharded packing is exactly as valid a batch plan as the
     serial one (each pack still fills in id order within its shard).
     """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
     keep = [id_col] + ([partition_col] if partition_col else [])
     if token_count_col is None:
         counted = df.select(

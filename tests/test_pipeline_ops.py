@@ -586,6 +586,19 @@ def test_pack_documents_budget_semantics(spark):
     assert out == {1: (0, 0), 2: (0, 3), 3: (1, 5), 4: (2, 9)}
 
 
+def test_pack_documents_rejects_nonpositive_budget(spark):
+    """max_tokens <= 0 raises up front instead of a NULL/divide-by-zero
+    pack_id downstream (round-9 audit guard)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from dask_sql_spark.operators.llmprep import pack_documents
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a"]}))
+    with _pytest.raises(ValueError, match="max_tokens"):
+        pack_documents(df, max_tokens=0)
+
+
 def test_pack_documents_sharded_parallel_form(spark):
     """shards=N packs per deterministic hash sub-shard: every pack still
     fills in id order within its shard and respects the budget (one

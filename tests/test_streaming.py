@@ -341,3 +341,52 @@ def test_stateful_running_totals_boundary_double(spark, tmp_path):
         mode="update",
     )
     assert rows[0].total_value == 0.0
+
+
+def test_windowed_counts_drops_late_data_past_watermark(spark, tmp_path):
+    """Round-9 streaming audit: append mode finalizes a window once the
+    watermark passes its end, and an event arriving AFTER that is
+    dropped, not double-counted. Deterministic: each file is fully
+    processed (processAllAvailable) before the next is written, so the
+    watermark sequence is fixed — batch 1 advances event-time max to
+    12:00 (watermark 11:30), batch 2's 10:05 straggler is behind the
+    watermark and its 10:00–10:10 window already final."""
+    import pandas as pd
+
+    from dask_sql_spark.streaming.core import memory_sink_query, windowed_counts
+
+    d = tmp_path / "late_src"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 12:00"]
+            ).astype("datetime64[us]"),
+            "event_type": ["view", "view"],
+            "value": [1.0, 1.0],
+        }
+    ).to_parquet(d / "a.parquet")
+    src = spark.readStream.schema(
+        "ts TIMESTAMP, event_type STRING, value DOUBLE"
+    ).option("maxFilesPerTrigger", 1).parquet(str(d))
+    q = memory_sink_query(
+        windowed_counts(src, window="10 minutes", watermark="30 minutes"),
+        "late_counts",
+        output_mode="append",
+    )
+    q.processAllAvailable()
+    # straggler for the already-finalized 10:00-10:10 window
+    pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01 10:05"]).astype("datetime64[us]"),
+            "event_type": ["view"],
+            "value": [100.0],
+        }
+    ).to_parquet(d / "b.parquet")
+    q.processAllAvailable()
+    rows = spark.sql(
+        "SELECT * FROM late_counts WHERE window_start = '2024-01-01 10:00'"
+    ).collect()
+    q.stop()
+    # exactly one finalized emission, counting only the on-time event
+    assert [(r.n, r.total_value) for r in rows] == [(1, 1.0)]
