@@ -2409,6 +2409,45 @@ def test_ngram_doc_lists_passthrough(docs):
     assert via == auto and via
 
 
+def test_degenerate_docs_never_pair(spark):
+    """Pinned dedup edge semantics (round-9 audit): empty-string, NULL
+    and whitespace-only documents produce NO shingles (the empty gram is
+    filtered), so they are absent from signatures and can never pair —
+    two empty docs are NOT near-duplicates of each other. Exact dedup,
+    by contrast, does group identical empty strings (NULL stays
+    distinct from '')."""
+    import pandas as pd
+
+    from dask_sql_spark.operators.dedup import (
+        exact_duplicates,
+        minhash_lsh_pairs,
+        shingles,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["", "", None, "   ", "real text here ok"],
+        }
+    )
+    docs = spark.createDataFrame(pdf, "doc_id long, text string")
+    assert shingles(docs, "doc_id", "text").where(
+        "doc_id < 5"
+    ).count() == 0
+    assert minhash_lsh_pairs(docs, num_perm=16, bands=8).count() == 0
+    exact = {
+        r.content_hash: (r.keeper_id, r.n_copies)
+        for r in exact_duplicates(docs).collect()
+    }
+    # the two '' docs share one md5 group; NULL text hashes to NULL and
+    # forms its own group rather than merging with ''
+    empty_md5 = [
+        h for h, (k, n) in exact.items() if h is not None and n == 2
+    ]
+    assert len(empty_md5) == 1 and exact[empty_md5[0]] == (1, 2)
+    assert exact[None] == (3, 1)
+
+
 def test_word_ngrams_matches_python_reference(spark):
     """Exhaustive differential check of the shared gram builder: every
     token list of length 0..5 over a 2-letter alphabet, n in {1,2,3,5},
