@@ -9492,6 +9492,12 @@ _REATTEST = [
     # file's representative).
     "maint_snapshot_diff",
     "scd2_dimension_merge",
+    # r9 graph audit: connected_components drops NULL-endpoint edges up
+    # front (pair inputs have no NULLs — results unchanged, plan gained
+    # a filter) and warns on non-convergence; both component consumers
+    # re-attest. (dedup_components_minhash / dedup_keeper_quality are
+    # already queued above for the sf1-exclusion discipline — the same
+    # rows double as the graph-edit re-attestation.)
 ]
 
 

@@ -33,7 +33,22 @@ def connected_components(
     Converges early when an iteration changes no label (an action per
     iteration — the documented driver-side loop of distributed steps, like
     spark.ml's own iterative fitters; no vertex data ever hits the
-    driver).
+    driver). Min-label propagation needs O(component diameter)
+    iterations; if the fixpoint is NOT reached within ``max_iterations``
+    a ``RuntimeWarning`` is raised (round-9 audit: a 40-node path graph
+    under the default 25 iterations previously returned wrong labels
+    silently) — near-dup graphs are shallow, so hitting the warning
+    means the input is not a banding graph and the cap should be raised.
+    Edges with a NULL endpoint are dropped entirely up front — the
+    non-NULL endpoint does not surface as an isolated vertex unless
+    another edge mentions it, and NULL itself is never a vertex.
+    Without the explicit filter a NULL endpoint half-participated (it
+    absorbed a neighbor's label through the NULL groupBy key but never
+    propagated back, and distinct() merged every NULL into one
+    pseudo-vertex; round-9 audit). Pair operators upstream cannot emit
+    NULL ids, so real dedup graphs are unaffected — and
+    :func:`dedup_clusters` coalesces ids absent from the components to
+    themselves, so downstream keeper assignment stays total either way.
 
     Shape notes, all three measured (sf0.1 minhash graph, ~2s → ~0.35s
     per iteration):
@@ -57,7 +72,9 @@ def connected_components(
       so they fall back to a changed-label join against the previous
       (checkpointed) labels, the classic convergence test.
     """
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    )
     und = (
         und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -106,6 +123,17 @@ def connected_components(
         labels = new_labels
         if converged:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations; labels may not be the "
+            f"component minimum — raise max_iterations (graph diameter "
+            f"exceeds the cap)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("id", "comp")
 
 
