@@ -9498,6 +9498,12 @@ _REATTEST = [
     # re-attest. (dedup_components_minhash / dedup_keeper_quality are
     # already queued above for the sf1-exclusion discipline — the same
     # rows double as the graph-edit re-attestation.)
+    # r9 dq/skew audit: accepted_values strips None from `allowed`
+    # (gates pass no None — plans byte-identical) and fused_checks
+    # escapes quoted names; salted_join gained a join-type guard (its
+    # gate uses inner). The three consumers re-attest as discipline.
+    "dq_validation_report",
+    "join_salted",
 ]
 
 

@@ -92,8 +92,14 @@ def range_violations(
 def accepted_values(
     df: DataFrame, col: str, allowed: list, name: str | None = None
 ) -> DataFrame:
-    """Non-null values outside the allowed set."""
+    """Non-null values outside the allowed set.
+
+    A ``None`` in ``allowed`` is dropped before the comparison: NULLs
+    are never counted as violations anyway, and a literal NULL inside
+    ``IN`` turns every negative answer into SQL NULL — silently
+    counting zero violations (round-9 audit finding)."""
     c = F.col(col)
+    allowed = [a for a in allowed if a is not None]
     return _one(
         name or f"accepted:{col}",
         F.count(F.when(c.isNotNull() & ~c.isin(allowed), 1)),
@@ -126,7 +132,12 @@ def fused_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
             for i, k in enumerate(names)
         ]
     )
-    pairs = ", ".join(f"'{k}', _c{i}" for i, k in enumerate(names))
+    # names travel as SQL string literals inside stack(): double any
+    # embedded quote so a name like "len('x')" cannot break the parse
+    pairs = ", ".join(
+        "'{}', _c{}".format(k.replace("'", "''"), i)
+        for i, k in enumerate(names)
+    )
     return row.selectExpr(
         f"stack({len(names)}, {pairs}) AS (check, n_bad)"
     )

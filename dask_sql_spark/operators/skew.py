@@ -34,7 +34,17 @@ def salted_join(
     every (key, salt) bucket finds its match. Correct for inner/left joins
     on a unique-keyed small side. The random salt is per-row and does not
     affect results — only reducer placement.
+
+    Other join types are rejected: a right/full join over the exploded
+    small side would emit every unmatched small row ``salt`` times, and
+    semi/anti joins project the wrong side (round-9 audit guard).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "the salt-exploded small side would duplicate unmatched "
+            "rows under right/full semantics"
+        )
     salted_big = big.withColumn(
         "__salt__", (F.rand() * salt).cast("int")
     )

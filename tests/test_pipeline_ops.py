@@ -2485,3 +2485,30 @@ def test_word_ngrams_matches_python_reference(spark):
                 else:
                     want = []
                 assert got[i] == want, (n, keep_short, t, got[i], want)
+
+
+def test_accepted_values_none_in_allowed_list(spark):
+    """Pinned round-9 finding: a None inside `allowed` used to nullify
+    the IN-negation and report zero violations; it is now stripped and
+    real violations still count."""
+    from dask_sql_spark.operators.dq import accepted_values
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("z",), (None,)], "status string"
+    )
+    row = accepted_values(df, "status", ["a", "b", None]).collect()[0]
+    assert row["n_bad"] == 1  # 'z'; NULL is never a violation
+
+
+def test_fused_checks_quoted_name(spark):
+    """Check names containing single quotes survive the stack() unpivot."""
+    from dask_sql_spark.operators.dq import fused_checks
+
+    df = spark.createDataFrame([(1,), (None,)], "x int")
+    out = {
+        r["check"]: r["n_bad"]
+        for r in fused_checks(
+            df, {"null:'x'": F.count(F.lit(1)) - F.count(F.col("x"))}
+        ).collect()
+    }
+    assert out == {"null:'x'": 1}

@@ -89,3 +89,18 @@ def test_write_sorted_produces_disjoint_file_ranges(spark, tmp_path):
         hi1 > lo2
         for (lo1, hi1), (lo2, hi2) in zip(overlapping, overlapping[1:])
     )
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """Round-9 guard: the salt-exploded small side would duplicate
+    unmatched rows salt x under right/full semantics."""
+    import pandas as pd
+    import pytest
+
+    from dask_sql_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(pd.DataFrame({"k": [1], "v": [1.0]}))
+    small = spark.createDataFrame(pd.DataFrame({"k": [1], "w": [2.0]}))
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(big, small, "k", how=how)
