@@ -117,6 +117,14 @@ def predict_model(context: "Context", name: str, select: str) -> DataFrame:
     model, training_columns = schema.models[name]
 
     df = context.sql(select)
+    missing = [c for c in training_columns if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"PREDICT select is missing training column(s) {missing}; "
+            f"model {name!r} was fit on {training_columns} "
+            f"(round-9 audit: this used to surface as an executor-side "
+            f"KeyError inside mapInPandas)"
+        )
     spark = context.spark
     model_bc = spark.sparkContext.broadcast(pickle.dumps(model))
     from pyspark.sql import types as T

@@ -85,6 +85,24 @@ def test_create_model_predict_export_describe(context, tmp_path):
     context.sql("DROP MODEL IF EXISTS m1")
 
 
+def test_predict_missing_training_column_clear_error(context):
+    """Round-9 ml audit: a PREDICT select lacking a training column
+    raises a driver-side ValueError naming the missing columns instead
+    of an executor-side KeyError inside mapInPandas."""
+    context.sql(
+        """CREATE OR REPLACE MODEL m_cols WITH (
+             model_class = 'tests.dummy_estimator.MeanRegressor',
+             target_column = 'b'
+           ) AS SELECT CAST(a AS DOUBLE) AS a, b FROM df_simple"""
+    )
+    with pytest.raises(ValueError, match="missing training column.*'a'"):
+        context.sql(
+            "SELECT * FROM PREDICT(MODEL m_cols, "
+            "SELECT CAST(b AS DOUBLE) AS c FROM df_simple)"
+        )
+    context.sql("DROP MODEL m_cols")
+
+
 def test_create_experiment_grid_search(context):
     res = context.sql(
         """CREATE OR REPLACE EXPERIMENT exp1 WITH (
