@@ -9504,6 +9504,11 @@ _REATTEST = [
     # gate uses inner). The three consumers re-attest as discipline.
     "dq_validation_report",
     "join_salted",
+    # r9 ml audit: predict_model gained a driver-side training-column
+    # validation (no plan change for valid selects); the PREDICT
+    # consumers re-attest as discipline.
+    "ml_predict_mean",
+    "ml_export_roundtrip",
 ]
 
 
