@@ -12,10 +12,12 @@ cheap warm pass, mirroring bench.py's steady-state method. Partitions/
 heap scale with SF the way a real deployment's would.
 
 Usage:
-  python tools/sf10_spot.py <sf_dir> <shuffle_partitions> <driver_mem>
+  python tools/sf10_spot.py <sf_dir> <shuffle_partitions> <driver_mem> \
+      [query1,query2,...]
 e.g.
   python tools/sf10_spot.py .localdata/sf1  64  24g
   python tools/sf10_spot.py .localdata/sf10 128 48g
+  python tools/sf10_spot.py .localdata/sf10 128 48g dedup_simhash,events_resample_fill
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ QUERIES = [
 
 def main() -> int:
     sf_dir, parts, mem = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    queries = sys.argv[4].split(",") if len(sys.argv) > 4 else QUERIES
 
     import __spark_entry__ as entry
     from dask_sql_spark.context import default_spark_session
@@ -52,7 +55,7 @@ def main() -> int:
     # warm the JVM/codegen path once with a cheap scan
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
     out = {}
-    for name in QUERIES:
+    for name in queries:
         times = []
         for _ in range(2):
             t0 = time.time()
