@@ -34,7 +34,19 @@ _PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokens of lowercased text; empty strings removed."""
+    """Whitespace tokens of lowercased text; empty strings removed.
+
+    Tokenization semantics, pinned by test (round-9 unicode probe):
+    ``\\s`` is ASCII whitespace in BOTH Spark (Java regex) and the
+    DuckDB oracle (RE2), so NBSP/zero-width characters stay inside
+    tokens — identical cross-engine, unlike Python's ``str.split``.
+    Known cross-engine caveat, documented rather than masked: Java's
+    ``lower('İ')`` yields ``i`` + COMBINING DOT ABOVE (two codepoints)
+    where DuckDB yields plain ``i`` — a Unicode special-casing
+    difference that would diverge hashed outputs if Turkish dotted
+    capitals ever enter an oracle-gated corpus (none in the bundled
+    testdata; route such corpora through ``normalize_text`` first).
+    """
     toks = F.split(F.lower(F.trim(text)), _WS)
     return F.filter(toks, lambda t: t != F.lit(""))
 

@@ -2512,3 +2512,44 @@ def test_fused_checks_quoted_name(spark):
         ).collect()
     }
     assert out == {"null:'x'": 1}
+
+
+def test_tokens_unicode_semantics_pinned(spark):
+    """Round-9 unicode probe, pinned: tokenization is ASCII-whitespace
+    (NBSP and zero-width space stay inside tokens — same as the DuckDB
+    oracle's RE2, unlike Python's str.split), CJK/emoji/RTL pass
+    through as opaque tokens, and tab/newline split."""
+    from dask_sql_spark.operators.text import token_count, tokens
+
+    rows = [
+        ("nbsp", "a b", 1),
+        ("zwsp", "a​b", 1),
+        ("cjk", "你好 世界", 2),
+        ("tab_nl", "a\tb\nc", 3),
+        ("rtl", "مرحبا بالعالم", 2),
+    ]
+    df = spark.createDataFrame(
+        [(k, t) for k, t, _ in rows], "k string, t string"
+    )
+    got = {
+        r["k"]: (r["n"], r["toks"])
+        for r in df.select(
+            "k",
+            tokens(F.col("t")).alias("toks"),
+            token_count(F.col("t")).alias("n"),
+        ).collect()
+    }
+    for k, _, n in rows:
+        assert got[k][0] == n, (k, got[k])
+    assert got["nbsp"][1] == ["a b"]
+
+
+def test_turkish_dotted_i_cross_engine_caveat_documented(spark):
+    """The documented Java-vs-DuckDB lower('İ') divergence: Java emits
+    i + COMBINING DOT ABOVE. If this test ever fails, the JVM changed
+    its special casing — re-check the tokens() docstring caveat."""
+    import duckdb
+
+    s = spark.sql("SELECT lower('İ') AS x").collect()[0]["x"]
+    d = duckdb.sql("SELECT lower('İ')").fetchone()[0]
+    assert s == "i̇" and d == "i" and s != d
