@@ -9509,6 +9509,19 @@ _REATTEST = [
     # consumers re-attest as discipline.
     "ml_predict_mean",
     "ml_export_roundtrip",
+    # r9 similarity audit: cosine() went try_divide (a zero-norm vector
+    # used to abort the whole job under ANSI; now NULL, ranked last /
+    # threshold-screened). No testdata vector has zero norm — results
+    # byte-identical, plans changed — so every cosine consumer
+    # re-attests.
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "ann_quantized_topk",
+    "search_mmr_rerank",
+    "search_hybrid_rerank",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "emb_knn_label_confusion",
 ]
 
 

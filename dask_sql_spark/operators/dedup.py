@@ -606,7 +606,16 @@ def simhash_pairs(
 # --------------------------------------------------------------------- #
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float/double> columns, JVM-side via
-    zip_with + aggregate (no UDF)."""
+    zip_with + aggregate (no UDF).
+
+    Zero-norm vectors yield NULL (``try_divide``), not an error: under
+    the engine's ANSI session default a plain ``/`` raised
+    DIVIDE_BY_ZERO, so ONE zero embedding aborted an entire corpus-scale
+    ANN/near-dup job (round-9 audit). NULL is the right value semantics
+    too — cosine is undefined at zero norm, NULL ranks last under the
+    top-k's ``desc`` ordering and fails every ``>= threshold`` screen,
+    so degenerate vectors drop out instead of polluting results.
+    """
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -614,7 +623,7 @@ def cosine(a: Column, b: Column) -> Column:
     )
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+    return F.try_divide(dot, na * nb)
 
 
 def embedding_near_dupes(

@@ -2553,3 +2553,75 @@ def test_turkish_dotted_i_cross_engine_caveat_documented(spark):
     s = spark.sql("SELECT lower('İ') AS x").collect()[0]["x"]
     d = duckdb.sql("SELECT lower('İ')").fetchone()[0]
     assert s == "i̇" and d == "i" and s != d
+
+
+def test_brute_force_topk_matches_python_fold_model(spark):
+    """Round-9 differential: exact top-k vs a pure-Python model that
+    reproduces cosine()'s SEQUENTIAL left-fold (same IEEE-double op
+    order as the JVM), so scores match bitwise and the (cos desc, id)
+    tie-break is checked exactly — including near-tie vectors that a
+    numpy-dot model (different summation order) could rank differently."""
+    import random
+
+    from dask_sql_spark.operators.similarity import brute_force_topk
+
+    rng = random.Random(7)
+    vecs = {
+        i: [round(rng.uniform(-1, 1), 3) for _ in range(8)] for i in range(30)
+    }
+    vecs[3] = list(vecs[2])  # exact duplicate → exact cosine tie
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    queries = emb.where(F.col("vec_id") < 4)
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    )
+
+    def fold_cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot = dot + x * y
+        na = nb = 0.0
+        for x in a:
+            na = na + x * x
+        for y in b:
+            nb = nb + y * y
+        return dot / (na**0.5 * nb**0.5)
+
+    want = []
+    for qid in range(4):
+        scored = sorted(
+            ((fold_cos(vecs[qid], v), -i) for i, v in vecs.items() if i != qid),
+            key=lambda t: (t[0], t[1]),
+            reverse=True,
+        )
+        for rank, (c, negi) in enumerate(scored[:5], start=1):
+            want.append((qid, rank, -negi))
+    assert got == sorted(want)
+
+
+def test_brute_force_topk_zero_vector_null_pinned(spark):
+    """Pinned round-9 finding: under the ANSI session default a zero
+    corpus vector used to raise DIVIDE_BY_ZERO and abort the whole
+    top-k job; cosine() now try_divides, the zero vector's NULL score
+    ranks LAST, and threshold screens drop it."""
+    from dask_sql_spark.operators.dedup import cosine
+    from dask_sql_spark.operators.similarity import brute_force_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = brute_force_topk(emb, emb.where("vec_id = 0"), k=2).collect()
+    by_rank = {r["rank"]: r["neighbor_id"] for r in rows}
+    assert by_rank == {1: 1, 2: 2}  # real hit first, NULL(zero-vec) last
+    nulls = (
+        emb.alias("a")
+        .crossJoin(emb.alias("b"))
+        .select(cosine(F.col("a.embedding"), F.col("b.embedding")).alias("c"))
+        .where(F.col("c").isNull())
+        .count()
+    )
+    assert nulls == 5  # every pair touching the zero vector
