@@ -2227,6 +2227,51 @@ FROM cands WHERE bit_count(xor(sha, shb)) <= 3
 """,
 )
 
+def _simhash64_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dask_sql_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _table(spark, sf_dir, "documents"), bits=64, max_hamming=3
+    )
+
+
+# The SCALING.md deployment rule made executable (round-10, verdict #2):
+# ≥64-bit fingerprints at corpus scale — the 32-bit width saturates at
+# ~5M docs. Full value oracle, not rows-only: portable_hash64 is 60-bit,
+# so fingerprint bits 60-63 are deterministically 0 on BOTH engines and
+# the oracle replays the 64-bit geometry (4×16-bit blocks) exactly with
+# shift weights that stay inside DuckDB's signed BIGINT domain.
+_dfq(
+    "dedup_simhash64",
+    _simhash64_fn,
+    f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_DOC_TOKS}) AS tok FROM documents
+),
+th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+bits AS (
+  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, UNNEST(range(60)) AS t(j) GROUP BY doc_id, j
+),
+sims AS (
+  SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+),
+expl AS (
+  SELECT doc_id, simhash, blk, (simhash >> (blk * 16)) & 65535 AS blk_val
+  FROM sims, UNNEST(range(4)) AS t(blk)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sha, b.simhash AS shb
+  FROM expl a JOIN expl b
+    ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sha, shb)) AS hamming
+FROM cands WHERE bit_count(xor(sha, shb)) <= 3
+""",
+)
+
 _EMB_DOUBLE = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 _COS = (
     "list_dot_product(a.v, b.v) / "

@@ -30,10 +30,19 @@ Meta commands (reference cmd.py:84-96):
 Anything else is executed as SQL."""
 
 
+# display cap: the REPL renders at most this many rows, so it never
+# collects more than cap+1 to the driver — `SELECT * FROM` a 100 TB
+# table in the console must not OOM the driver just to print 50 rows
+_MAX_DISPLAY = 200
+
+
 def run_command(context: "Context", line: str) -> str:
     """Execute one REPL line (meta command or SQL); return printable output.
     Split out from the loop for testability."""
-    line = line.strip()
+    # trailing semicolons are stripped BEFORE meta detection (reference
+    # cmd.py:205 rstrip(";") — round-10 audit: "\\dt;" and "quit;" used
+    # to fall through to the SQL parser)
+    line = line.strip().rstrip(";").strip()
     if not line:
         return ""
     if line in ("\\q", "quit", "exit"):
@@ -60,10 +69,13 @@ def run_command(context: "Context", line: str) -> str:
     if cmd == "\\de":
         return "\n".join(sorted(getattr(_schema(arg), "experiments", {})))
     if cmd == "\\dss":
-        if arg not in context.schemas:
-            return f"Schema {arg} not available"
-        context.schema_name = arg
-        return f"schema: {arg}"
+        # bare \dss means the current schema — a no-op switch
+        # (reference cmd.py:102 `schema_name or context.schema_name`)
+        target = arg or context.schema_name
+        if target not in context.schemas:
+            return f"Schema {target} not available"
+        context.schema_name = target
+        return f"schema: {target}"
     if cmd == "\\dsc":
         # reference switches the Dask cluster here; a Spark master is
         # fixed at session build, so surface that instead of silently
@@ -83,9 +95,18 @@ def run_command(context: "Context", line: str) -> str:
         return "\n".join(
             f"{f.name}\t{f.dataType.simpleString()}" for f in df.schema.fields
         )
+    if cmd.startswith("\\"):
+        # unknown meta command: show the command list instead of handing
+        # "\foo" to the SQL parser for a cryptic syntax error (reference
+        # cmd.py:139-142 — round-10 audit)
+        return f"The meta command {cmd} is not available.\n{_HELP}"
     result = context.sql(line)
-    pdf = result.toPandas()
-    return pdf.to_string(index=False, max_rows=50)
+    pdf = result.limit(_MAX_DISPLAY + 1).toPandas()
+    truncated = len(pdf) > _MAX_DISPLAY
+    out = pdf.head(_MAX_DISPLAY).to_string(index=False, max_rows=50)
+    if truncated:
+        out += f"\n(output truncated at {_MAX_DISPLAY} rows)"
+    return out
 
 
 def cmd_loop(context: "Context | None" = None) -> None:  # pragma: no cover

@@ -121,9 +121,7 @@ def predict_model(context: "Context", name: str, select: str) -> DataFrame:
     if missing:
         raise ValueError(
             f"PREDICT select is missing training column(s) {missing}; "
-            f"model {name!r} was fit on {training_columns} "
-            f"(round-9 audit: this used to surface as an executor-side "
-            f"KeyError inside mapInPandas)"
+            f"model {name!r} was fit on {training_columns}"
         )
     spark = context.spark
     model_bc = spark.sparkContext.broadcast(pickle.dumps(model))

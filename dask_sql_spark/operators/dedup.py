@@ -502,7 +502,21 @@ def simhash(
     −1); simhash bit j = 1 iff the sum > 0. Implemented by exploding the
     (token-hash × bit-position) grid as DataFrame ops; tokens are *not*
     deduplicated (multiplicity weights, standard simhash).
+
+    ``bits`` may be up to 64: the fingerprint packs into one BIGINT, with
+    bit 63 carried as the two's-complement sign bit (a bit PATTERN, not a
+    magnitude — XOR/bit_count/block extraction are sign-agnostic).
+    SCALING.md's measured deployment rule says ≥64 bits at 100 TB corpus
+    scale; round-10 made that width executable (``1 << 63`` used to
+    overflow the signed literal). The token hash is 60-bit
+    (portable_hash64), so bits 60-63 of the fingerprint are
+    deterministically 0 — harmless padding that keeps the cross-engine
+    oracle exact.
     """
+    if not 1 <= bits <= 64:
+        raise ValueError(
+            f"bits must be in [1, 64] (BIGINT fingerprint), got {bits}"
+        )
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: t != F.lit(""),
@@ -530,7 +544,10 @@ def simhash(
     sums = tok_h.groupBy(id_col).agg(*aggs)
     sim = F.lit(0).cast("bigint")
     for j in range(bits):
-        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+        # bit 63's weight is Long.MIN_VALUE in two's complement — the
+        # plain 1 << 63 literal overflows the signed BIGINT domain
+        w = (1 << j) - (1 << 64) if j == 63 else (1 << j)
+        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(w).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
     return sums.select(F.col(id_col), sim.alias("simhash"))

@@ -132,15 +132,15 @@ def fused_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
             for i, k in enumerate(names)
         ]
     )
-    # names travel as SQL string literals inside stack(): double any
-    # embedded quote so a name like "len('x')" cannot break the parse
-    pairs = ", ".join(
-        "'{}', _c{}".format(k.replace("'", "''"), i)
-        for i, k in enumerate(names)
-    )
-    return row.selectExpr(
-        f"stack({len(names)}, {pairs}) AS (check, n_bad)"
-    )
+    # names travel as Column literals (F.lit), never as spliced SQL
+    # string literals — quote-doubling alone left backslashes live under
+    # Spark's default escapedStringLiterals=false, so a name ending in
+    # '\' broke (or injected into) the stack() parse
+    args: list[Column] = [F.lit(len(names))]
+    for i, k in enumerate(names):
+        args.append(F.lit(k))
+        args.append(F.col(f"_c{i}"))
+    return row.select(F.stack(*args)).toDF("check", "n_bad")
 
 
 def key_skew_report(

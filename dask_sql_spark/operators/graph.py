@@ -72,9 +72,13 @@ def connected_components(
       so they fall back to a changed-label join against the previous
       (checkpointed) labels, the classic convergence test.
     """
-    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+    # filter on the INPUT frame, before the a/b aliasing select — after
+    # the rename, F.col(src) on a caller whose src column is itself
+    # named "b" resolves to the aliased output and would check the same
+    # column twice, letting NULL endpoints through
+    und = edges.where(
         F.col(src).isNotNull() & F.col(dst).isNotNull()
-    )
+    ).select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = (
         und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()

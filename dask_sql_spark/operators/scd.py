@@ -51,8 +51,12 @@ def scd2_apply(
     does not detect.
 
     ``broadcast_updates=True`` fits the normal shape (daily deltas vs a
-    full dimension); set it False when the batch is too large for a
-    broadcast hash join — the key join then shuffles both sides
+    full dimension): the close join broadcasts the batch directly, and
+    the insert join — whose preserved side is the batch and therefore
+    can never be the broadcast build side — first shrinks the dimension
+    side to batch size with a broadcast semi-join on the update keys,
+    then broadcasts the shrunk side. Set it False when the batch is too
+    large for a broadcast hash join — both joins then shuffle
     (round-9 audit: the broadcast was previously unconditional, an OOM
     hazard for backfill-sized batches).
 
@@ -118,8 +122,23 @@ def scd2_apply(
         F.col(key_col).alias("__k2"),
         *[F.col(c).alias(f"__c_{c}") for c in tracked_cols],
     )
-    lat = F.broadcast(latest) if broadcast_updates else latest
-    cj = c2.join(lat, F.col("__k2") == latest[key_col], "right")
+    if broadcast_updates:
+        # `latest` is the PRESERVED side of the outer join below, and
+        # Spark never builds/broadcasts the preserved side — a
+        # broadcast hint on it is silently ignored (round-9 advisor).
+        # Make the join broadcastable from the other direction: shrink
+        # the dimension side to batch size with a broadcast semi-join
+        # on the update keys (LeftSemi supports BuildRight), then
+        # broadcast the shrunk side (RightOuter supports BuildLeft).
+        # Brand-new keys still null-extend through the right join.
+        c2 = F.broadcast(
+            c2.join(
+                F.broadcast(latest.select(F.col(key_col).alias("__k2"))),
+                on="__k2",
+                how="semi",
+            )
+        )
+    cj = c2.join(latest, F.col("__k2") == latest[key_col], "right")
     changed2 = F.lit(False)
     for c in tracked_cols:
         changed2 = changed2 | ~F.col(f"__c_{c}").eqNullSafe(F.col(c))

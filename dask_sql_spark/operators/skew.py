@@ -39,7 +39,9 @@ def salted_join(
     small side would emit every unmatched small row ``salt`` times, and
     semi/anti joins project the wrong side (round-9 audit guard).
     """
-    if how not in ("inner", "left", "left_outer", "leftouter"):
+    # normalize before guarding — Spark itself accepts any casing and
+    # underscore spelling ("INNER", "Left_Outer"), so the guard must too
+    if how.lower().replace("_", "") not in ("inner", "left", "leftouter"):
         raise ValueError(
             f"salted_join supports inner/left joins only, got {how!r}: "
             "the salt-exploded small side would duplicate unmatched "

@@ -47,6 +47,9 @@ def read_intake_catalog(
     and no pandas materialization. Exotic drivers (sql, zarr, plugins)
     fall back to the real intake package when installed.
     """
+    import os
+    import re
+
     import yaml
 
     with open(catalog_path) as f:
@@ -57,19 +60,67 @@ def read_intake_catalog(
             f"entry {entry!r} not in catalog {catalog_path!r}; "
             f"available: {sorted((cat.get('sources') or {}))}"
         )
+    # fully-qualified driver class names ("intake.source.csv.CSVSource")
+    # name the same file drivers — normalize to the short form so they
+    # take the native distributed path too (round-10 audit)
     driver = str(src.get("driver", "")).rsplit(".", 1)[-1].lower()
+    if driver.endswith("source") and driver != "source":
+        driver = driver[: -len("source")]
     args = dict(src.get("args") or {})
     urlpath = args.pop("urlpath", None)
+
+    def _template(path: str) -> str:
+        # intake's Jinja-lite templating: {{ CATALOG_DIR }} is the
+        # catalog file's directory; user parameters substitute their
+        # declared defaults (round-10 audit: raw "{{ CATALOG_DIR }}"
+        # used to reach the file scan as a literal path)
+        params = {"CATALOG_DIR": os.path.dirname(os.path.abspath(catalog_path))}
+        for scope in (cat.get("metadata") or {}, src):
+            for p in scope.get("parameters") or {}:
+                spec = (scope.get("parameters") or {})[p]
+                if isinstance(spec, dict) and "default" in spec:
+                    params[p] = spec["default"]
+        return re.sub(
+            r"\{\{\s*(\w+)\s*\}\}",
+            lambda m: str(params.get(m.group(1), m.group(0))),
+            path,
+        )
+
     if driver in ("csv", "parquet", "json", "orc", "textfiles") and urlpath:
+        from functools import reduce
+
         from dask_sql_spark.sources.location import read_location
 
         fmt = "text" if driver == "textfiles" else driver
         # intake's pandas-reader kwargs that translate to Spark options
         options = dict(kwargs)
-        csv_kwargs = args.pop("csv_kwargs", {}) or {}
+        csv_kwargs = dict(args.pop("csv_kwargs", {}) or {})
         if "sep" in csv_kwargs:
-            options.setdefault("sep", csv_kwargs["sep"])
-        return read_location(spark, str(urlpath), format=fmt, **options)
+            options.setdefault("sep", csv_kwargs.pop("sep"))
+        if "header" in csv_kwargs:
+            # pandas/dask header=None means "no header row"; 0/True means
+            # the first row is the header — silently dropping this used
+            # to read the first data row as column names (round-10 audit)
+            h = csv_kwargs.pop("header")
+            options.setdefault("header", h is not None and h is not False)
+        if csv_kwargs:
+            import warnings
+
+            warnings.warn(
+                f"catalog entry {entry!r}: csv_kwargs "
+                f"{sorted(csv_kwargs)} have no Spark reader translation "
+                "and were ignored",
+                stacklevel=2,
+            )
+        # urlpath may be a LIST of locations (legal in intake) — read
+        # each and union; str() on the list used to produce a bogus
+        # "['a', 'b']" path (round-10 audit)
+        paths = urlpath if isinstance(urlpath, list) else [urlpath]
+        frames = [
+            read_location(spark, _template(str(p)), format=fmt, **options)
+            for p in paths
+        ]
+        return reduce(lambda a, b: a.unionByName(b), frames)
     try:  # non-file drivers need the real package
         import intake  # noqa: F401
     except ImportError as e:  # pragma: no cover

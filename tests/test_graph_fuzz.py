@@ -103,6 +103,25 @@ def test_connected_components_null_endpoints_ignored(spark):
     assert got == {1: 1, 2: 1}
 
 
+def test_connected_components_null_filter_with_colliding_colnames(spark):
+    """Round-10 advisor fix, pinned: when the caller's dst column is
+    itself named "a" (one of the internal aliases), the NULL-endpoint
+    filter must still check the ORIGINAL column. Before the fix the
+    filter ran after the aliasing select, so F.col("a") resolved to the
+    projected alias (= the src column), checking src twice and letting
+    a NULL dst through as a vertex."""
+    from dask_sql_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(
+        [(1, 2), (5, None)], "x long, a long"
+    )
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(df, src="x", dst="a").collect()
+    }
+    assert got == {1: 1, 2: 1}
+
+
 def _brute_triangles(es: list[tuple[int, int]]):
     """Per-node triangle counts over canonical (a<b) deduped edges."""
     eset = set(es)

@@ -118,6 +118,24 @@ def test_simhash_hamming(docs):
     assert pairs[(0, 2)] == 0
 
 
+def test_simhash_full_width_64(docs):
+    """Round-10 (verdict #2): the SCALING.md >=64-bit deployment rule is
+    executable — bits=64 used to overflow on the F.lit(1 << 63) literal.
+    The token hash is 60-bit, so the 64-bit fingerprint equals the
+    60-bit one (bits 60-63 deterministically 0) and stays non-negative;
+    widths beyond the BIGINT pack are rejected."""
+    import pytest
+
+    from dask_sql_spark.operators.dedup import simhash
+
+    sh64 = {r.doc_id: r.simhash for r in simhash(docs, bits=64).collect()}
+    sh60 = {r.doc_id: r.simhash for r in simhash(docs, bits=60).collect()}
+    assert sh64 == sh60
+    assert all(v >= 0 for v in sh64.values())
+    with pytest.raises(ValueError, match=r"\[1, 64\]"):
+        simhash(docs, bits=65)
+
+
 def test_embedding_near_dupes(emb):
     from dask_sql_spark.operators.dedup import embedding_near_dupes
 
@@ -2512,6 +2530,28 @@ def test_fused_checks_quoted_name(spark):
         ).collect()
     }
     assert out == {"null:'x'": 1}
+
+
+def test_fused_checks_backslash_name(spark):
+    """Round-10 advisor fix, pinned: a check name containing (or ending
+    in) a backslash survives the unpivot — quote-doubling alone left
+    backslashes live as escapes inside the spliced stack() literal; the
+    names now travel as F.lit Column literals, never spliced SQL."""
+    from dask_sql_spark.operators.dq import fused_checks
+
+    df = spark.createDataFrame([(1,), (None,)], "x int")
+    names = ["path:c:\\tmp\\", "mix:'\\n'", "back\\slash"]
+    out = {
+        r["check"]: r["n_bad"]
+        for r in fused_checks(
+            df,
+            {
+                n: F.count(F.lit(1)) - F.count(F.col("x"))
+                for n in names
+            },
+        ).collect()
+    }
+    assert out == {n: 1 for n in names}
 
 
 def test_tokens_unicode_semantics_pinned(spark):

@@ -249,3 +249,39 @@ def test_refresh_aggregate_differential(spark, seed):
             None if grp["v"].dropna().empty else int(s), len(grp)
         )
     assert got == want
+
+
+def test_scd2_broadcast_updates_broadcasts_both_joins(spark):
+    """Round-10 advisor fix, pinned: with broadcast_updates=True the
+    INSERT join is broadcastable too. `latest` is the preserved side of
+    a right-outer join — Spark never builds the preserved side, so the
+    old hint on it was silently ignored and the join shuffled. The fix
+    shrinks the dimension side with a broadcast semi-join on the update
+    keys, then broadcasts the shrunk side (RightOuter, BuildLeft): the
+    whole scd2 plan runs without a single sort-merge join."""
+    from dask_sql_spark.operators.scd import scd2_apply
+
+    t0 = dt.datetime(2021, 1, 1)
+    dim = spark.createDataFrame(
+        pd.DataFrame(
+            [{"k": 1, "segment": "a", "valid_from": t0, "valid_to": None}]
+        ),
+        "k long, segment string, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        pd.DataFrame(
+            [{"k": 1, "segment": "b", "ts": t0 + dt.timedelta(days=1)},
+             {"k": 2, "segment": "c", "ts": t0 + dt.timedelta(days=1)}]
+        ),
+        "k long, segment string, ts timestamp",
+    )
+    out = scd2_apply(dim, updates, "k", ["segment"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "RightOuter, BuildLeft" in plan, plan
+    # semantics unchanged: new key 2 still null-extends through
+    got = sorted(
+        (r["k"], r["segment"], r["valid_to"] is None)
+        for r in out.collect()
+    )
+    assert got == [(1, "a", False), (1, "b", True), (2, "c", True)]

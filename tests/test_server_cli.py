@@ -258,3 +258,43 @@ def test_cli_quit(context):
 
     with pytest.raises(EOFError):
         run_command(context, "\\q")
+
+
+def test_cli_round10_audit_fixes(context):
+    """Round-10 adversarial audit of the REPL parser, pinned:
+
+    - trailing semicolons are stripped BEFORE meta detection (reference
+      cmd.py:205) — "\\dt;" and "quit;" used to reach the SQL parser;
+    - an unknown backslash command shows the command list instead of a
+      cryptic Spark parse error (reference cmd.py:139-142), and bare
+      "\\d" (missing table arg) lands there too;
+    - bare "\\dss" means the CURRENT schema, a no-op switch (reference
+      cmd.py:102), not "Schema  not available".
+    """
+    from dask_sql_spark.cmd import run_command
+
+    assert "df_simple" in run_command(context, "\\dt;")
+    with pytest.raises(EOFError):
+        run_command(context, "quit;")
+    out = run_command(context, "\\foo")
+    assert "not available" in out and "Meta commands" in out
+    assert "not available" in run_command(context, "\\d")
+    assert run_command(context, "\\dss") == f"schema: {context.schema_name}"
+
+
+def test_cli_display_is_driver_bounded(context):
+    """Round-10 audit: the REPL never collects more than the display cap
+    + 1 rows to the driver — a SELECT * over a huge table in the console
+    must not OOM the driver to print 50 rows."""
+    from dask_sql_spark import cmd as cmd_mod
+    from dask_sql_spark.cmd import run_command
+
+    big = context.spark.range(10_000).toDF("n")
+    context.create_table("cli_big", big)
+    try:
+        out = run_command(context, "SELECT n FROM cli_big ORDER BY n")
+        assert f"truncated at {cmd_mod._MAX_DISPLAY} rows" in out
+        # ORDER BY + limit prefix: the displayed rows are the first ones
+        assert " 0" in out.splitlines()[1]
+    finally:
+        context.drop_table("cli_big")

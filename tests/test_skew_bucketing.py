@@ -104,3 +104,19 @@ def test_salted_join_rejects_right_and_full(spark):
     for how in ("right", "full", "left_semi", "left_anti"):
         with pytest.raises(ValueError, match="inner/left"):
             salted_join(big, small, "k", how=how)
+
+
+def test_salted_join_accepts_spark_join_type_spellings(spark):
+    """Round-10 advisor fix, pinned: the guard normalizes casing and
+    underscores the way Spark itself does, so previously-working calls
+    like how='INNER' or how='Left_Outer' are not rejected."""
+    import pandas as pd
+
+    from dask_sql_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0]}))
+    small = spark.createDataFrame(pd.DataFrame({"k": [1], "w": [2.0]}))
+    for how in ("INNER", "Left", "LEFT_OUTER", "leftOuter"):
+        out = salted_join(big, small, "k", how=how, salt=4).collect()
+        want = 2 if how.lower().replace("_", "") != "inner" else 1
+        assert len(out) == want, how
