@@ -55,7 +55,13 @@ def main() -> int:
 
     from dask_sql_spark.context import default_spark_session
 
-    spark = default_spark_session(shuffle_partitions=32)
+    # tiling sf10 -> sf100 needs a bigger heap than the sf0.1 -> sf1
+    # default (the source is itself 100x); driver memory is a JVM-startup
+    # option, so it comes in via env, not a second getOrCreate
+    spark = default_spark_session(
+        shuffle_partitions=int(os.environ.get("MAKE_SF_PARTS", "32")),
+        **{"spark.driver.memory": os.environ.get("MAKE_SF_MEM", "8g")},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # one shared stride across every offset column keeps l_orderkey ==
