@@ -7109,7 +7109,9 @@ WITH b AS (
   FROM orders GROUP BY o_orderpriority
 )
 SELECT o_orderkey, o.o_orderpriority,
-  ROUND(LEAST(GREATEST(CAST(o_totalprice AS DOUBLE), lo), hi), 2) AS clipped
+  CASE WHEN o_totalprice IS NOT NULL
+       THEN ROUND(LEAST(GREATEST(CAST(o_totalprice AS DOUBLE), lo), hi), 2)
+  END AS clipped
 FROM orders o JOIN b USING (o_orderpriority)
 """,
 )
@@ -9501,6 +9503,11 @@ _REATTEST = [
     # two's-complement weight). The 32-bit gate's plan is byte-identical
     # (w == 1 << j for every j < 63); re-attests as discipline.
     "dedup_simhash",
+    # r10 small-surface audit: winsorize passes NULL inputs through
+    # (greatest/least skip NULLs, so a NULL feature silently became the
+    # LOWER bound). Gate data is NULL-free — values unchanged — but both
+    # the Spark plan and the oracle SQL gained the passthrough CASE.
+    "feat_winsorize",
 ]
 
 

@@ -102,17 +102,25 @@ def evaluate(
     raising under ANSI mode, and all-NULL aggregate terms are mapped to
     ``nan`` instead of blowing up in ``float(None)``. This keeps the
     reference dask-ml ``accuracy_score`` parity (plain equality over any
-    comparable dtype)."""
+    comparable dtype). On PARTIALLY numeric inputs, the regression
+    metrics are computed over the valid pairs only (rows where both
+    casts land), with one consistent population for SS_res and SS_tot."""
     y = F.col(label_col).try_cast("double")
     d = y - F.col(pred_col).try_cast("double")
+    # regression stats all condition on the SAME row set — pairs where
+    # both casts landed (d non-null). Mixing populations skewed r2 on
+    # partial-NULL inputs: ss_res summed valid pairs while ss_tot used
+    # the full row count (round-10 audit).
+    yv = F.when(d.isNotNull(), y)
     aggs = [
         F.avg(
             F.when(F.col(label_col) == F.col(pred_col), 1.0).otherwise(0.0)
         ).alias("accuracy"),
         F.avg(d * d).alias("mse"),
         F.sum(d * d).alias("ss_res"),
-        F.sum(y * y).alias("yy"),
-        F.sum(y).alias("ys"),
+        F.sum(yv * yv).alias("yy"),
+        F.sum(yv).alias("ys"),
+        F.count(d).alias("nv"),
         F.count(F.lit(1)).alias("n"),
     ]
     if prob_col is not None:
@@ -134,7 +142,7 @@ def evaluate(
     if row["yy"] is None or row["ys"] is None:
         r2 = math.nan
     else:
-        ss_tot = row["yy"] - row["ys"] * row["ys"] / row["n"]
+        ss_tot = row["yy"] - row["ys"] * row["ys"] / row["nv"]
         r2 = (
             0.0 if ss_tot == 0
             else 1.0 - (row["ss_res"] if row["ss_res"] is not None else math.nan) / ss_tot

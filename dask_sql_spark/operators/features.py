@@ -45,8 +45,9 @@ def winsorize(
     round_digits: int = 6,
 ) -> DataFrame:
     """Clip ``value_col`` to its per-group [p_lo, p_hi] exact
-    percentiles; adds ``{value_col}_w``. Bounds are rounded before
-    clipping so the engine-portable oracle sees identical cutoffs."""
+    percentiles; adds ``{value_col}_w`` (NULL input stays NULL). Bounds
+    are rounded before clipping so the engine-portable oracle sees
+    identical cutoffs."""
     group_cols = group_cols or []
     b = _bounds(
         df, value_col, group_cols, [p_lo, p_hi], ["__lo", "__hi"], round_digits
@@ -55,9 +56,15 @@ def winsorize(
         df.join(F.broadcast(b), on=group_cols) if group_cols
         else df.crossJoin(F.broadcast(b))
     )
-    clipped = F.least(
-        F.greatest(F.col(value_col).cast("double"), F.col("__lo")),
-        F.col("__hi"),
+    # greatest/least SKIP NULLs (Postgres semantics), so without the
+    # explicit passthrough a NULL feature silently became the LOWER
+    # bound — a winsorized NULL must stay NULL (round-10 audit)
+    clipped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(
+            F.greatest(F.col(value_col).cast("double"), F.col("__lo")),
+            F.col("__hi"),
+        ),
     )
     return joined.withColumn(f"{value_col}_w", clipped).drop("__lo", "__hi")
 

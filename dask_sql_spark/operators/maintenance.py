@@ -83,8 +83,12 @@ def compact_files(
     write-audit-publish discipline as every lakehouse compactor).
     Returns the post-compaction :func:`compaction_plan` of ``dest``.
     """
-    if dest.rstrip("/") == path.rstrip("/"):
-        raise ValueError("compact_files refuses in-place rewrite; give dest")
+    # refuse in-place AND nested rewrites: a dest under path would be
+    # double-counted by every later scan of path; a path under dest
+    # would be clobbered by the overwrite (round-10 audit)
+    from dask_sql_spark.sources.maintenance import _guard_disjoint_paths
+
+    _guard_disjoint_paths(path, dest)
     total = sum(b for _, b in _list_files(spark, path))
     n = max(1, math.ceil(total / target_bytes))
     # read_location, not a raw scan: csv/json get their reader defaults and

@@ -19,6 +19,21 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _guard_disjoint_paths(src: str, dest: str) -> None:
+    """Refuse compaction when one location nests inside the other: a
+    dest under src would be double-counted by every later scan of src
+    (and re-ingested by a second compaction); src under dest would be
+    clobbered by the overwrite (round-10 audit)."""
+    a = src.rstrip("/") + "/"
+    b = dest.rstrip("/") + "/"
+    if a.startswith(b) or b.startswith(a):
+        raise ValueError(
+            f"compaction source {src!r} and destination {dest!r} "
+            "overlap; write to a disjoint location and swap in the "
+            "catalog after validation"
+        )
+
+
 def _total_bytes(spark: SparkSession, path: str) -> tuple[int, int]:
     """(total_bytes, n_files) under ``path`` via the Hadoop FS API."""
     jvm = spark.sparkContext._jvm
@@ -54,9 +69,17 @@ def compact_parquet(
     fails mid-way would lose data; callers swap paths atomically in
     their catalog (exactly how lakehouse OPTIMIZE commits).
     """
+    _guard_disjoint_paths(path, out_path)
     total, before = _total_bytes(spark, path)
     target = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-    df: DataFrame = spark.read.parquet(path)
+    # read_location, not a raw parquet scan: under the session default
+    # nanosAsLong=true a timestamp[ns] column reads as epoch-nanos
+    # BIGINT, and a raw-scan compaction would WRITE it back as BIGINT —
+    # silently degrading the table schema (round-10 audit; same fix as
+    # operators/maintenance.compact_files)
+    from dask_sql_spark.sources.location import read_location
+
+    df: DataFrame = read_location(spark, path, format="parquet")
     out = df.repartition(target)
     if sort_by:
         out = out.sortWithinPartitions(*sort_by)

@@ -601,6 +601,29 @@ def test_accuracy_score_string_labels(spark):
     assert math.isnan(m["mse"]) and math.isnan(m["rmse"]) and math.isnan(m["r2"])
 
 
+def test_evaluate_partial_null_consistent_population(spark):
+    """Round-10 audit, pinned: on partially-numeric inputs the
+    regression metrics use ONE population — the valid pairs — for both
+    SS_res and SS_tot. The old code summed SS_res over valid pairs but
+    divided SS_tot by the FULL row count, skewing r2 whenever any
+    label/pred failed the cast."""
+    from dask_sql_spark.ml.metrics import evaluate
+
+    df = spark.createDataFrame(
+        [("1", "1.5"), ("2", "2.5"), ("3", "2.0"), ("oops", "1.0")],
+        "y STRING, pred STRING",
+    )
+    m = evaluate(df, "y", "pred")
+    # valid pairs: (1,1.5),(2,2.5),(3,2.0) — same numbers pandas gives
+    import numpy as np
+
+    y = np.array([1.0, 2.0, 3.0]); p = np.array([1.5, 2.5, 2.0])
+    ss_res = float(((y - p) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    assert abs(m["r2"] - (1.0 - ss_res / ss_tot)) < 1e-12
+    assert abs(m["mse"] - ss_res / 3) < 1e-12
+
+
 def test_threshold_classifier_learns_mean(context):
     import pandas as pd
 

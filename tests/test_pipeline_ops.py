@@ -1138,6 +1138,49 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert back.agg(F.sum("k")).collect()[0][0] == sum(range(2000))
 
 
+def test_compact_parquet_preserves_nanos_timestamps(spark, tmp_path):
+    """Round-10 audit, pinned: compacting a table whose parquet carries
+    timestamp[ns] columns must write real TIMESTAMPs back. Under the
+    session default nanosAsLong=true a raw scan reads them as
+    epoch-nanos BIGINT, and the old compact_parquet wrote the BIGINT
+    degradation into the compacted table."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_sql_spark.sources.maintenance import compact_parquet
+
+    src = tmp_path / "ns_table"
+    src.mkdir()
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime(["2021-01-01 00:00:00.123456789"]), "v": [1]}
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf), str(src / "part-0.parquet"),
+        coerce_timestamps=None,  # keep ns
+    )
+    dst = str(tmp_path / "ns_compacted")
+    compact_parquet(spark, str(src), dst, target_file_mb=128)
+    assert dict(spark.read.parquet(dst).dtypes)["ts"].startswith("timestamp")
+
+
+def test_compaction_rejects_nested_paths(spark, tmp_path):
+    """Round-10 audit, pinned: a dest nested under the source would be
+    double-counted by every later scan of the source (and vice versa
+    clobbered) — both compactors refuse."""
+    import pytest
+
+    from dask_sql_spark.operators.maintenance import compact_files
+    from dask_sql_spark.sources.maintenance import compact_parquet
+
+    src = str(tmp_path / "t")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="overlap"):
+        compact_parquet(spark, src, src + "/compacted")
+    with pytest.raises(ValueError, match="overlap"):
+        compact_files(spark, src + "/sub", src)
+
+
 def test_quantize_embeddings_roundtrip_error_bound(spark):
     """int8 quantization: qvec in [-127,127], max_err <= step/2, and the
     saturation count matches the elements at full scale."""
@@ -1403,6 +1446,25 @@ def test_winsorize_clips_only_tails(spark):
     assert rows[1] == 10.9 and rows[5] == 10.9   # low tail clipped
     assert rows[100] == 90.1                     # high tail clipped
     assert rows[50] == 50.0                      # body untouched
+
+
+def test_winsorize_null_stays_null(spark):
+    """Round-10 audit, pinned: greatest/least skip NULLs (Postgres
+    semantics), so without an explicit passthrough a NULL feature value
+    silently became the LOWER percentile bound — a winsorized NULL must
+    stay NULL."""
+    from dask_sql_spark.operators.features import winsorize
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)] + [(999, None)],
+        "id LONG, v DOUBLE",
+    )
+    rows = {
+        r["id"]: r["v_w"]
+        for r in winsorize(df, "v", p_lo=0.1, p_hi=0.9).collect()
+    }
+    assert rows[999] is None
+    assert rows[1] == 10.9  # bounds unchanged (percentile ignores NULLs)
 
 
 def test_robust_zscore_centers_median(spark):
