@@ -2727,3 +2727,68 @@ def test_brute_force_topk_zero_vector_null_pinned(spark):
         .count()
     )
     assert nulls == 5  # every pair touching the zero vector
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_features_differential_vs_pandas_model(spark, seed):
+    """Round-10: seeded differential of winsorize / robust_zscore against
+    a plain-pandas model — NULLs, ties, singleton groups, and a zero-IQR
+    group included. Percentile formula: linear interpolation (Spark
+    `percentile` == numpy `quantile(method='linear')`), bounds rounded
+    to 6 digits exactly as the operators do."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from dask_sql_spark.operators.features import robust_zscore, winsorize
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(300):
+        g = rng.choice(["a", "b", "c", "zero_iqr", "single"])
+        if g == "zero_iqr":
+            v = 7.0
+        elif g == "single" and any(r[1] == "single" for r in rows):
+            g = "a"
+            v = rng.choice([None, round(rng.uniform(-50, 50), 3)])
+        else:
+            v = rng.choice(
+                [None, 0.0, 1.0, 1.0, round(rng.uniform(-50, 50), 3)]
+            )
+        rows.append((i, g, v))
+    pdf = pd.DataFrame(rows, columns=["id", "g", "v"])
+    df = spark.createDataFrame(pdf.astype({"v": "float64"}))
+
+    got_w = {
+        r["id"]: r["v_w"]
+        for r in winsorize(df, "v", group_cols=["g"], p_lo=0.1, p_hi=0.9).collect()
+    }
+    got_z = {
+        r["id"]: r["v_rz"]
+        for r in robust_zscore(df, "v", group_cols=["g"]).collect()
+    }
+    for g, grp in pdf.groupby("g"):
+        vals = grp["v"].dropna().to_numpy(dtype="float64")
+        if len(vals) == 0:
+            # all-NULL group: no bounds exist, every output is NULL
+            for _, r in grp.iterrows():
+                assert got_w[r["id"]] is None and got_z[r["id"]] is None
+            continue
+        lo = round(float(np.quantile(vals, 0.1)), 6)
+        hi = round(float(np.quantile(vals, 0.9)), 6)
+        q1 = round(float(np.quantile(vals, 0.25)), 6)
+        med = round(float(np.quantile(vals, 0.5)), 6)
+        q3 = round(float(np.quantile(vals, 0.75)), 6)
+        for _, r in grp.iterrows():
+            i = r["id"]
+            if pd.isna(r["v"]):
+                assert got_w[i] is None, (g, i)
+                assert got_z[i] is None, (g, i)
+                continue
+            assert abs(got_w[i] - min(max(r["v"], lo), hi)) < 1e-12, (g, i)
+            if q3 - q1 > 0:
+                want = round((r["v"] - med) / (q3 - q1), 6)
+                assert abs(got_z[i] - want) < 1e-12, (g, i)
+            else:
+                assert got_z[i] is None, (g, i)
