@@ -9508,6 +9508,12 @@ _REATTEST = [
     # LOWER bound). Gate data is NULL-free — values unchanged — but both
     # the Spark plan and the oracle SQL gained the passthrough CASE.
     "feat_winsorize",
+    # r10 context audit: alter_table became a registry MOVE (cache +
+    # filepath/format/statistics survive renames), alter_schema refuses
+    # renaming onto a live schema, drop_schema releases table caches.
+    # The DDL gate's statements exercise the edited paths; its snapshot
+    # values are unchanged (verified bitwise in-session).
+    "stmt_schema_lifecycle",
 ]
 
 

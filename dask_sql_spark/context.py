@@ -255,6 +255,10 @@ class Context:
             self.schema_name = DEFAULT_SCHEMA_NAME
         schema = self.schemas.pop(schema_name)
         for t in list(schema.tables):
+            # release executor cache like drop_table does — dropping a
+            # schema full of persisted tables used to leak their storage
+            # memory (round-10 audit)
+            self._unpersist_if_cached(schema.tables.get(t))
             self.spark.catalog.dropTempView(self._view_name(t, schema_name))
         if DEFAULT_SCHEMA_NAME not in self.schemas:
             # the default schema always exists (dropping it empties it)
@@ -417,6 +421,11 @@ class Context:
         (ALTER SCHEMA … RENAME TO) routes through the same registry."""
         if old_schema_name not in self.schemas:
             raise RuntimeError(f"Schema {old_schema_name} does not exist")
+        if new_schema_name in self.schemas and new_schema_name != old_schema_name:
+            # renaming onto a live schema would silently orphan its
+            # tables (and leak their caches) — SQL rename-onto-existing
+            # fails, so does this (round-10 audit)
+            raise RuntimeError(f"Schema {new_schema_name} already exists")
         schema = self.schemas.pop(old_schema_name)
         schema.name = new_schema_name
         self.schemas[new_schema_name] = schema
@@ -435,15 +444,36 @@ class Context:
         new_table_name: str,
         schema_name: str | None = None,
     ) -> None:
-        """Rename a table: re-register under the new name, drop the old
-        (reference context.py:599-613 / alter.py:14-86)."""
+        """Rename a table by MOVING its registry entries (reference
+        context.py:599-613 / alter.py:14-86).
+
+        A move, not create-new+drop-old: the old shape unpersisted the
+        shared cached frame out from under the new name and silently
+        dropped the table's filepath/format/statistics entries, so
+        OPTIMIZE after a rename no longer knew the file location
+        (round-10 audit)."""
         schema_name = schema_name or self.schema_name
         qualified = f"{schema_name}.{old_table_name}"
         if not self._table_exists(qualified):
             raise RuntimeError(f"Table {old_table_name} does not exist")
-        df = self._get_table(qualified)
-        self.create_table(new_table_name, df, schema_name=schema_name)
-        self.drop_table(old_table_name, schema_name=schema_name)
+        schema = self.schemas[schema_name]
+        lower_old = old_table_name.lower()
+        lower_new = new_table_name.lower()
+        df = schema.tables[lower_old]
+        self._unpersist_if_cached(schema.tables.get(lower_new))
+        schema.tables[lower_new] = schema.tables.pop(lower_old)
+        for reg in (
+            schema.filepaths,
+            schema.fileformats,
+            schema.statistics,
+        ):
+            if lower_old in reg:
+                reg[lower_new] = reg.pop(lower_old)
+        df.createOrReplaceTempView(self._view_name(new_table_name, schema_name))
+        if lower_new != lower_old:
+            self.spark.catalog.dropTempView(
+                self._view_name(old_table_name, schema_name)
+            )
 
     def fqn(self, name: str) -> tuple[str, str]:
         """Fully-qualified (schema, table) for a possibly-qualified name

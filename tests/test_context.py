@@ -171,6 +171,62 @@ def test_alter_table_and_schema_python_api(context):
     )
     assert context.fqn("s_new.inner_t") == ("s_new", "inner_t")
     assert context.fqn("t_renamed")[1] == "t_renamed"
+    # cleanup for the shared session fixture
+    context.drop_table("t_renamed")
+    context.drop_schema("s_new")
+
+
+def test_alter_table_moves_registry_and_keeps_cache(context, tmp_path):
+    """Round-10 audit, pinned: ALTER TABLE RENAME is a registry MOVE —
+    the old create+drop shape unpersisted the shared cached frame out
+    from under the new name and silently dropped the filepath/format
+    entries that OPTIMIZE needs."""
+    import pandas as pd
+
+    loc = str(tmp_path / "alt_t")
+    context.spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2, 3]})
+    ).write.parquet(loc)
+    context.create_table("alt_src", loc, persist=True)
+    schema = context.schemas[context.schema_name]
+    df = schema.tables["alt_src"]
+    df.count()  # materialize the cache
+    assert df.is_cached
+    context.alter_table("alt_src", "alt_dst")
+    try:
+        assert schema.tables["alt_dst"].is_cached  # cache survives rename
+        assert schema.filepaths["alt_dst"] == loc  # registry moved
+        assert schema.fileformats["alt_dst"] == "parquet"
+        assert "alt_src" not in schema.filepaths
+        n = context.sql("SELECT COUNT(*) AS n FROM alt_dst").collect()[0]["n"]
+        assert n == 3
+    finally:
+        context.drop_table("alt_dst")
+
+
+def test_schema_rename_and_drop_guards(context):
+    """Round-10 audit, pinned: ALTER SCHEMA onto a live schema raises
+    (it used to silently orphan the target's tables); DROP SCHEMA
+    releases the caches of every table it contains."""
+    import pandas as pd
+    import pytest
+
+    context.create_schema("g_a")
+    context.create_schema("g_b")
+    try:
+        with pytest.raises(RuntimeError, match="already exists"):
+            context.alter_schema("g_a", "g_b")
+    finally:
+        context.drop_schema("g_a")
+
+    context.create_table(
+        "g_cached", pd.DataFrame({"x": [1]}), schema_name="g_b", persist=True
+    )
+    df = context.schemas["g_b"].tables["g_cached"]
+    df.count()
+    assert df.is_cached
+    context.drop_schema("g_b")
+    assert not df.is_cached  # storage released with the schema
 
 
 def test_run_server_lifecycle_via_context(context):
