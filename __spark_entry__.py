@@ -9514,6 +9514,14 @@ _REATTEST = [
     # The DDL gate's statements exercise the edited paths; its snapshot
     # values are unchanged (verified bitwise in-session).
     "stmt_schema_lifecycle",
+    # r10 sf100 profile: mmr_rerank's candidate window no longer carries
+    # the vector payload through the per-query exchange (rank on the
+    # narrow row, rejoin vb for the survivors — 225 s → 80 s at sf100).
+    # Values identical (verified bitwise in-session), plan changed; the
+    # brute gate re-attests as the kernel-knob file's representative
+    # (its plan is byte-identical — kernel defaults to "jvm").
+    "search_mmr_rerank",
+    "ann_brute_topk",
 ]
 
 
