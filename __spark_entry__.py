@@ -9516,12 +9516,16 @@ _REATTEST = [
     "stmt_schema_lifecycle",
     # r10 sf100 profile: mmr_rerank's candidate window no longer carries
     # the vector payload through the per-query exchange (rank on the
-    # narrow row, rejoin vb for the survivors — 225 s → 80 s at sf100).
-    # Values identical (verified bitwise in-session), plan changed; the
-    # brute gate re-attests as the kernel-knob file's representative
-    # (its plan is byte-identical — kernel defaults to "jvm").
+    # narrow row, rejoin vb for the survivors — 321 s → 16 s at sf100).
+    # Values identical (verified bitwise in-session at four SFs + the
+    # hostile replica), plan changed. brute/ivf/lsh are byte-identical
+    # to their pre-r10 code (a kernel knob was tried, measured slower
+    # at every shape, and removed — SCALING.md addendum 2); their gates
+    # re-attest as the edited file's representatives anyway.
     "search_mmr_rerank",
     "ann_brute_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 

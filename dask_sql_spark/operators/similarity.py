@@ -47,60 +47,6 @@ def _exact_sum(col: Column, scale: float) -> Column:
     return F.sum(F.round(col * scale).cast("long")).cast("double") / scale
 
 
-def cosine_arrow():
-    """Arrow-vectorized cosine kernel: a pandas UDF computing the whole
-    batch with numpy ``einsum`` — the PRODUCTION kernel for corpus-scale
-    candidate scans.
-
-    Why it exists (round-10 sf100 measurement): the JVM ``cosine()``
-    fold is a Catalyst higher-order function, interpreted per element
-    outside whole-stage codegen — ~1.5 ms per 64-dim pair. At 10M
-    broadcast (query, doc) pairs (5 queries × 2M vectors) the Arrow
-    kernel scored the full set in **22 s** where the interpreted fold
-    needed hundreds of seconds; the gap grows linearly with corpus ×
-    queries. The JVM fold stays the DEFAULT because its sequential
-    summation is what DuckDB's ``list_dot_product`` replays bit-for-bit
-    (the correctness gate); numpy's pairwise summation differs in the
-    last ulp. Semantics match ``cosine()``: zero-norm or NULL vectors
-    yield NULL.
-    """
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    # no type hints: this module uses `from __future__ import
-    # annotations`, which stringifies them beyond pandas_udf's
-    # inference; the explicit SCALAR eval type says the same thing
-    @pandas_udf("double", F.PandasUDFType.SCALAR)
-    def _pd_cos(va, vb):
-        out = pd.Series([None] * len(va), dtype="float64")
-        valid = va.notna() & vb.notna()
-        if valid.any():
-            a = np.stack(va[valid].values)
-            b = np.stack(vb[valid].values)
-            dots = np.einsum("ij,ij->i", a, b)
-            den = np.sqrt(np.einsum("ij,ij->i", a, a)) * np.sqrt(
-                np.einsum("ij,ij->i", b, b)
-            )
-            vals = np.divide(
-                dots, den, out=np.full(len(dots), np.nan), where=den != 0
-            )
-            out[valid.to_numpy()] = vals
-        return out
-
-    return _pd_cos
-
-
-def _cos_kernel(kernel: str):
-    """Resolve the cosine kernel knob shared by the candidate-scan
-    operators: ``"jvm"`` (default — oracle-exact sequential fold) or
-    ``"arrow"`` (numpy batch kernel, the 100 TB path)."""
-    if kernel == "jvm":
-        return cosine
-    if kernel == "arrow":
-        return cosine_arrow()
-    raise ValueError(f"kernel must be 'jvm' or 'arrow', got {kernel!r}")
-
-
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """row_number over (query, score desc, id) — deterministic tie-break."""
     w = Window.partitionBy("query_id").orderBy(
@@ -119,7 +65,6 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    kernel: str = "jvm",
 ) -> DataFrame:
     """Exact cosine top-k of each query vector against the corpus.
 
@@ -128,12 +73,17 @@ def brute_force_topk(
     set against a huge corpus is a broadcast-nested-loop by design, scanned
     once, no shuffle of the corpus.
 
-    ``kernel="arrow"`` swaps the per-pair scoring onto the numpy batch
-    kernel (:func:`cosine_arrow`) — measured ~15-20× faster on the sf100
-    candidate scan; the default JVM fold stays oracle-exact. Same top-k
-    set either way except on last-ulp score ties.
+    Kernel note (round-10, measured at sf100 then cross-checked in
+    clean processes): Spark 4's ``aggregate``/``zip_with`` fold runs
+    this scan at ~1-2 µs per 64-dim pair — an Arrow/numpy pandas-UDF
+    kernel was TRIED and measured SLOWER at every shape (dim 64: near
+    parity; dim 1024: 3× slower — Arrow serialization of both vector
+    operands dominates), so the JVM fold, which DuckDB's
+    ``list_dot_product`` also replays bit-for-bit for the oracle, is
+    the production kernel, not just the gate kernel. SCALING.md
+    round-10 addendum 2 records the numbers and the measurement
+    pitfall that briefly suggested otherwise.
     """
-    kern = _cos_kernel(kernel)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("vq"),
@@ -145,7 +95,7 @@ def brute_force_topk(
     scored = (
         c.join(F.broadcast(q))
         .where(F.col("query_id") != F.col("id_b"))
-        .withColumn("cos", kern(F.col("vq"), F.col("vb")))
+        .withColumn("cos", cosine(F.col("vq"), F.col("vb")))
     )
     return _rank_topk(scored, k)
 
@@ -818,7 +768,6 @@ def mmr_rerank(
     lam: float = 0.5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    kernel: str = "jvm",
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking: per query, greedily select
     ``k`` results maximizing ``lam·rel(d) − (1−lam)·max_{s∈S} sim(d, s)``
@@ -839,15 +788,7 @@ def mmr_rerank(
 
     Output: (query_id, selected_id, step) with step 1..k in selection
     order; step 1 is the plain relevance argmax.
-
-    ``kernel="arrow"`` swaps the CANDIDATE scan (the corpus-scale part —
-    the greedy loop below only ever touches ``n_candidates`` rows per
-    query) onto :func:`cosine_arrow`; round-10 sf100 measurement put the
-    interpreted JVM fold at ~1.5 ms per 64-dim pair, which made this
-    gate's 10M-pair candidate scan the whole 321 s wall time, vs 22 s
-    for the Arrow kernel. The default stays "jvm" for oracle exactness.
     """
-    kern = _cos_kernel(kernel)
     one_minus = 1.0 - lam
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -870,7 +811,7 @@ def mmr_rerank(
     cand_ids = (
         c.join(F.broadcast(q))
         .where(F.col("query_id") != F.col("id_b"))
-        .withColumn("cos", kern(F.col("vq"), F.col("vb")))
+        .withColumn("cos", cosine(F.col("vq"), F.col("vb")))
         .select("query_id", "id_b", "cos")
         .withColumn("rk", F.row_number().over(wrel))
         .where(F.col("rk") <= n_candidates)

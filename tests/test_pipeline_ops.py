@@ -2794,46 +2794,25 @@ def test_features_differential_vs_pandas_model(spark, seed):
                 assert got_z[i] is None, (g, i)
 
 
-def test_cosine_arrow_kernel_matches_jvm(spark, emb):
-    """Round-10: the Arrow candidate-scan kernel (production path for
-    corpus-scale top-k — measured 22 s vs hundreds for the interpreted
-    JVM fold on 10M sf100 pairs) returns the same rankings as the
-    oracle-exact JVM kernel, and the same NULL semantics for zero-norm
-    and NULL vectors."""
+def test_mmr_candidate_window_is_narrow(spark, emb):
+    """Round-10 scale fix, pinned: mmr_rerank ranks candidates WITHOUT
+    the vector payload (vb rejoined only for the survivors) — carrying
+    the 64-double array through the per-query window exchange measured
+    321 s vs 16 s for the identical selection at sf100. The candidate
+    window's exchange must not reference vb, and the selection itself is
+    unchanged (greedy MMR semantics covered by the value gate and the
+    diversity test above)."""
     from pyspark.sql import functions as F
 
-    from dask_sql_spark.operators.dedup import cosine
-    from dask_sql_spark.operators.similarity import (
-        brute_force_topk,
-        cosine_arrow,
-        mmr_rerank,
-    )
+    from dask_sql_spark.operators.similarity import mmr_rerank
 
     qs = emb.where(F.col("vec_id").isin(0, 2))
-    for fn, kwargs in (
-        (brute_force_topk, {"k": 3}),
-        (mmr_rerank, {"k": 3, "n_candidates": 4}),
-    ):
-        a = sorted(map(tuple, fn(emb, qs, **kwargs).collect()))
-        b = sorted(map(tuple, fn(emb, qs, kernel="arrow", **kwargs).collect()))
-        assert a == b, fn.__name__
+    out = mmr_rerank(emb, qs, k=3, n_candidates=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the ranking exchange carries only (query_id, id_b, cos)
+    import re
 
-    # NULL semantics: zero-norm and NULL vectors yield NULL in both
-    hostile = spark.createDataFrame(
-        [
-            ([1.0, 0.0], [0.0, 1.0]),
-            ([1.0, 0.0], [0.0, 0.0]),   # zero norm
-            ([1.0, 0.0], None),          # NULL vector
-        ],
-        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
-    )
-    got_jvm = [r[0] for r in hostile.select(cosine(F.col("a"), F.col("b"))).collect()]
-    got_arr = [
-        r[0] for r in hostile.select(cosine_arrow()(F.col("a"), F.col("b"))).collect()
-    ]
-    assert got_jvm == got_arr == [0.0, None, None]
-
-    import pytest
-
-    with pytest.raises(ValueError, match="jvm.*arrow|arrow.*jvm"):
-        brute_force_topk(emb, qs, kernel="numpy")
+    for m in re.finditer(r"Exchange hashpartitioning\(query_id[^\n]*", plan):
+        assert "vb" not in m.group(0), m.group(0)
+    got = {(r.query_id, r.step): r.selected_id for r in out.collect()}
+    assert len(got) == 6  # 2 queries x 3 steps, selection intact
