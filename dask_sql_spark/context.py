@@ -460,7 +460,21 @@ class Context:
         lower_old = old_table_name.lower()
         lower_new = new_table_name.lower()
         df = schema.tables[lower_old]
-        self._unpersist_if_cached(schema.tables.get(lower_new))
+        if lower_new != lower_old:
+            # displacing a live table: release its cache AND clear its
+            # registry entries — otherwise a source table with no
+            # filepath entry would leave the displaced table's stale
+            # location under the new name, so OPTIMIZE after the rename
+            # would compact the WRONG files (round-10 advisor). A
+            # case-only rename (Foo -> FOO) displaces nothing and must
+            # not unpersist its own frame (round-10 advisor).
+            self._unpersist_if_cached(schema.tables.get(lower_new))
+            for reg in (
+                schema.filepaths,
+                schema.fileformats,
+                schema.statistics,
+            ):
+                reg.pop(lower_new, None)
         schema.tables[lower_new] = schema.tables.pop(lower_old)
         for reg in (
             schema.filepaths,

@@ -80,11 +80,22 @@ def read_intake_catalog(
                 spec = (scope.get("parameters") or {})[p]
                 if isinstance(spec, dict) and "default" in spec:
                     params[p] = spec["default"]
-        return re.sub(
+        out = re.sub(
             r"\{\{\s*(\w+)\s*\}\}",
             lambda m: str(params.get(m.group(1), m.group(0))),
             path,
         )
+        # a parameter with no declared default would otherwise reach
+        # the file scanner as literal "{{ name }}" text — fail loudly,
+        # naming what's unresolved (round-10 advisor)
+        if "{{" in out:
+            unresolved = sorted(set(re.findall(r"\{\{\s*(\w+)\s*\}\}", out)))
+            raise ValueError(
+                f"catalog entry {entry!r}: unresolved template "
+                f"parameter(s) {unresolved} in urlpath {path!r}; declare "
+                "a default in the catalog's parameters block"
+            )
+        return out
 
     if driver in ("csv", "parquet", "json", "orc", "textfiles") and urlpath:
         from functools import reduce

@@ -15,6 +15,8 @@ so each output file lands near the target.
 from __future__ import annotations
 
 import math
+import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -23,9 +25,26 @@ def _guard_disjoint_paths(src: str, dest: str) -> None:
     """Refuse compaction when one location nests inside the other: a
     dest under src would be double-counted by every later scan of src
     (and re-ingested by a second compaction); src under dest would be
-    clobbered by the overwrite (round-10 audit)."""
-    a = src.rstrip("/") + "/"
-    b = dest.rstrip("/") + "/"
+    clobbered by the overwrite (round-10 audit). Paths are normalized
+    first — scheme stripped, made absolute, '..'/'//' collapsed — so
+    equivalent-but-differently-spelled paths ('file:/x' vs '/x',
+    'a/../b' vs 'b') can't bypass the guard (round-10 advisor)."""
+
+    def _norm(p: str) -> str:
+        # strip a URI scheme ("file:", "hdfs://nn") down to the path
+        # part; non-local schemes keep their authority as the root
+        # component so hdfs://a/x vs hdfs://b/x stay distinct
+        m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*):(?://([^/]*))?(.*)$", p)
+        if m:
+            scheme, auth, rest = m.group(1), m.group(2) or "", m.group(3)
+            if scheme.lower() == "file":
+                p = rest or "/"
+            else:
+                return f"{scheme}://{auth}" + os.path.normpath("/" + rest)
+        return os.path.normpath(os.path.abspath(p))
+
+    a = _norm(src).rstrip("/") + "/"
+    b = _norm(dest).rstrip("/") + "/"
     if a.startswith(b) or b.startswith(a):
         raise ValueError(
             f"compaction source {src!r} and destination {dest!r} "

@@ -204,6 +204,56 @@ def test_alter_table_moves_registry_and_keeps_cache(context, tmp_path):
         context.drop_table("alt_dst")
 
 
+def test_alter_table_displacing_rename_clears_stale_registry(
+    context, tmp_path
+):
+    """Round-10 advisor, pinned: renaming ONTO an existing table must
+    clear the displaced table's filepath/format/statistics entries even
+    when the source table has none of its own — otherwise OPTIMIZE on
+    the renamed table compacts the DISPLACED table's files."""
+    import pandas as pd
+
+    loc = str(tmp_path / "victim_t")
+    context.spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2, 3]})
+    ).write.parquet(loc)
+    context.create_table("adv_victim", loc)  # has a filepath entry
+    # source registered from a DataFrame: NO filepath entry
+    context.create_table("adv_src", pd.DataFrame({"b": [9]}))
+    schema = context.schemas[context.schema_name]
+    assert schema.filepaths["adv_victim"] == loc
+    context.alter_table("adv_src", "adv_victim")
+    try:
+        assert "adv_victim" not in schema.filepaths  # stale entry gone
+        assert "adv_victim" not in schema.fileformats
+        n = context.sql(
+            "SELECT COUNT(*) AS n FROM adv_victim"
+        ).collect()[0]["n"]
+        assert n == 1  # the renamed frame, not the displaced one
+    finally:
+        context.drop_table("adv_victim")
+
+
+def test_alter_table_case_only_rename_keeps_cache(context):
+    """Round-10 advisor, pinned: a case-only rename (Foo -> FOO,
+    identical lowercase key) must not unpersist the table's own cached
+    frame — there is no displaced entry to release."""
+    import pandas as pd
+
+    context.create_table(
+        "case_t", pd.DataFrame({"a": [1, 2]}), persist=True
+    )
+    schema = context.schemas[context.schema_name]
+    df = schema.tables["case_t"]
+    df.count()  # materialize the cache
+    assert df.is_cached
+    context.alter_table("case_t", "CASE_T")
+    try:
+        assert schema.tables["case_t"].is_cached
+    finally:
+        context.drop_table("case_t")
+
+
 def test_schema_rename_and_drop_guards(context):
     """Round-10 audit, pinned: ALTER SCHEMA onto a live schema raises
     (it used to silently orphan the target's tables); DROP SCHEMA

@@ -157,6 +157,32 @@ def test_intake_csv_header_none_not_dropped(spark, templated_catalog):
     assert df.count() == 2  # both rows are data, none eaten as a header
 
 
+def test_intake_unresolved_parameter_raises(spark, tmp_path):
+    """Round-10 advisor, pinned: a template parameter with no declared
+    default must raise a clear error naming the parameter — not reach
+    the file scanner as a literal '{{ name }}' path."""
+    import pytest
+
+    from dask_sql_spark.sources.catalogs import read_intake_catalog
+
+    cat = tmp_path / "nodefault.yml"
+    cat.write_text(
+        """
+sources:
+  nodef:
+    driver: parquet
+    parameters:
+      shard:
+        description: which shard (no default)
+        type: str
+    args:
+      urlpath: "{{ CATALOG_DIR }}/{{ shard }}"
+"""
+    )
+    with pytest.raises(ValueError, match="shard"):
+        read_intake_catalog(spark, str(cat), "nodef")
+
+
 def test_intake_untranslatable_csv_kwargs_warn(spark, tmp_path):
     from dask_sql_spark.sources.catalogs import read_intake_catalog
 

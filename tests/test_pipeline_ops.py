@@ -1138,6 +1138,29 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert back.agg(F.sum("k")).collect()[0][0] == sum(range(2000))
 
 
+def test_compact_guard_normalizes_path_spellings():
+    """Round-10 advisor, pinned: the nested-path guard must catch
+    equivalent-but-differently-spelled paths — 'file:' scheme, '..'
+    segments, '//' — not just raw string prefixes."""
+    import pytest
+
+    from dask_sql_spark.sources.maintenance import _guard_disjoint_paths
+
+    for src, dest in [
+        ("/data/t", "/data/t/compacted"),  # plain nesting (old guard)
+        ("file:/data/t", "/data/t/compacted"),  # scheme-spelled src
+        ("/data/t", "file:///data/t/compacted"),  # scheme-spelled dest
+        ("/data/t", "/data/other/../t/compacted"),  # '..' dodge
+        ("/data//t", "/data/t/compacted"),  # '//' dodge
+        ("hdfs://nn/data/t", "hdfs://nn/data/t/x"),  # non-local scheme
+    ]:
+        with pytest.raises(ValueError):
+            _guard_disjoint_paths(src, dest)
+    # genuinely disjoint spellings still pass
+    _guard_disjoint_paths("/data/t", "/data/t_compacted")
+    _guard_disjoint_paths("hdfs://nn1/data/t", "hdfs://nn2/data/t/x")
+
+
 def test_compact_parquet_preserves_nanos_timestamps(spark, tmp_path):
     """Round-10 audit, pinned: compacting a table whose parquet carries
     timestamp[ns] columns must write real TIMESTAMPs back. Under the
