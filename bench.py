@@ -97,6 +97,12 @@ HEADLINE = [
     # propagation — the heaviest iterative operator not yet benched)
     "sketch_hll_mergeable",
     "dedup_components_minhash",
+    # round-11 addition (driver round 10 verdict #1): the persistent IVF
+    # index search path. The gate builds the index once per (sf, data
+    # fingerprint) into tmp; min-of-2 timing therefore reports the
+    # SEARCH cost (the deployment steady state), with the one-off build
+    # paid by the first pass.
+    "ann_ivf_indexed",
 ]
 
 # the 28 queries BENCH_r01 measured (total 27.48 s at sf0.1): their

@@ -301,6 +301,82 @@ def test_ivf_topk_recall(spark):
     assert recall >= 0.9
 
 
+def test_ivf_index_lifecycle_matches_in_memory(spark, tmp_path):
+    """Round-10 verdict #1, pinned: a persistent ivf_build_index +
+    ivf_search round-trip is bitwise identical to the in-memory
+    ivf_topk on the same fixed codebook (doubles roundtrip parquet
+    exactly), and the index holds every corpus row exactly once."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(8)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    cents = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid"),
+    )
+    idx = str(tmp_path / "ivf_idx")
+    ivf_build_index(emb, idx, n_cells=6, centroids=cents)
+    corpus = spark.read.parquet(f"{idx}/corpus")
+    assert corpus.count() == 120  # every vector in exactly one cell
+    assert corpus.select("id_b").distinct().count() == 120
+    queries = emb.where(F.col("vec_id") < 4)
+    got = sorted(
+        map(tuple, ivf_search(spark, idx, queries, k=5, n_probe=2).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                emb, queries, k=5, n_cells=6, n_probe=2, centroids=cents
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_ivf_build_index_kmeans_codebook(spark, tmp_path):
+    """KMeans-trained build path: index is servable and recalls the
+    clustered structure (same bound as test_ivf_topk_recall)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build_index,
+        ivf_search,
+    )
+
+    rng = np.random.RandomState(0)
+    centers = rng.standard_normal((10, 8)) * 5
+    rows = []
+    for i in range(200):
+        v = centers[i % 10] + rng.standard_normal(8) * 0.1
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    idx = str(tmp_path / "ivf_km")
+    ivf_build_index(emb, idx, n_cells=10, seed=42)
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_search(spark, idx, queries, k=5, n_probe=3).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.9
+
+
 def test_clean_corpus_pipeline(docs):
     from dask_sql_spark.operators.pipeline import clean_corpus
 

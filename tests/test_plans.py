@@ -403,3 +403,51 @@ def test_touch_attribution_single_user_exchange(sf_tables):
             f"unexpected exchange {kind}({keys})\n{plan}"
         )
     assert "Window" in plan
+
+
+def test_ivf_search_prunes_to_probed_cells(sf_tables, tmp_path):
+    """Round-10 verdict #1, pinned: ivf_search's corpus scan must carry
+    the probed-cell predicate as PartitionFilters — at 100 TB the
+    unprobed (n_cells - n_probe)/n_cells of the index is never listed or
+    scanned. Asserted on the scan line AND on the actual partition count
+    the executed plan read."""
+    from pyspark.sql import functions as F
+
+    from dask_sql_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_search,
+    )
+
+    spark = sf_tables.spark
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    idx = str(tmp_path / "ivf_plan_idx")
+    ivf_build_index(emb, idx, n_cells=16, centroids=cents)
+    out = ivf_search(
+        spark, idx, emb.where(F.col("vec_id") < 2), k=5, n_probe=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # identify the corpus scan by its columns (the Location path is
+    # truncated in toString output, so matching on the dir name is
+    # unreliable); the centroid scan reads (cell, centroid) only
+    corpus_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "id_b" in ln
+    ]
+    assert corpus_scans, plan
+    for ln in corpus_scans:
+        pf = ln.split("PartitionFilters: [", 1)
+        assert len(pf) == 2 and "cell" in pf[1].split("]", 1)[0], (
+            f"corpus scan without a cell PartitionFilter:\n{ln}"
+        )
+    # the scan's selected partition count is at most the probed cells
+    # (2 queries x 3 probes = <=6 of 16 cells)
+    import re
+
+    m = re.findall(r"partition count: (\d+)", plan)
+    if m:  # Spark prints "partition count" in the scan's metadata string
+        assert all(int(x) <= 6 for x in m), plan

@@ -6,8 +6,16 @@ about spark.sql.session.timeZone pinning or Context-applied configs.
 Usage:
     python tools/hostile_check.py [name_filter ...]
 Env:
-    HOSTILE_TZ  (default Asia/Kolkata)
-    SF_DIR      (default /root/testdata/sf0.01)
+    HOSTILE_TZ       (default Asia/Kolkata)
+    SF_DIR           (default /root/testdata/sf0.01)
+    HOSTILE_PARTS    shuffle partition count (default 16 — pick odd to
+                     shake out combine-order dependence)
+    HOSTILE_CODEGEN  "false" disables whole-stage codegen: results must
+                     be bitwise identical on the interpreted path too
+                     (round-10 verdict #4 — the TZ/partition axes catch
+                     environment dependence, this catches
+                     execution-path dependence)
+    HOSTILE_AQE      "false" disables adaptive query execution
 """
 
 from __future__ import annotations
@@ -32,12 +40,16 @@ def main() -> int:
     # supposed to be integer-exact or ROUND-masked, so any odd count
     # must produce bitwise-identical results
     parts = os.environ.get("HOSTILE_PARTS", "16")
+    codegen = os.environ.get("HOSTILE_CODEGEN", "true")
+    aqe = os.environ.get("HOSTILE_AQE", "true")
     spark = (
         SparkSession.builder.master("local[16]")
         .appName("hostile_check")
         .config("spark.sql.shuffle.partitions", parts)
         .config("spark.sql.session.timeZone", tz)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.codegen.wholeStage", codegen)
+        .config("spark.sql.adaptive.enabled", aqe)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
