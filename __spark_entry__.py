@@ -9558,6 +9558,13 @@ _REATTEST = [
     # _rank_query_cells) so build/search reuse them. Expressions are
     # identical — plan byte-equivalent — re-attests as discipline.
     "ann_ivf_topk",
+    # r11 verdict #7: connected_components auto-switches to the
+    # large-star/small-star contraction after switch_after unconverged
+    # propagation rounds. Banding graphs converge in 3-5 rounds — the
+    # gates never reach the switch, plans byte-identical — both CC
+    # consumers re-attest as the edited file's representatives.
+    "dedup_components_minhash",
+    "dedup_keeper_quality",
 ]
 
 

@@ -21,11 +21,73 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _two_phase_components(
+    und: DataFrame, verts: DataFrame, max_rounds: int
+) -> DataFrame | None:
+    """Alternating large-star / small-star edge contraction (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14): the
+    pointer-jumping family — O(log n) rounds regardless of graph
+    diameter, where min-label propagation needs O(diameter) rounds.
+
+    ``und`` is the symmetric, distinct, NULL-free edge relation
+    :func:`connected_components` already builds. Each round:
+
+    - large-star: every neighbor v > u re-hooks to m(u) = min(Γ(u)∪{u})
+    - small-star: every edge oriented to its larger endpoint; each of
+      that endpoint's smaller neighbors (and the endpoint itself)
+      re-hooks to the smallest
+
+    Both preserve connectivity and strictly contract toward the
+    component-minimum star; at the fixpoint every non-minimum vertex
+    carries exactly one edge to its component minimum. ~5 shuffles per
+    round vs propagation's 1, so it only wins past the diameter
+    threshold — which is exactly when :func:`connected_components`
+    auto-selects it. Returns None if ``max_rounds`` is exhausted
+    (caller warns, mirroring the propagation cap)."""
+    E = und.where(F.col("a") > F.col("b")).localCheckpoint()
+    for _ in range(max_rounds):
+        # --- large-star ---
+        S = E.union(
+            E.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        m = S.groupBy("a").agg(F.min("b").alias("mb"))
+        m = m.select("a", F.least(F.col("a"), F.col("mb")).alias("m"))
+        e1 = (
+            S.where(F.col("b") > F.col("a"))
+            .join(m, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # --- small-star (e1 is canonical a > b already) ---
+        m2 = e1.groupBy("a").agg(F.min("b").alias("m"))
+        e2 = (
+            e1.join(m2, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(m2.select("a", F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        converged = (
+            e2.count() == E.count() and e2.exceptAll(E).isEmpty()
+        )
+        E = e2
+        if converged:
+            # fixpoint: E is the star set — one (vertex, component-min)
+            # edge per non-minimum vertex
+            stars = E.select(F.col("a").alias("id"), F.col("b").alias("comp"))
+            return verts.join(stars, "id", "left").select(
+                "id", F.coalesce("comp", F.col("id")).alias("comp")
+            )
+    return None
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    switch_after: int = 8,
 ) -> DataFrame:
     """(id, component) for every vertex in ``edges``; component = the
     minimum vertex id reachable through undirected edges.
@@ -34,11 +96,17 @@ def connected_components(
     iteration — the documented driver-side loop of distributed steps, like
     spark.ml's own iterative fitters; no vertex data ever hits the
     driver). Min-label propagation needs O(component diameter)
-    iterations; if the fixpoint is NOT reached within ``max_iterations``
-    a ``RuntimeWarning`` is raised (round-9 audit: a 40-node path graph
-    under the default 25 iterations previously returned wrong labels
-    silently) — near-dup graphs are shallow, so hitting the warning
-    means the input is not a banding graph and the cap should be raised.
+    iterations. A graph still unconverged after ``switch_after``
+    propagation rounds has a deep diameter — not the shallow banding
+    shape this operator is tuned for — so the remaining
+    ``max_iterations - switch_after`` budget is handed to
+    :func:`_two_phase_components` (alternating large-star/small-star
+    contraction, the pointer-jumping family), which finishes in O(log n)
+    rounds regardless of diameter. Results are identical either way
+    (component = min reachable id); only the round count differs. If
+    BOTH budgets exhaust, a ``RuntimeWarning`` is raised (round-9 audit:
+    a 40-node path graph under the default 25-iteration cap previously
+    returned wrong labels silently).
     Edges with a NULL endpoint are dropped entirely up front — the
     non-NULL endpoint does not surface as an isolated vertex unless
     another edge mentions it, and NULL itself is never a vertex.
@@ -101,7 +169,8 @@ def connected_components(
         comp_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     ) or (isinstance(comp_type, T.DecimalType) and comp_type.scale == 0)
     prev_sum = None
-    for _ in range(max_iterations):
+    converged = False
+    for it in range(max_iterations):
         new_labels = (
             e.join(labels.select(F.col("id").alias("b"), "comp"), "b")
             .groupBy(F.col("a").alias("id"))
@@ -127,7 +196,19 @@ def connected_components(
         labels = new_labels
         if converged:
             break
-    else:
+        if it + 1 >= switch_after and max_iterations > switch_after:
+            # still moving after switch_after rounds: the graph's
+            # diameter exceeds the propagation sweet spot — hand the
+            # remaining budget to the log-round star contraction, which
+            # finishes a D-diameter component in O(log D)-ish rounds
+            # instead of D - switch_after more label sweeps
+            alt = _two_phase_components(
+                und, verts, max_iterations - switch_after
+            )
+            if alt is not None:
+                return alt
+            break  # both budgets exhausted → warn below
+    if not converged:
         import warnings
 
         warnings.warn(

@@ -206,3 +206,65 @@ def test_pagerank_mass_and_model(spark, seed):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
     for v in nodes:
         assert got[v] == pytest.approx(r[idx[v]], abs=1e-9), v
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_two_phase_components_vs_union_find(spark, seed):
+    """Round-11 (r10 verdict #7): the star-contraction variant must
+    agree with the union-find model on the same seeded random graphs as
+    the propagation path — forced through the switch with
+    switch_after=1."""
+    from dask_sql_spark.operators.graph import connected_components
+
+    rng = random.Random(seed + 100)
+    es = _rand_edges(rng, n_nodes=40, n_edges=45)
+    df = spark.createDataFrame(
+        pd.DataFrame(es, columns=["id_a", "id_b"]), "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(df, switch_after=1).collect()
+    }
+    assert got == _union_find(es)
+
+
+def test_deep_path_auto_switches_and_converges(spark):
+    """A 120-node path (diameter 119) under the DEFAULT cap: propagation
+    alone would blow the 25-iteration budget and warn; the auto-switch
+    hands it to star contraction, which must return the true components
+    with no warning."""
+    import warnings
+
+    from dask_sql_spark.operators.graph import connected_components
+
+    es = [(i, i + 1) for i in range(119)]
+    df = spark.createDataFrame(
+        pd.DataFrame(es, columns=["id_a", "id_b"]), "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {
+            r["id"]: r["comp"] for r in connected_components(df).collect()
+        }
+    assert not any(w.category is RuntimeWarning for w in caught)
+    assert got == {i: 0 for i in range(120)}
+
+
+def test_two_phase_string_ids_and_isolated_selfloop(spark):
+    """The contraction path orders by the id type's own comparison —
+    string ids and self-loop-only (isolated) vertices must match the
+    propagation path exactly."""
+    from dask_sql_spark.operators.graph import connected_components
+
+    rows = [("b", "a"), ("c", "b"), ("e", "d"), ("z", "z")]
+    df = spark.createDataFrame(rows, "id_a string, id_b string")
+    want = {
+        r["id"]: r["comp"] for r in connected_components(df).collect()
+    }
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(df, switch_after=1).collect()
+    }
+    assert got == want == {
+        "a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "z": "z",
+    }
