@@ -240,6 +240,7 @@ def ivf_build_index(
     n_cells: int = 16,
     seed: int = 42,
     centroids: DataFrame | None = None,
+    files_per_cell: int = 1,
 ) -> None:
     """Build a persistent IVF index: the corpus written ONCE to
     ``{index_path}/corpus`` as parquet **partitioned by cell**, plus the
@@ -290,7 +291,14 @@ def ivf_build_index(
     # partitionBy(cell): each cell becomes a hive partition directory,
     # so ivf_search's cell predicate prunes at FILE LISTING time — the
     # unprobed (n_cells - n_probe)/n_cells of a 100 TB corpus is never
-    # listed, opened, or scanned
+    # listed, opened, or scanned. The (cell, salt) repartition bounds
+    # layout at files_per_cell files per cell — without it every write
+    # task opens a writer per cell it sees (tasks × n_cells small
+    # files); raise files_per_cell at 100 TB so each cell still writes
+    # in parallel and each file stays near a row-group-friendly size
+    corpus = corpus.repartition(
+        F.col("cell"), F.pmod(F.xxhash64("id_b"), F.lit(files_per_cell))
+    )
     corpus.write.mode("overwrite").partitionBy("cell").parquet(
         f"{index_path}/corpus"
     )
