@@ -192,13 +192,30 @@ def signature_col(vec: Column, planes: np.ndarray) -> Column:
 
 def _assign_cells(c: DataFrame, cent_df: DataFrame) -> DataFrame:
     """Assign each (id_b, vb) corpus vector to its max-cosine centroid
-    cell (deterministic tie-break on cell id). The centroid table is
-    broadcast; the assignment is one map-side scan + a per-vector
-    row_number — no corpus shuffle."""
-    return (
+    cell (deterministic tie-break: smallest cell id — max_by on the
+    (acos, -cell) struct picks max cosine, then min cell, the same
+    decision as ORDER BY acos DESC, cell ASC).
+
+    Shape (round-11 measurement — the same rule as the round-10 MMR
+    fix: a per-key ranking exchange must never carry the vector
+    column). The original formulation ranked rows whose OUTPUT kept
+    ``vb``, so the corpus × n_cells fan-out sorted and shuffled with
+    the ~0.5 KB vector payload attached (sf100: 32M rows ≈ 17 GB,
+    245 s just to materialize; `corpus.count()` could never see it —
+    column pruning drops the vector under a count, which is how the
+    shape survived). A max_by aggregate was tried and is no better:
+    its struct-typed buffer forces ObjectHashAggregate, whose sort
+    fallback re-sorts the same wide rows. This form ranks the NARROW
+    (id_b, cell, acos) fan-out — WindowGroupLimit collapses it to one
+    row per vector before the exchange — and rejoins ``vb`` once at
+    corpus cardinality (sf100 materialization ~40 s)."""
+    fan = (
         c.crossJoin(F.broadcast(cent_df))
         .withColumn("acos", cosine(F.col("vb"), F.col("centroid")))
-        .withColumn(
+        .select("id_b", "cell", "acos")
+    )
+    best = (
+        fan.withColumn(
             "arank",
             F.row_number().over(
                 Window.partitionBy("id_b").orderBy(
@@ -207,8 +224,9 @@ def _assign_cells(c: DataFrame, cent_df: DataFrame) -> DataFrame:
             ),
         )
         .where(F.col("arank") == 1)
-        .select("id_b", "vb", "cell")
+        .select("id_b", "cell")
     )
+    return c.join(best, "id_b").select("id_b", "vb", "cell")
 
 
 def _rank_query_cells(
@@ -240,7 +258,7 @@ def ivf_build_index(
     n_cells: int = 16,
     seed: int = 42,
     centroids: DataFrame | None = None,
-    files_per_cell: int = 1,
+    files_per_cell: int | None = None,
 ) -> None:
     """Build a persistent IVF index: the corpus written ONCE to
     ``{index_path}/corpus`` as parquet **partitioned by cell**, plus the
@@ -291,14 +309,22 @@ def ivf_build_index(
     # partitionBy(cell): each cell becomes a hive partition directory,
     # so ivf_search's cell predicate prunes at FILE LISTING time — the
     # unprobed (n_cells - n_probe)/n_cells of a 100 TB corpus is never
-    # listed, opened, or scanned. The (cell, salt) repartition bounds
-    # layout at files_per_cell files per cell — without it every write
-    # task opens a writer per cell it sees (tasks × n_cells small
-    # files); raise files_per_cell at 100 TB so each cell still writes
-    # in parallel and each file stays near a row-group-friendly size
-    corpus = corpus.repartition(
-        F.col("cell"), F.pmod(F.xxhash64("id_b"), F.lit(files_per_cell))
-    )
+    # listed, opened, or scanned.
+    #
+    # Layout: the default writes directly (each task opens a writer per
+    # cell it sees — files ≤ write-tasks × n_cells). files_per_cell
+    # adds a (cell, salt) repartition that bounds layout at
+    # files_per_cell files per cell; it is OPT-IN because the extra
+    # exchange measured 8× slower end-to-end on the sf100 local-mode
+    # harness (118 s direct vs 978 s with the 16-reducer exchange —
+    # a pathological few-fat-reducers shuffle-read pattern), and a
+    # fragmented-but-pruned index reads fine. Run it where layout
+    # matters (object stores billing per request, file-count quotas).
+    if files_per_cell is not None:
+        corpus = corpus.repartition(
+            F.col("cell"),
+            F.pmod(F.xxhash64("id_b"), F.lit(files_per_cell)),
+        )
     corpus.write.mode("overwrite").partitionBy("cell").parquet(
         f"{index_path}/corpus"
     )

@@ -61,8 +61,16 @@ def main() -> int:
             t0 = time.time()
             n = qs[name](spark, sf_dir).count()
             times.append(time.time() - t0)
-        out[name] = {"sec": round(min(times), 3), "rows": n}
-        print(f"{name}: {out[name]['sec']}s ({n} rows)", flush=True)
+        out[name] = {
+            "sec": round(min(times), 3),
+            "rows": n,
+            "passes": [round(t, 3) for t in times],
+        }
+        print(
+            f"{name}: {out[name]['sec']}s ({n} rows) "
+            f"passes={out[name]['passes']}",
+            flush=True,
+        )
     print("RESULT " + json.dumps({"sf_dir": sf_dir, "queries": out}))
     return 0
 
