@@ -7796,7 +7796,13 @@ def _optimize_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each invocation (that is what's under test), but repeated runs
     # reuse one directory instead of leaking a mkdtemp per call
     sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_optrt_{sf_tag}")
+    # per-process suffix: two concurrent harnesses (e.g. the sf0.01
+    # sweep and a hostile replica) used to rmtree/rewrite the SAME
+    # scratch dir mid-flight — a runner collision, not an engine bug
+    # (round-11 codegen-off leg)
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_optrt_{sf_tag}_{os.getpid()}"
+    )
     shutil.rmtree(base, ignore_errors=True)
     _table(spark, sf_dir, "documents").repartition(16).write.mode(
         "overwrite"
