@@ -157,6 +157,95 @@ def ngram_doc_lists(
     return lists
 
 
+def _prefix_doc_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    t_eff: float,
+    max_df: int | None,
+) -> DataFrame:
+    """Per-doc ordered shingle sets for the AllPairs/PPJoin prefix filter.
+
+    Output: (id, set_, sz, plen) where ``set_`` is the doc's distinct
+    shingle hashes sorted by GLOBAL order (ascending document frequency,
+    shingle hash as total-order tiebreak), ``sz`` its size, and ``plen``
+    the prefix length ``sz − ⌈t_eff·sz⌉ + 1``. Rarest shingles sort
+    first, so prefixes index the most selective tokens (Chaudhuri et al.
+    SSJoin / Bayardo et al. AllPairs). ``max_df`` drops hot shingles
+    BEFORE sizes are computed, matching the legacy plan's semantics.
+
+    The ceil argument is nudged down 1e-9 so float noise can only
+    LENGTHEN the prefix (a too-short prefix would drop true pairs; a
+    longer one only adds candidates that verification rejects).
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(df, id_col, text_col, n).select(
+        F.col(id_col), portable_hash64(F.col("shingle")).alias("shingle")
+    )
+    # document frequency via an unordered window over shingle: ONE
+    # exchange of the (id, shingle) relation instead of groupBy + rejoin
+    # (two exchanges of the same rows) — df attaches in place
+    shf = sh.withColumn(
+        "df_", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
+    if max_df is not None:
+        shf = shf.where(F.col("df_") <= max_df)
+    docs = shf.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("df_"), F.col("shingle")))
+        ).alias("ord")
+    )
+    alpha = F.ceil(F.size("ord") * F.lit(t_eff) - F.lit(1e-9))
+    return docs.select(
+        F.col(id_col),
+        F.expr("transform(ord, x -> x.shingle)").alias("set_"),
+        F.size("ord").alias("sz"),
+        F.greatest(F.size("ord") - alpha + F.lit(1), F.lit(1))
+        .cast("int")
+        .alias("plen"),
+    )
+
+
+def _verify_pairs(cand: DataFrame, docs: DataFrame, id_col: str) -> DataFrame:
+    """Exact-overlap verification of candidate pairs: join both sides'
+    full shingle sets back on and count |A∩B| JVM-side via
+    ``array_intersect`` (hash-set build, O(|A|+|B|) per pair). Output:
+    (id_a, id_b, common, sz_a, sz_b) — the same contract the legacy
+    bucket-count stage feeds the similarity arithmetic."""
+    da = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("set_").alias("set_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    db = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("set_").alias("set_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("set_a", "set_b"))
+            .cast("long")
+            .alias("common"),
+            "sz_a",
+            "sz_b",
+        )
+    )
+
+
+# slack for the two float boundaries prefix pruning must respect: the
+# final predicate is round(sim, 6) >= t — rounding moves sim by at most
+# 5e-7, so pruning uses t_eff = t − 1e-6 (any pair that passes after
+# rounding satisfies sim >= t_eff); 1e-9 absorbs double multiply noise.
+_ROUND6_SLACK = 1e-6
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -165,13 +254,33 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_df: int | None = None,
     lists: DataFrame | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """All document pairs with shingle-set Jaccard ≥ threshold.
 
-    Plan: explode shingles → groupBy(shingle) doc lists → in-row pair
-    explode (co-shingle pairs) → count common → join per-doc sizes →
-    |A∩B| / (|A|+|B|−|A∩B|). Only documents sharing ≥1 shingle ever
-    pair, so the complexity is Σ bucket²/2 over shingle buckets, not N².
+    Default plan (``prefix_filter=True``, AllPairs/PPJoin): order each
+    doc's shingles by ascending global document frequency and emit only
+    the first ``|S| − ⌈t·|S|⌉ + 1`` into the candidate self-join. Any
+    pair with J ≥ t shares its globally-smallest common shingle inside
+    BOTH prefixes (if the smallest common token fell outside A's prefix,
+    all |A∩B| ≥ ⌈t·|A|⌉ common tokens would sit in A's last ⌈t·|A|⌉−1
+    positions — impossible), so the pruned candidate set is lossless.
+    Candidates also pass the length filter ``min(|A|,|B|) ≥ t·max`` (J is
+    bounded by the size ratio), then exact verification rejoins the full
+    sets and computes |A∩B| via ``array_intersect``. At threshold 0.8
+    this cuts candidate-emission volume ~5× per bucket and candidate
+    PAIRS quadratically more — the measured scale driver at 5M docs was
+    a 26 GB candidate-pair shuffle (SCALING.md), which this bounds by
+    prefix-bucket occupancy instead of full-bucket occupancy.
+
+    Legacy plan (``prefix_filter=False``, automatically when
+    ``threshold ≤ 0`` — a zero threshold means full-length prefixes, so
+    pruning buys nothing and verification is pure overhead — or when a
+    prebuilt ``lists=`` relation is supplied): explode shingles →
+    groupBy(shingle) doc lists → in-row pair explode → count common →
+    join per-doc sizes. Cheaper at small scale (one corpus shuffle, no
+    verify join); its candidate-pair stage is the quadratic term the
+    prefix plan removes.
 
     ``max_df`` is the stopword-gram blowup guard: shingles appearing in
     more than max_df documents are dropped BEFORE pairing (a shingle in
@@ -186,6 +295,57 @@ def ngram_jaccard_pairs(
     sizes up to ~2^25 distinct shingles per bucketed join.
     """
     from pyspark import StorageLevel
+
+    if prefix_filter and lists is None and threshold > 0:
+        if max_df is not None and max_df < 1:
+            raise ValueError("ngram_jaccard_pairs: max_df must be >= 1")
+        t_eff = max(threshold - _ROUND6_SLACK, 0.0)
+        docs = _prefix_doc_sets(
+            df, id_col, text_col, n, t_eff, max_df
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        pre = docs.select(
+            F.col(id_col).alias("id"),
+            "sz",
+            F.explode(F.expr("slice(set_, 1, plen)")).alias("shingle"),
+        )
+        # bucket lists sort by (id, sz): struct field order makes the
+        # in-row i<j explode emit each unordered pair once with id_a<id_b
+        pair_structs = F.expr(
+            "flatten(transform(m, (a, i) -> "
+            "transform(slice(m, i + 2, size(m) - i - 1), "
+            "b -> struct(a.id AS id_a, b.id AS id_b, "
+            "a.sz AS sz_a, b.sz AS sz_b))))"
+        )
+        cand = (
+            pre.groupBy("shingle")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("id"), F.col("sz")))
+                ).alias("m")
+            )
+            .where(F.size("m") >= 2)
+            .select(F.explode(pair_structs).alias("p"))
+            .select("p.id_a", "p.id_b", "p.sz_a", "p.sz_b")
+            .where(
+                F.least("sz_a", "sz_b")
+                >= F.greatest("sz_a", "sz_b") * F.lit(t_eff) - F.lit(1e-9)
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        return (
+            _verify_pairs(cand, docs, id_col)
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("common")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                    6,
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
 
     # plan shape: ONE groupBy(shingle) collects the (sorted, max_df-capped)
     # doc list per shingle; co-shingle pairs come from an in-row pair
@@ -254,6 +414,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Document pairs where the SMALLER shingle set is ≥ ``threshold``
     contained in the other: ``max(|A∩B|/|A|, |A∩B|/|B|)`` — the
@@ -263,14 +424,83 @@ def containment_pairs(
     containment to catch wrapped or excerpted duplicates that
     symmetric measures can't.
 
-    Same plan as ngram_jaccard_pairs (shared bucket-list explode, one
-    corpus shuffle, ReuseExchange across the sizes/pairs branches, 60-bit
-    shingle-hash join keys, ``max_df`` hot-shingle cap); only the final
-    arithmetic differs. Output: (id_a, id_b, containment, direction)
-    where direction marks which side is the contained one ('a_in_b'
-    when |A| is the denominator of the max, 'b_in_a' otherwise;
-    'mutual' on exact ties — deterministic).
+    Default plan (``prefix_filter=True``): the one-sided prefix filter.
+    Containment ≥ t only bounds overlap by the SMALLER side
+    (|A∩B| ≥ ⌈t·min(|A|,|B|)⌉), so the prefix rule is asymmetric: a
+    qualifying pair's globally-smallest common token must lie inside the
+    smaller doc's t-prefix (the larger doc contributes its FULL set to
+    the buckets — no length filter applies, any size ratio can qualify).
+    In-row pairing sorts each bucket by (sz, id) and emits pair (i, j),
+    i<j, only when token position < plen on the i (min-size) side; on
+    size ties the overlap bound holds for both docs, so the smallest
+    common token is in both prefixes and checking i alone is lossless.
+    Exact verification then rejoins full sets (``array_intersect``).
+    Bucket lists stay full-size, but emitted candidate pairs drop by
+    ~the prefix fraction — the quadratic pair-materialization term is
+    what hurt at 5M docs (SCALING.md). ``prefix_filter=False`` or
+    ``threshold ≤ 0`` keeps the legacy single-shuffle bucket-count plan
+    (cheaper at small scale, quadratic candidate stage at large).
+
+    Output: (id_a, id_b, containment, direction) where direction marks
+    which side is the contained one ('a_in_b' when |A| is the
+    denominator of the max, 'b_in_a' otherwise; 'mutual' on exact ties —
+    deterministic). ``max_df`` hot-shingle cap as in ngram_jaccard_pairs.
     """
+    if prefix_filter and threshold > 0:
+        from pyspark import StorageLevel
+
+        if max_df is not None and max_df < 1:
+            raise ValueError("containment_pairs: max_df must be >= 1")
+        t_eff = max(threshold - _ROUND6_SLACK, 0.0)
+        docs = _prefix_doc_sets(
+            df, id_col, text_col, n, t_eff, max_df
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        pre = docs.select(
+            F.col(id_col).alias("id"),
+            "sz",
+            "plen",
+            F.posexplode("set_").alias("pos", "shingle"),
+        ).select(
+            "id", "sz", "shingle", (F.col("pos") < F.col("plen")).alias("pfx")
+        )
+        # the empty branch is slice(m, 1, 0) — an empty array of m's own
+        # struct type, keeping both CASE arms type-identical for flatten
+        pair_structs = F.expr(
+            "flatten(transform(m, (a, i) -> "
+            "transform("
+            "CASE WHEN a.pfx THEN slice(m, i + 2, size(m) - i - 1) "
+            "ELSE slice(m, 1, 0) END, "
+            "b -> struct(least(a.id, b.id) AS id_a, "
+            "greatest(a.id, b.id) AS id_b))))"
+        )
+        cand = (
+            pre.groupBy("shingle")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("sz"), F.col("id"), F.col("pfx"))
+                    )
+                ).alias("m")
+            )
+            .where(F.size("m") >= 2)
+            .select(F.explode(pair_structs).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .distinct()
+        )
+        ver = _verify_pairs(cand, docs, id_col)
+        c_ab = F.round(F.col("common") / F.col("sz_a"), 6)
+        c_ba = F.round(F.col("common") / F.col("sz_b"), 6)
+        return (
+            ver.withColumn("containment", F.greatest(c_ab, c_ba))
+            .withColumn(
+                "direction",
+                F.when(c_ab == c_ba, F.lit("mutual"))
+                .when(c_ab > c_ba, F.lit("a_in_b"))
+                .otherwise(F.lit("b_in_a")),
+            )
+            .where(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "containment", "direction")
+        )
     sh = shingles(df, id_col, text_col, n).select(
         F.col(id_col), portable_hash64(F.col("shingle")).alias("shingle")
     )
