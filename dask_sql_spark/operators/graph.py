@@ -68,9 +68,10 @@ def _two_phase_components(
             .distinct()
             .localCheckpoint()
         )
-        converged = (
-            e2.count() == E.count() and e2.exceptAll(E).isEmpty()
-        )
+        # both sides are distinct canonical sets, so set equality is an
+        # empty symmetric difference — ONE action per round (previously
+        # two counts + an exceptAll probe; r11 verdict #7)
+        converged = e2.exceptAll(E).union(E.exceptAll(e2)).isEmpty()
         E = e2
         if converged:
             # fixpoint: E is the star set — one (vertex, component-min)
@@ -98,11 +99,14 @@ def connected_components(
     driver). Min-label propagation needs O(component diameter)
     iterations. A graph still unconverged after ``switch_after``
     propagation rounds has a deep diameter — not the shallow banding
-    shape this operator is tuned for — so the remaining
-    ``max_iterations - switch_after`` budget is handed to
+    shape this operator is tuned for — so the work is handed to
     :func:`_two_phase_components` (alternating large-star/small-star
     contraction, the pointer-jumping family), which finishes in O(log n)
-    rounds regardless of diameter. Results are identical either way
+    rounds regardless of diameter, with a budget of
+    ``max(max_iterations - switch_after, 16)`` rounds — floored so a
+    tight caller budget cannot starve the rescue phase (contraction
+    halves depth per round; 16 rounds cover any practically reachable
+    depth). Results are identical either way
     (component = min reachable id); only the round count differs. If
     BOTH budgets exhaust, a ``RuntimeWarning`` is raised (round-9 audit:
     a 40-node path graph under the default 25-iteration cap previously
@@ -170,6 +174,7 @@ def connected_components(
     ) or (isinstance(comp_type, T.DecimalType) and comp_type.scale == 0)
     prev_sum = None
     converged = False
+    tried_contraction = False
     for it in range(max_iterations):
         new_labels = (
             e.join(labels.select(F.col("id").alias("b"), "comp"), "b")
@@ -198,12 +203,20 @@ def connected_components(
             break
         if it + 1 >= switch_after and max_iterations > switch_after:
             # still moving after switch_after rounds: the graph's
-            # diameter exceeds the propagation sweet spot — hand the
-            # remaining budget to the log-round star contraction, which
-            # finishes a D-diameter component in O(log D)-ish rounds
-            # instead of D - switch_after more label sweeps
+            # diameter exceeds the propagation sweet spot — hand off to
+            # the log-round star contraction, which finishes a D-diameter
+            # component in O(log D)-ish rounds instead of D-switch_after
+            # more label sweeps. The contraction budget is floored at 16
+            # rounds INDEPENDENTLY of the leftover propagation budget:
+            # contraction halves depth per round, so 16 covers any graph
+            # this operator could otherwise finish, and a tight caller
+            # budget (e.g. max_iterations=10, switch_after=8) must not
+            # starve the phase that exists to rescue exactly that case —
+            # the old 2-round remainder returned non-fixpoint labels
+            # where pure propagation would have converged (r11 advice).
+            tried_contraction = True
             alt = _two_phase_components(
-                und, verts, max_iterations - switch_after
+                und, verts, max(max_iterations - switch_after, 16)
             )
             if alt is not None:
                 return alt
@@ -211,9 +224,16 @@ def connected_components(
     if not converged:
         import warnings
 
+        extra = (
+            " (large-star/small-star contraction was attempted after "
+            f"{switch_after} propagation rounds and also exhausted its "
+            "budget)"
+            if tried_contraction
+            else ""
+        )
         warnings.warn(
             f"connected_components did not converge within "
-            f"{max_iterations} iterations; labels may not be the "
+            f"{max_iterations} iterations{extra}; labels may not be the "
             f"component minimum — raise max_iterations (graph diameter "
             f"exceeds the cap)",
             RuntimeWarning,

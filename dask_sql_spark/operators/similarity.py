@@ -208,7 +208,14 @@ def _assign_cells(c: DataFrame, cent_df: DataFrame) -> DataFrame:
     fallback re-sorts the same wide rows. This form ranks the NARROW
     (id_b, cell, acos) fan-out — WindowGroupLimit collapses it to one
     row per vector before the exchange — and rejoins ``vb`` once at
-    corpus cardinality (sf100 materialization ~40 s)."""
+    corpus cardinality (sf100 materialization ~40 s).
+
+    PRECONDITION: ``id_b`` must be unique. The narrow-rank + rejoin
+    carries the winning cell back BY ID, so a duplicated id emits one
+    output row per duplicate, all tagged with one arbitrary dup's cell
+    (the old inline window silently dropped all but one dup instead —
+    garbage either way). :func:`ivf_build_index` validates this once at
+    build time; in-memory callers own the contract."""
     fan = (
         c.crossJoin(F.broadcast(cent_df))
         .withColumn("acos", cosine(F.col("vb"), F.col("centroid")))
@@ -279,12 +286,31 @@ def ivf_build_index(
     one (distributed fit, engine-specific labels). Doubles roundtrip
     parquet bit-exactly, so a search over the index is bitwise identical
     to the in-memory :func:`ivf_topk` on the same codebook.
+
+    ``id_col`` must be unique (validated here, once): the assignment
+    rejoins the winning cell by id, so a duplicated id would fan out and
+    break the every-row-in-exactly-one-cell index invariant.
     """
     c = emb.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).cast("array<double>").alias("vb"),
     )
     spark = emb.sparkSession
+    # one-off build-time contract check — fail loudly rather than persist
+    # a corrupt index (cost: one narrow groupBy, amortized over every
+    # search the index ever serves; the vector column is pruned from it)
+    dup = (
+        c.groupBy("id_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"ivf_build_index: id column {id_col!r} must be unique; "
+            f"found duplicated id {dup[0]['id_b']!r} ({dup[0]['n']} rows)"
+        )
     if centroids is None:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -329,6 +355,73 @@ def ivf_build_index(
         f"{index_path}/corpus"
     )
     cent_df.write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+
+def ivf_insert(
+    emb_new: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    check_ids: bool = False,
+) -> None:
+    """Incrementally append new vectors to an existing
+    :func:`ivf_build_index` index WITHOUT a full rebuild — the natural
+    index-staleness answer at 100 TB, where re-assigning the whole
+    corpus per ingest batch is a non-starter.
+
+    Each new vector is assigned to its cell against the PERSISTED
+    codebook (the same :func:`_assign_cells` max-cosine rule the build
+    used, so insert-then-search is bitwise identical to
+    build-from-scratch on the union), then appended into the
+    cell-partitioned corpus: new parquet files land inside the existing
+    ``cell=N`` partition directories, so :func:`ivf_search`'s partition
+    pruning sees them with no metadata rebuild. Cost is linear in the
+    BATCH (batch × n_cells assignment fold + one batch-sized write) —
+    the resident corpus is never read.
+
+    Intra-batch id uniqueness is validated (same contract as build);
+    uniqueness AGAINST the resident corpus is the caller's contract by
+    default because checking it means scanning every resident id —
+    pass ``check_ids=True`` to pay that scan (columnar: ids only, the
+    vector column is pruned) and fail on collisions.
+
+    Appends are not transactional (plain parquet, no table format): a
+    search racing a mid-flight insert can see a subset of the new files.
+    Stage inserts into a fresh index directory + rename where that
+    matters. Centroids never move — inserting does not retrain the
+    codebook; periodically rebuild if drift degrades probe recall.
+    """
+    spark = emb_new.sparkSession
+    c = emb_new.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    dup = (
+        c.groupBy("id_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"ivf_insert: id column {id_col!r} must be unique within the "
+            f"batch; found duplicated id {dup[0]['id_b']!r} "
+            f"({dup[0]['n']} rows)"
+        )
+    if check_ids:
+        resident = spark.read.parquet(f"{index_path}/corpus").select("id_b")
+        hit = c.select("id_b").join(resident, "id_b").limit(1).collect()
+        if hit:
+            raise ValueError(
+                f"ivf_insert: id {hit[0]['id_b']!r} already present in "
+                f"the index at {index_path!r}"
+            )
+    cent_df = spark.read.parquet(f"{index_path}/centroids")
+    corpus = _assign_cells(c, cent_df)
+    corpus.write.mode("append").partitionBy("cell").parquet(
+        f"{index_path}/corpus"
+    )
 
 
 def ivf_search(

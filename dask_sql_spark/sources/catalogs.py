@@ -87,13 +87,34 @@ def read_intake_catalog(
         )
         # a parameter with no declared default would otherwise reach
         # the file scanner as literal "{{ name }}" text — fail loudly,
-        # naming what's unresolved (round-10 advisor)
-        if "{{" in out:
-            unresolved = sorted(set(re.findall(r"\{\{\s*(\w+)\s*\}\}", out)))
+        # naming what's unresolved (round-10 advisor). Keyed off the
+        # findall itself, not a raw "{{" scan: a substituted parameter
+        # VALUE legitimately containing "{{" must not re-trip the check,
+        # and a non-identifier template like "{{ a-b }}" deserves a
+        # message naming the malformed text, not an empty list (r11
+        # advice)
+        unresolved = sorted(set(re.findall(r"\{\{\s*(\w+)\s*\}\}", out)))
+        if unresolved:
             raise ValueError(
                 f"catalog entry {entry!r}: unresolved template "
                 f"parameter(s) {unresolved} in urlpath {path!r}; declare "
                 "a default in the catalog's parameters block"
+            )
+        # a malformed expression in the TEMPLATE text itself (e.g.
+        # "{{ a-b }}" — not the {{ identifier }} form) would silently
+        # reach the file scanner as a literal path; check the original
+        # path, never `out`, so a substituted parameter VALUE that
+        # legitimately contains "{{" can't false-positive
+        malformed = [
+            m
+            for m in re.findall(r"\{\{.*?\}\}", path)
+            if not re.fullmatch(r"\{\{\s*\w+\s*\}\}", m)
+        ]
+        if malformed:
+            raise ValueError(
+                f"catalog entry {entry!r}: malformed template "
+                f"expression(s) {malformed} in urlpath {path!r}; only "
+                "{{ identifier }} substitutions are supported"
             )
         return out
 
