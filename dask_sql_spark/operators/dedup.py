@@ -245,6 +245,16 @@ def _verify_pairs(cand: DataFrame, docs: DataFrame, id_col: str) -> DataFrame:
 # rounding satisfies sim >= t_eff); 1e-9 absorbs double multiply noise.
 _ROUND6_SLACK = 1e-6
 
+# prefix_filter=None auto-cutoffs, from the measured volume model
+# (SCALING.md r12): jaccard candidate pairs shrink ≈ (1−t)⁻² (both-sides
+# prefix), containment ≈ (1−t)⁻¹ (the prefix applies to the smaller side
+# only). Below ~4× reduction the pruning cannot pay for the df-ordered
+# doc-set build + verify join the prefix plan adds (sf10 t=0.12: 270 s
+# prefix vs 60 s legacy for 1.27×); above it the 100 TB candidate-shuffle
+# headroom dominates (sf10 t=0.8: 25.5× fewer candidate pairs).
+_PREFIX_AUTO_JACCARD = 0.5  # (1−t)⁻² ≥ 4
+_PREFIX_AUTO_CONTAINMENT = 0.75  # (1−t)⁻¹ ≥ 4
+
 
 def ngram_jaccard_pairs(
     df: DataFrame,
@@ -254,24 +264,33 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_df: int | None = None,
     lists: DataFrame | None = None,
-    prefix_filter: bool = True,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """All document pairs with shingle-set Jaccard ≥ threshold.
 
-    Default plan (``prefix_filter=True``, AllPairs/PPJoin): order each
+    Prefix plan (``prefix_filter=True``, AllPairs/PPJoin): order each
     doc's shingles by ascending global document frequency and emit only
     the first ``|S| − ⌈t·|S|⌉ + 1`` into the candidate self-join. Any
     pair with J ≥ t shares its globally-smallest common shingle inside
     BOTH prefixes (if the smallest common token fell outside A's prefix,
     all |A∩B| ≥ ⌈t·|A|⌉ common tokens would sit in A's last ⌈t·|A|⌉−1
     positions — impossible), so the pruned candidate set is lossless.
-    Candidates also pass the length filter ``min(|A|,|B|) ≥ t·max`` (J is
-    bounded by the size ratio), then exact verification rejoins the full
-    sets and computes |A∩B| via ``array_intersect``. At threshold 0.8
-    this cuts candidate-emission volume ~5× per bucket and candidate
-    PAIRS quadratically more — the measured scale driver at 5M docs was
-    a 26 GB candidate-pair shuffle (SCALING.md), which this bounds by
-    prefix-bucket occupancy instead of full-bucket occupancy.
+    Emissions then pass the length filter ``min(|A|,|B|) ≥ t·max`` (J is
+    bounded by the size ratio) and the PPJoin POSITIONAL filter (Xiao et
+    al. WWW'08, adapted to one global token order): a token shared at
+    positions (i, j) bounds the overlap by ``min(i,j) + 1 +
+    min(|A|−i−1, |B|−j−1)`` — common tokens ordered before it number at
+    most min(i, j) because the ordering is the SAME total order in every
+    doc — so emissions whose bound can't reach the required overlap
+    ``⌈t·(|A|+|B|)/(1+t)⌉`` are dropped before the distinct. Per-emission
+    pruning is lossless: for a true pair every common token's bound ≥
+    the actual overlap ≥ required, so every one of its emissions
+    survives. Exact verification then rejoins the full sets and computes
+    |A∩B| via ``array_intersect``. Measured at sf10/500k docs
+    (SCALING.md r12): candidate pairs drop 25.5× at t=0.8 — the
+    operator's scale driver at 5M docs was a 26 GB candidate-pair
+    shuffle, which this bounds by prefix-bucket occupancy instead of
+    full-bucket occupancy.
 
     Legacy plan (``prefix_filter=False``, automatically when
     ``threshold ≤ 0`` — a zero threshold means full-length prefixes, so
@@ -281,6 +300,18 @@ def ngram_jaccard_pairs(
     join per-doc sizes. Cheaper at small scale (one corpus shuffle, no
     verify join); its candidate-pair stage is the quadratic term the
     prefix plan removes.
+
+    ``prefix_filter=None`` (default) picks by the measured volume model:
+    per-doc emission fraction ≈ (1−t), so candidate pairs shrink
+    ≈ (1−t)⁻² — validated at sf1/sf10 (t=0.12 → 1.27×, t=0.8 → 25.5×
+    measured vs 1.29×/25× predicted). Below the ``≥ 0.5`` cutoff
+    (reduction < 4×) the pruning cannot pay for the df-ordered doc-set
+    build + verify join it adds (measured sf10 t=0.12: prefix 270 s vs
+    legacy 60 s for a 1.27× reduction), so low thresholds run the legacy
+    plan; at and above it the prefix plan wins asymptotically — at t=0.8
+    the single node pays ~2× wall at sf10 for a 25× smaller candidate
+    shuffle, which is the trade that keeps the operator alive at 5M+
+    docs where the legacy candidate stage is measured-infeasible.
 
     ``max_df`` is the stopword-gram blowup guard: shingles appearing in
     more than max_df documents are dropped BEFORE pairing (a shingle in
@@ -296,6 +327,8 @@ def ngram_jaccard_pairs(
     """
     from pyspark import StorageLevel
 
+    if prefix_filter is None:
+        prefix_filter = threshold >= _PREFIX_AUTO_JACCARD
     if prefix_filter and lists is None and threshold > 0:
         if max_df is not None and max_df < 1:
             raise ValueError("ngram_jaccard_pairs: max_df must be >= 1")
@@ -306,29 +339,56 @@ def ngram_jaccard_pairs(
         pre = docs.select(
             F.col(id_col).alias("id"),
             "sz",
-            F.explode(F.expr("slice(set_, 1, plen)")).alias("shingle"),
+            F.posexplode(F.expr("slice(set_, 1, plen)")).alias(
+                "pos", "shingle"
+            ),
         )
-        # bucket lists sort by (id, sz): struct field order makes the
-        # in-row i<j explode emit each unordered pair once with id_a<id_b
+        # bucket lists sort by (id, sz, pos): struct field order makes
+        # the in-row i<j explode emit each unordered pair once with
+        # id_a<id_b (ids are unique within a bucket — shingles are
+        # distinct per doc — so sz/pos never participate in ordering)
         pair_structs = F.expr(
             "flatten(transform(m, (a, i) -> "
             "transform(slice(m, i + 2, size(m) - i - 1), "
             "b -> struct(a.id AS id_a, b.id AS id_b, "
-            "a.sz AS sz_a, b.sz AS sz_b))))"
+            "a.sz AS sz_a, b.sz AS sz_b, "
+            "a.pos AS pa, b.pos AS pb))))"
+        )
+        # required overlap for J ≥ t: common ≥ t·(|A|+|B|)/(1+t); the
+        # −1e-9 nudge can only LOWER the requirement (fewer prunes, so
+        # float noise can't drop a true pair)
+        req = F.ceil(
+            (F.col("sz_a") + F.col("sz_b"))
+            * F.lit(t_eff / (1.0 + t_eff))
+            - F.lit(1e-9)
         )
         cand = (
             pre.groupBy("shingle")
             .agg(
                 F.sort_array(
-                    F.collect_list(F.struct(F.col("id"), F.col("sz")))
+                    F.collect_list(
+                        F.struct(F.col("id"), F.col("sz"), F.col("pos"))
+                    )
                 ).alias("m")
             )
             .where(F.size("m") >= 2)
             .select(F.explode(pair_structs).alias("p"))
-            .select("p.id_a", "p.id_b", "p.sz_a", "p.sz_b")
+            .select("p.id_a", "p.id_b", "p.sz_a", "p.sz_b", "p.pa", "p.pb")
             .where(
                 F.least("sz_a", "sz_b")
                 >= F.greatest("sz_a", "sz_b") * F.lit(t_eff) - F.lit(1e-9)
+            )
+            # PPJoin positional filter: overlap ≤ min(pa,pb) + 1 +
+            # min(|A|−pa−1, |B|−pb−1) for ANY shared token (one global
+            # order ⇒ common tokens before it ≤ min(pa, pb))
+            .where(
+                F.least("pa", "pb")
+                + 1
+                + F.least(
+                    F.col("sz_a") - F.col("pa") - 1,
+                    F.col("sz_b") - F.col("pb") - 1,
+                )
+                >= req
             )
             .select("id_a", "id_b")
             .distinct()
@@ -414,7 +474,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
-    prefix_filter: bool = True,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """Document pairs where the SMALLER shingle set is ≥ ``threshold``
     contained in the other: ``max(|A∩B|/|A|, |A∩B|/|B|)`` — the
@@ -434,18 +494,29 @@ def containment_pairs(
     i<j, only when token position < plen on the i (min-size) side; on
     size ties the overlap bound holds for both docs, so the smallest
     common token is in both prefixes and checking i alone is lossless.
+    Emissions also pass the PPJoin positional filter (see
+    :func:`ngram_jaccard_pairs` — the same per-token overlap bound
+    ``min(i,j) + 1 + min(rem_a, rem_b)``, here against the containment
+    requirement ``⌈t·min(|A|,|B|)⌉``; lossless for the same reason:
+    a true pair's every emission carries a bound ≥ actual overlap).
     Exact verification then rejoins full sets (``array_intersect``).
     Bucket lists stay full-size, but emitted candidate pairs drop by
     ~the prefix fraction — the quadratic pair-materialization term is
     what hurt at 5M docs (SCALING.md). ``prefix_filter=False`` or
     ``threshold ≤ 0`` keeps the legacy single-shuffle bucket-count plan
-    (cheaper at small scale, quadratic candidate stage at large).
+    (cheaper at small scale, quadratic candidate stage at large);
+    ``prefix_filter=None`` (default) picks the prefix plan when
+    ``threshold ≥ 0.75`` — containment's one-sided prefix prunes
+    ≈ (1−t)⁻¹, so the ~4× break-even sits higher than jaccard's 0.5
+    cutoff (see ``_PREFIX_AUTO_CONTAINMENT``).
 
     Output: (id_a, id_b, containment, direction) where direction marks
     which side is the contained one ('a_in_b' when |A| is the
     denominator of the max, 'b_in_a' otherwise; 'mutual' on exact ties —
     deterministic). ``max_df`` hot-shingle cap as in ngram_jaccard_pairs.
     """
+    if prefix_filter is None:
+        prefix_filter = threshold >= _PREFIX_AUTO_CONTAINMENT
     if prefix_filter and threshold > 0:
         from pyspark import StorageLevel
 
@@ -461,7 +532,11 @@ def containment_pairs(
             "plen",
             F.posexplode("set_").alias("pos", "shingle"),
         ).select(
-            "id", "sz", "shingle", (F.col("pos") < F.col("plen")).alias("pfx")
+            "id",
+            "sz",
+            "pos",
+            "shingle",
+            (F.col("pos") < F.col("plen")).alias("pfx"),
         )
         # the empty branch is slice(m, 1, 0) — an empty array of m's own
         # struct type, keeping both CASE arms type-identical for flatten
@@ -471,19 +546,38 @@ def containment_pairs(
             "CASE WHEN a.pfx THEN slice(m, i + 2, size(m) - i - 1) "
             "ELSE slice(m, 1, 0) END, "
             "b -> struct(least(a.id, b.id) AS id_a, "
-            "greatest(a.id, b.id) AS id_b))))"
+            "greatest(a.id, b.id) AS id_b, "
+            "a.sz AS sz_a, b.sz AS sz_b, a.pos AS pa, b.pos AS pb))))"
         )
         cand = (
             pre.groupBy("shingle")
             .agg(
                 F.sort_array(
                     F.collect_list(
-                        F.struct(F.col("sz"), F.col("id"), F.col("pfx"))
+                        F.struct(
+                            F.col("sz"),
+                            F.col("id"),
+                            F.col("pfx"),
+                            F.col("pos"),
+                        )
                     )
                 ).alias("m")
             )
             .where(F.size("m") >= 2)
             .select(F.explode(pair_structs).alias("p"))
+            # positional filter vs the containment requirement
+            # ⌈t·min(|A|,|B|)⌉ (−1e-9: the nudge only lowers the bar)
+            .where(
+                F.least("p.pa", "p.pb")
+                + 1
+                + F.least(
+                    F.col("p.sz_a") - F.col("p.pa") - 1,
+                    F.col("p.sz_b") - F.col("p.pb") - 1,
+                )
+                >= F.ceil(
+                    F.least("p.sz_a", "p.sz_b") * F.lit(t_eff) - F.lit(1e-9)
+                )
+            )
             .select("p.id_a", "p.id_b")
             .distinct()
         )

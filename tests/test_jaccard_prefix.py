@@ -208,6 +208,91 @@ def test_prefix_emission_is_a_strict_reduction(corpus_df, spark):
     assert pruned <= full * 0.75
 
 
+def test_prefix_auto_selection_by_threshold(corpus_df):
+    """prefix_filter=None resolves by the measured volume model:
+    jaccard ≥ 0.5 / containment ≥ 0.75 run the prefix plan (its verify
+    stage shows array_intersect in the optimized plan), lower thresholds
+    run the legacy bucket-count plan. Explicit True/False still force."""
+    _, df = corpus_df
+
+    def plan(q):
+        return q._jdf.queryExecution().optimizedPlan().toString()
+
+    assert "array_intersect" in plan(ngram_jaccard_pairs(df, threshold=0.5))
+    assert "array_intersect" not in plan(
+        ngram_jaccard_pairs(df, threshold=0.12)
+    )
+    assert "array_intersect" in plan(
+        ngram_jaccard_pairs(df, threshold=0.12, prefix_filter=True)
+    )
+    assert "array_intersect" in plan(containment_pairs(df, threshold=0.75))
+    assert "array_intersect" not in plan(containment_pairs(df, threshold=0.3))
+    assert "array_intersect" in plan(
+        containment_pairs(df, threshold=0.3, prefix_filter=True)
+    )
+
+
+def test_positional_filter_prunes_candidates(corpus_df, spark):
+    """The PPJoin positional filter must strictly shrink the
+    post-length-filter candidate set at a selective threshold on this
+    corpus (it contains excerpt pairs whose only shared prefix tokens sit
+    late in the larger doc), while the final pair set stays equal — the
+    equality half is already pinned by the oracle tests above, so this
+    pins the pruning half as an inequality."""
+    from pyspark.sql import functions as F
+
+    corpus, df = corpus_df
+    t = 0.8
+    t_eff = t - 1e-6
+    docs = dedup_mod._prefix_doc_sets(df, "doc_id", "text", 3, t_eff, None)
+    pre = docs.select(
+        F.col("doc_id").alias("id"),
+        "sz",
+        F.posexplode(F.expr("slice(set_, 1, plen)")).alias("pos", "shingle"),
+    )
+    pair_structs = F.expr(
+        "flatten(transform(m, (a, i) -> "
+        "transform(slice(m, i + 2, size(m) - i - 1), "
+        "b -> struct(a.id AS id_a, b.id AS id_b, a.sz AS sz_a, "
+        "b.sz AS sz_b, a.pos AS pa, b.pos AS pb))))"
+    )
+    emitted = (
+        pre.groupBy("shingle")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("id"), F.col("sz"), F.col("pos")))
+            ).alias("m")
+        )
+        .where(F.size("m") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.*")
+        .where(
+            F.least("sz_a", "sz_b")
+            >= F.greatest("sz_a", "sz_b") * F.lit(t_eff) - F.lit(1e-9)
+        )
+    )
+    without_pos = emitted.select("id_a", "id_b").distinct().count()
+    req = F.ceil(
+        (F.col("sz_a") + F.col("sz_b")) * F.lit(t_eff / (1.0 + t_eff))
+        - F.lit(1e-9)
+    )
+    with_pos = (
+        emitted.where(
+            F.least("pa", "pb")
+            + 1
+            + F.least(
+                F.col("sz_a") - F.col("pa") - 1,
+                F.col("sz_b") - F.col("pb") - 1,
+            )
+            >= req
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    assert with_pos < without_pos
+
+
 def test_prefix_random_fuzz(spark):
     """Seeded fuzz across 5 fresh corpora: prefix path == python oracle
     at a mid threshold (the regime where off-by-one prefix lengths or a

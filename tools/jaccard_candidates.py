@@ -98,28 +98,50 @@ def main() -> int:
     pre = pdocs.select(
         F.col("doc_id").alias("id"),
         "sz",
-        F.explode(F.expr("slice(set_, 1, plen)")).alias("shingle"),
+        F.posexplode(F.expr("slice(set_, 1, plen)")).alias("pos", "shingle"),
     )
     pair_structs = F.expr(
         "flatten(transform(m, (a, i) -> "
         "transform(slice(m, i + 2, size(m) - i - 1), "
-        "b -> struct(a.sz AS sz_a, b.sz AS sz_b))))"
+        "b -> struct(a.sz AS sz_a, b.sz AS sz_b, "
+        "a.pos AS pa, b.pos AS pb))))"
     )
-    out["prefix_pairs"] = (
+    emitted = (
         pre.groupBy("shingle")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct(F.col("id"), F.col("sz")))
+                F.collect_list(
+                    F.struct(F.col("id"), F.col("sz"), F.col("pos"))
+                )
             ).alias("m")
         )
         .where(F.size("m") >= 2)
         .select(F.explode(pair_structs).alias("p"))
+        .select("p.*")
         .where(
-            F.least("p.sz_a", "p.sz_b")
-            >= F.greatest("p.sz_a", "p.sz_b") * F.lit(t_eff) - F.lit(1e-9)
+            F.least("sz_a", "sz_b")
+            >= F.greatest("sz_a", "sz_b") * F.lit(t_eff) - F.lit(1e-9)
         )
-        .count()
+        .persist()
     )
+    out["prefix_pairs"] = emitted.count()
+    # after the PPJoin positional filter — the shipped emission
+    req = F.ceil(
+        (F.col("sz_a") + F.col("sz_b")) * F.lit(t_eff / (1.0 + t_eff))
+        - F.lit(1e-9)
+    )
+    out["prefix_pairs_pos"] = (
+        emitted.where(
+            F.least("pa", "pb")
+            + 1
+            + F.least(
+                F.col("sz_a") - F.col("pa") - 1,
+                F.col("sz_b") - F.col("pb") - 1,
+            )
+            >= req
+        ).count()
+    )
+    emitted.unpersist()
     out["prefix_count_sec"] = round(time.time() - t0, 1)
     if out.get("legacy_pairs"):
         out["reduction"] = round(out["legacy_pairs"] / max(out["prefix_pairs"], 1), 2)
