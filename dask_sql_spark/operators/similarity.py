@@ -174,10 +174,18 @@ def signature_join(
 
 def signature_col(vec: Column, planes: np.ndarray) -> Column:
     """Sign-bit LSH signature of a vector column against fixed hyperplanes,
-    as a single integer — pure Catalyst expressions."""
+    as a single integer — pure Catalyst expressions.
+
+    Each plane is one array ``Literal`` (``F.lit(list)``), not a
+    ``CreateArray`` of dim scalar Literals: the unrolled form built
+    n_planes×dim Column objects through py4j and handed Catalyst a
+    ~1000-node tree to analyze per call — measured 1.6 s build + 1.6 s
+    first-action analysis at 8×64, vs 0.9 + 0.4 for the single-Literal
+    form, with bit-identical signatures (guide §1.2: per-task work was
+    never the cost here, plan construction was)."""
     bits = []
     for j, plane in enumerate(planes):
-        lits = F.array(*[F.lit(float(x)) for x in plane])
+        lits = F.lit([float(x) for x in plane])
         dot = F.aggregate(
             F.zip_with(vec, lits, lambda x, y: x * y),
             F.lit(0.0),
@@ -1070,47 +1078,93 @@ def mmr_rerank(
     cand = c.join(F.broadcast(cand_ids), "id_b").select(
         "query_id", "id_b", "cos", "vb"
     )
-    # every unrolled step references cand and the selection chain; a lazy
-    # localCheckpoint (no action here — materialized once at first use)
-    # keeps the broadcast corpus scan from re-running per branch
-    cand = cand.localCheckpoint(eager=False)
-    sel = (
-        cand.withColumn("rk", F.row_number().over(wrel))
-        .where(F.col("rk") == 1)
-        .select("query_id", "id_b", "cos", "vb", F.lit(1).alias("step"))
+    # The greedy loop runs as ONE higher-order-function expression over
+    # the per-query candidate array (≤ n_candidates rows), not as k
+    # unrolled join+window+localCheckpoint steps: the unrolled chain
+    # cost (k−1) localCheckpoints ≈ 0.25-0.5 s of physical planning
+    # EACH plus ~25 driver-scheduled jobs per call (measured r12,
+    # guide §1.2/§5 — driver work, tasks were never the cost), and at
+    # scale k extra shuffles. Arithmetic is expression-for-expression
+    # the one the unrolled form ran — same zip_with/aggregate cosine
+    # folds, msim as a running max (greatest ≡ MAX aggregate for
+    # doubles incl. NaN-largest/NULL-skipped), same
+    # lam·cos − (1−lam)·msim, argmax with Spark's own comparison
+    # semantics (NaN > any, NaN = NaN) and NULL-scores-last to match
+    # the windows' `desc` NULLS LAST — so selection is bit-identical
+    # (oracle-gated). Precondition (unchanged): candidate ids non-NULL,
+    # unique per query.
+    def _cos_sql(a: str, b: str) -> str:
+        return (
+            f"try_divide(aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v), "
+            f"sqrt(aggregate({a}, CAST(0 AS DOUBLE), "
+            "(acc, v) -> acc + v * v)) * "
+            f"sqrt(aggregate({b}, CAST(0 AS DOUBLE), "
+            "(acc, v) -> acc + v * v)))"
+        )
+
+    def _best(l: str, r: str, score: str) -> str:
+        # True iff l wins over r under (score DESC NULLS LAST, id ASC) —
+        # NaN handled by Spark's own > / = (NaN largest, NaN = NaN)
+        return (
+            f"CASE WHEN {l}.{score} IS NULL AND {r}.{score} IS NULL "
+            f"THEN {l}.id_b < {r}.id_b "
+            f"WHEN {l}.{score} IS NULL THEN false "
+            f"WHEN {r}.{score} IS NULL THEN true "
+            f"WHEN {l}.{score} > {r}.{score} THEN true "
+            f"WHEN {l}.{score} < {r}.{score} THEN false "
+            f"ELSE {l}.id_b < {r}.id_b END"
+        )
+
+    idt = cand.schema["id_b"].dataType.simpleString()
+    msim_upd = (
+        "IF(acc.lastvb IS NULL, cu.msim, "
+        f"greatest(cu.msim, {_cos_sql('cu.vb', 'acc.lastvb')}))"
     )
-    for step in range(2, k + 1):
-        rem = cand.join(
-            sel.select("query_id", "id_b"), ["query_id", "id_b"], "left_anti"
-        )
-        picked = sel.select(
-            "query_id", F.col("vb").alias("sel_vb")
-        )
-        wmmr = Window.partitionBy("query_id").orderBy(
-            F.col("mmr").desc(), F.col("id_b").asc()
-        )
-        nxt = (
-            rem.join(picked, "query_id")
-            .withColumn("sim", cosine(F.col("vb"), F.col("sel_vb")))
-            .groupBy("query_id", "id_b")
-            .agg(
-                F.max("sim").alias("msim"),
-                F.first("cos").alias("cos"),
-                F.first("vb").alias("vb"),
-            )
-            .withColumn(
-                "mmr",
-                F.lit(lam) * F.col("cos") - F.lit(one_minus) * F.col("msim"),
-            )
-            .withColumn("rk", F.row_number().over(wmmr))
-            .where(F.col("rk") == 1)
-            .select("query_id", "id_b", "cos", "vb", F.lit(step).alias("step"))
-        )
-        # k·queries rows total — checkpointing the chain keeps later
-        # steps from re-deriving every earlier argmax
-        sel = sel.unionByName(nxt).localCheckpoint(eager=False)
-    return sel.select(
-        "query_id", F.col("id_b").alias("selected_id"), "step"
+    # per-iteration candidate view: running msim, and the step's ranking
+    # key — plain relevance at step 1, lam·cos − (1−lam)·msim after
+    rem2 = (
+        "transform(acc.rem, cu -> named_struct("
+        "'id_b', cu.id_b, 'cos', cu.cos, 'vb', cu.vb, "
+        f"'msim', {msim_upd}, "
+        f"'key', IF(st = 1, cu.cos, CAST({lam!r} AS DOUBLE) * cu.cos - "
+        f"CAST({one_minus!r} AS DOUBLE) * {msim_upd})))"
+    )
+    pick = (
+        f"aggregate(slice({rem2}, 2, size({rem2}) - 1), "
+        f"element_at({rem2}, 1), "
+        f"(b2, c2) -> IF({_best('c2', 'b2', 'key')}, c2, b2))"
+    )
+    step_body = (
+        "IF(size(acc.rem) = 0, acc, named_struct("
+        f"'sel', concat(acc.sel, array(named_struct("
+        f"'id_b', {pick}.id_b, 'step', st))), "
+        f"'lastvb', {pick}.vb, "
+        f"'rem', transform(filter({rem2}, r2 -> r2.id_b != {pick}.id_b), "
+        "r3 -> named_struct('id_b', r3.id_b, 'cos', r3.cos, 'vb', r3.vb, "
+        "'msim', r3.msim))))"
+    )
+    acc_init = (
+        "named_struct("
+        f"'sel', CAST(array() AS ARRAY<STRUCT<id_b: {idt}, step: INT>>), "
+        "'lastvb', CAST(NULL AS ARRAY<DOUBLE>), "
+        "'rem', transform(C, c0 -> named_struct("
+        "'id_b', c0.id_b, 'cos', c0.cos, 'vb', c0.vb, "
+        "'msim', CAST(NULL AS DOUBLE))))"
+    )
+    sel_sql = (
+        f"aggregate(sequence(1, {k}), {acc_init}, "
+        f"(acc, st) -> {step_body}, fin -> fin.sel)"
+    )
+    packed = cand.groupBy("query_id").agg(
+        F.collect_list(F.struct("id_b", "cos", "vb")).alias("C")
+    )
+    return packed.select(
+        "query_id", F.explode(F.expr(sel_sql)).alias("p")
+    ).select(
+        "query_id",
+        F.col("p.id_b").alias("selected_id"),
+        F.col("p.step").alias("step"),
     )
 
 
