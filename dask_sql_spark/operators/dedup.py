@@ -857,21 +857,34 @@ def simhash(
         .select(F.col(id_col), F.explode(toks).alias("tok"))
         .withColumn("h", portable_hash64(F.col("tok")))
     )
-    aggs = [
-        F.sum(
-            F.when(F.expr(f"shiftright(h, {j}) & 1") == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            )
-        ).alias(f"s{j}")
-        for j in range(bits)
-    ]
+    # Lane-packed aggregation (r12): sum BIT COUNTS, two 32-bit lanes per
+    # BIGINT accumulator, plus one token count n — ⌈bits/2⌉+1 aggregate
+    # buffers instead of ``bits`` CASE-WHEN ±1 sums. Bit j of the
+    # fingerprint is s_j > 0 with s_j = 2·c_j − n, so the test becomes
+    # 2·c_j > n — integer-exact, bit-identical output (A/B checksummed at
+    # sf0.1), measured ~1.25× faster on the signature stage (the
+    # aggregate-buffer update count, not the hashing, was the per-row
+    # cost). Lane headroom: counts stay exact below 2³² token
+    # occurrences PER DOCUMENT — a >4-billion-token single document is
+    # beyond any real corpus row (and would break the token explode
+    # far earlier).
+    nlanes = (bits + 1) // 2
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for kk in range(nlanes):
+        j0, j1 = 2 * kk, 2 * kk + 1
+        e = f"(shiftright(h, {j0}) & 1)"
+        if j1 < bits:
+            e += f" + shiftleft(shiftright(h, {j1}) & 1, 32)"
+        aggs.append(F.sum(F.expr(e)).alias(f"p{kk}"))
     sums = tok_h.groupBy(id_col).agg(*aggs)
     sim = F.lit(0).cast("bigint")
     for j in range(bits):
+        kk, half = divmod(j, 2)
+        c = F.expr(f"shiftright(p{kk}, {32 * half}) & 4294967295")
         # bit 63's weight is Long.MIN_VALUE in two's complement — the
         # plain 1 << 63 literal overflows the signed BIGINT domain
         w = (1 << j) - (1 << 64) if j == 63 else (1 << j)
-        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(w).cast("bigint")).otherwise(
+        sim = sim + F.when(c * 2 > F.col("n"), F.lit(w).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
     return sums.select(F.col(id_col), sim.alias("simhash"))

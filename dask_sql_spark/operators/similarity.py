@@ -818,12 +818,20 @@ def hybrid_rerank(
     q = F.broadcast(
         query_emb.select(F.col(vec_col).cast("array<double>").alias("__vq"))
     )
-    m = cands.agg(F.max("score").alias("__m"))
+    # max_bm25 as a global window over the ≤``candidates``-row relation,
+    # not a separate .agg() branch: cands is a TakeOrdered subplan and
+    # Catalyst compiles each DataFrame reference its own copy, so the
+    # agg form ran the whole BM25 pipeline (3 corpus scans) TWICE per
+    # query (guide §2.4 — duplicated subtree; verified 2× FileScan
+    # count in the before plan). The window moves ≤ candidates rows
+    # through one partition — free at any corpus size.
+    cands = cands.withColumn(
+        "__m", F.max("score").over(Window.partitionBy())
+    )
     scored = (
         F.broadcast(cands)
         .join(e, id_col)
         .crossJoin(q)
-        .crossJoin(F.broadcast(m))
         .withColumn("bm25_norm", F.round(F.col("score") / F.col("__m"), 9))
         .withColumn("cos_sim", F.round(cosine(F.col("__v"), F.col("__vq")), 9))
     )

@@ -443,13 +443,19 @@ def tfidf_top_terms(
     """
     from pyspark.sql.window import Window
 
+    raw = df
     df = ensure_parallelism(df)
     tf = (
         df.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    ndocs = df.select(
+    # N from the RAW input, not the ensure_parallelism frame: the count
+    # branch needs no explode parallelism, and routing it through the
+    # round-robin exchange re-shuffled every id for a 1-row count
+    # (measured ~0.5 s at sf0.1; at scale it is a full pointless
+    # repartition of the id column — guide §2.4, accidental exchange)
+    ndocs = raw.select(
         F.count_distinct(F.col(id_col)).alias("n_docs")
     )
     scored = (
@@ -1102,9 +1108,17 @@ def rake_keyphrases(
         )
         .where(F.col("n_words") <= max_phrase_len)
     )
+    from pyspark import StorageLevel
+
+    # dual-consumer relation (word-score aggregate + the scoring join):
+    # uncached, Catalyst compiled each consumer its own copy of the
+    # whole posexplode→window→island-groupBy pipeline — the executed
+    # plan showed the SAME 3 MB window exchange re-consumed three times
+    # (~0.65 s of repeated post-exchange work each at sf0.1; at scale,
+    # 3× the corpus phrase pass). Persisted, it is computed once.
     words = phrases.select(
         "phrase", "n_words", F.explode(F.split("phrase", " ")).alias("word")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     wscore = (
         words.groupBy("word")
         .agg(
@@ -1116,16 +1130,19 @@ def rake_keyphrases(
             F.expr("(degree * 1000000) DIV freq").alias("wscore"),
         )
     )
+    # n_occurrences folds into the scoring groupBy: each phrase instance
+    # contributes exactly n_words rows to ``words`` (inner join with
+    # wscore keeps all of them — wscore is built FROM words), so
+    # count(1) DIV n_words ≡ the old separate phrases.groupBy count —
+    # integer-exact, one fewer phrase-pipeline consumer.
     return (
         words.join(wscore, "word")
         .groupBy("phrase", "n_words")
-        .agg(F.sum("wscore").cast("bigint").alias("_total"))
-        .join(
-            phrases.groupBy("phrase").agg(
-                F.count(F.lit(1)).alias("n_occurrences")
-            ),
-            "phrase",
+        .agg(
+            F.sum("wscore").cast("bigint").alias("_total"),
+            F.count(F.lit(1)).alias("_nrows"),
         )
+        .withColumn("n_occurrences", F.expr("_nrows DIV n_words"))
         .select(
             "phrase",
             F.col("n_words").cast("int").alias("n_words"),
