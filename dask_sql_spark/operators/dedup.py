@@ -21,6 +21,7 @@ cross-engine check is needed.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -325,8 +326,6 @@ def ngram_jaccard_pairs(
     `common` by 1; at 2^60 key space that is negligible against corpus
     sizes up to ~2^25 distinct shingles per bucketed join.
     """
-    from pyspark import StorageLevel
-
     if prefix_filter is None:
         prefix_filter = threshold >= _PREFIX_AUTO_JACCARD
     if prefix_filter and lists is None and threshold > 0:
@@ -432,10 +431,15 @@ def ngram_jaccard_pairs(
             "(an uncapped lists relation explodes pairs quadratically "
             "per hot shingle)"
         )
+    # dual-consumer relation (sz_a and sz_b join sides): uncached, each
+    # side re-ran the explode+groupBy pass over the cached lists — two
+    # extra corpus-lists passes at scale, ~0.5 s at sf0.1 (r12). The
+    # relation is one compact (id, sz) row per document.
     sizes = (
         lists.select(F.explode("ids").alias(id_col))
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("sz"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pair_structs = F.expr(
         "flatten(transform(ids, (a, i) -> "
@@ -518,8 +522,6 @@ def containment_pairs(
     if prefix_filter is None:
         prefix_filter = threshold >= _PREFIX_AUTO_CONTAINMENT
     if prefix_filter and threshold > 0:
-        from pyspark import StorageLevel
-
         if max_df is not None and max_df < 1:
             raise ValueError("containment_pairs: max_df must be >= 1")
         t_eff = max(threshold - _ROUND6_SLACK, 0.0)
@@ -603,10 +605,15 @@ def containment_pairs(
     )
     if max_df is not None:
         lists = lists.where(F.size("ids") <= max_df)
+    # dual-consumer relation (sz_a and sz_b join sides): uncached, each
+    # side re-ran the explode+groupBy pass over the cached lists — two
+    # extra corpus-lists passes at scale, ~0.5 s at sf0.1 (r12). The
+    # relation is one compact (id, sz) row per document.
     sizes = (
         lists.select(F.explode("ids").alias(id_col))
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("sz"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pair_structs = F.expr(
         "flatten(transform(ids, (a, i) -> "
@@ -655,19 +662,47 @@ def minhash_signatures(
     H is the portable 60-bit md5 hash reduced mod p; (a, b) are the fixed
     MINHASH_PERMS constants, so the DuckDB oracle reproduces every value.
 
-    Scale shape: all num_perm mins are computed in a SINGLE groupBy over
-    the shingle rows — Catalyst plans a partial (map-side) aggregate, so
-    the shuffle carries one num_perm-wide row per (partition, doc), not
-    num_perm× exploded rows.
+    Scale shape (r12): the whole signature is an IN-ROW projection —
+    each doc's distinct shingles live in one array column, so every
+    permutation min is an ``array_min(transform(...))`` fold and NO
+    shuffle exists between the scan and the band explode (the previous
+    groupBy form shuffled one num_perm-wide partial row per (partition,
+    doc); guide §2.4 — remove shuffles outright). Values are identical:
+    min over the same multiset, hashed by the same md5 chain. The hash
+    array is its own projection column, which CollapseProject keeps
+    un-inlined (non-cheap expression consumed num_perm times), so the
+    md5 pass still runs once per shingle, not once per permutation.
+    Docs with zero non-empty shingles are absent, exactly like the
+    groupBy form.
     """
-    sh = shingles(df, id_col, text_col, shingle_n).withColumn(
-        "h", portable_hash64(F.col("shingle")) % MINHASH_PRIME
+    # the empty-doc screen sits AT THE SCAN on the token array (a doc
+    # yields zero shingles iff it has zero non-empty tokens — keep_short
+    # grams of 1-2 token docs are non-empty concats). Filtering later on
+    # the hash array looks equivalent but is a performance trap: the
+    # optimizer pushes the filter below the repartition by SUBSTITUTING
+    # the whole gram+md5 chain into the condition, where per-element
+    # gram access re-evaluates the tokenizer — measured 6× slower
+    # (O(tokens²) per doc) before this form pinned the predicate to _t.
+    df2 = ensure_parallelism(
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")).where(
+            F.size("_t") > 0
+        )
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
+    grams = word_ngrams(F.col("_t"), shingle_n, keep_short=True)
+    arr = F.filter(F.array_distinct(grams), lambda g: g != F.lit(""))
+    hs = F.transform(arr, lambda s: portable_hash64(s) % MINHASH_PRIME)
+    sigs = [
+        F.array_min(
+            F.transform(
+                F.col("_hs"),
+                lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME,
+            )
+        ).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS[:num_perm])
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return df2.select(F.col(id_col), hs.alias("_hs")).select(
+        F.col(id_col), *sigs
+    )
 
 
 def minhash_band_buckets(
@@ -740,8 +775,6 @@ def incremental_near_dedup(
     text) produce no buckets and pass through untouched — compose with
     :func:`incremental_dedup` for the exact-hash tier.
     """
-    from pyspark import StorageLevel
-
     batch = minhash_band_buckets(
         new_batch, id_col, text_col, num_perm, bands, shingle_n
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -780,8 +813,6 @@ def minhash_lsh_pairs(
     r = num_perm/bands rows per band, P(candidate) = 1-(1-s^r)^bands — the
     standard S-curve. Bucket join is per (band, signature) — never N².
     """
-    from pyspark import StorageLevel
-
     # one (doc, band) row per band — tiny; persisted because the bucket
     # self-join reads it twice (else the whole minhash pipeline runs 2×).
     # Plain persist, deliberately NOT pre-repartitioned on the join key:
@@ -903,8 +934,6 @@ def simhash_pairs(
     within distance k must agree exactly on ≥1 block (pigeonhole), so the
     self-join runs per (block index, block value) bucket instead of N².
     """
-    from pyspark import StorageLevel
-
     blocks = max_hamming + 1
     block_bits = bits // blocks
     # blocks× rows per doc; persisted AFTER the block explode because the
@@ -1227,8 +1256,6 @@ def pair_evidence(
     pass, never all-pairs. n_match/num_perm is a dyadic ratio —
     cross-engine exact with num_perm a power of two.
     """
-    from pyspark import StorageLevel
-
     # ONE signature build feeds both the band-bucket pair join and the
     # per-pair agreement counts (persisted: two consumers)
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n).persist(

@@ -4,6 +4,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# analyzed-plan semanticHash -> partition count. df.rdd.getNumPartitions()
+# forces a full physical planning pass (~50-60 ms per call even warm, r12
+# measurement) that the subsequent action simply repeats; the count is a
+# PARALLELISM HEURISTIC, not a correctness input, so memoizing it on the
+# analyzed plan is safe — a stale entry merely repartitions (or skips
+# repartitioning) a frame the heuristic would have treated identically.
+_PARTS_CACHE: dict[int, int] = {}
+
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Round-robin repartition when the input has fewer partitions than the
@@ -17,6 +25,16 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     partitioned (the 100 TB case, where scans carry hundreds of tasks).
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        key = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # Spark Connect or API drift: probe uncached
+        key = None
+    if key is not None and key in _PARTS_CACHE:
+        n = _PARTS_CACHE[key]
+    else:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            _PARTS_CACHE[key] = n
+    if n >= target:
         return df
     return df.repartition(target)
