@@ -9712,6 +9712,24 @@ _REATTEST = [
     # false-positive; malformed expressions get named). Hive gate
     # re-attests as the edited file's representative.
     "source_hive_table",
+    # r12 OPTIMIZATION round edits (OPTIMIZATION_r12.md): every gate
+    # whose operator code was restructured for performance this round,
+    # each verified bitwise at sf0.001/0.01/0.1 in-session after the
+    # edit — the driver rows are the belt-and-braces re-attestation.
+    "search_mmr_rerank",  # greedy loop → one HOF aggregate
+    "ann_lsh_topk",  # signature_col single-Literal planes
+    "search_hybrid_rerank",  # max_bm25 window, no dup BM25 subtree
+    "text_bm25_search",  # hybrid's stage-1 dependency, same file
+    "dedup_simhash",  # lane-packed bit-count aggregation
+    "dedup_simhash64",  # 64-bit twin of the packed form
+    "dedup_minhash_lsh",  # in-row signatures, agg shuffle removed
+    "dedup_incremental_near",  # minhash consumer
+    "pipeline_clean_corpus",  # minhash consumer
+    "pipeline_training_prep",  # minhash consumer
+    "text_tfidf_topterms",  # ndocs off the repartitioned frame
+    "text_rake_keyphrases",  # words persisted, n_occurrences fused
+    "q2_min_cost_supplier",  # EUROPE semi-join below the aggregation
+    "text_quality",  # ensure_parallelism memo representative
 ]
 
 
