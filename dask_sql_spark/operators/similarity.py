@@ -172,17 +172,33 @@ def signature_join(
     )
 
 
-def signature_col(vec: Column, planes: np.ndarray) -> Column:
+def signature_col(vec: Column | str, planes: np.ndarray) -> Column:
     """Sign-bit LSH signature of a vector column against fixed hyperplanes,
     as a single integer — pure Catalyst expressions.
 
-    Each plane is one array ``Literal`` (``F.lit(list)``), not a
-    ``CreateArray`` of dim scalar Literals: the unrolled form built
-    n_planes×dim Column objects through py4j and handed Catalyst a
-    ~1000-node tree to analyze per call — measured 1.6 s build + 1.6 s
-    first-action analysis at 8×64, vs 0.9 + 0.4 for the single-Literal
-    form, with bit-identical signatures (guide §1.2: per-task work was
-    never the cost here, plan construction was)."""
+    Pass the COLUMN NAME when you can: the whole signature is then built
+    as one ``F.expr`` SQL string — a single py4j call the JVM parses —
+    where the Column-composition form built hundreds of Column objects
+    through py4j per call (measured r12: 0.13 s vs 0.57 s warm build per
+    column at 8×64, bit-identical signatures; ``repr(float)`` emits the
+    shortest round-trip form, and the ``D`` suffix makes each element a
+    DOUBLE literal, so values are the exact same IEEE doubles the
+    ``F.lit`` path shipped). The Column form is kept as the fallback for
+    computed vector expressions."""
+    if isinstance(vec, str):
+        terms = []
+        for j, plane in enumerate(planes):
+            arr = (
+                "array("
+                + ",".join(f"{float(x)!r}D" for x in plane)
+                + ")"
+            )
+            dot = (
+                f"aggregate(zip_with({vec}, {arr}, (x, y) -> x * y), "
+                "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            terms.append(f"IF({dot} > CAST(0 AS DOUBLE), {1 << j}, 0)")
+        return F.expr(" + ".join(terms))
     bits = []
     for j, plane in enumerate(planes):
         lits = F.lit([float(x) for x in plane])
@@ -583,12 +599,24 @@ def embedding_near_dupes_lsh(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    sigs = signature_join(c, planes, id_col="id", vec_col="v")
+    # signatures INLINE on the corpus row (r12): the previous
+    # signature_join form existed because the literal expression was
+    # slow to BUILD; with signature_col's one-string F.expr form that
+    # cost is gone, and inlining deletes both the plane-fan-out
+    # groupBy(id) exchange and the sigs-rejoin join from the plan —
+    # the corpus now flows scan → project(sig) → probe explode with no
+    # shuffle before the bucket self-join. Values identical (same
+    # zip_with fold per plane, bits summed as 1<<j; sig is a join-
+    # internal key, never an output column). Long sig type preserved
+    # for bit-parity with the old shiftleft(CAST(1 AS BIGINT)) path.
+    sig_long = signature_col("v", planes).cast("long")
     probes = F.array(
         F.col("sig"),
         *[F.col("sig").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
     )
-    buckets = c.join(sigs, "id").withColumn("bucket", F.explode(probes))
+    buckets = c.withColumn("sig", sig_long).withColumn(
+        "bucket", F.explode(probes)
+    )
 
     if kernel == "fold":
         # candidate ids dedupe BEFORE scoring (a pair can meet in up to
@@ -695,12 +723,12 @@ def lsh_topk(
     c = emb.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).cast("array<double>").alias("vb"),
-    ).withColumn("sig", signature_col(F.col("vb"), planes))
+    ).withColumn("sig", signature_col("vb", planes))
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("vq"),
-    ).withColumn("qsig", signature_col(F.col("vq"), planes))
+    ).withColumn("qsig", signature_col("vq", planes))
     # multiprobe: the bucket itself + all 1-bit flips
     probes = F.array(
         F.col("qsig"), *[F.col("qsig").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
