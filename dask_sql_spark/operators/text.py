@@ -996,10 +996,17 @@ def bm25_search(
     qterms = sorted({t for t in query.lower().strip().split() if t})
     if not qterms:
         raise ValueError("query must contain at least one token")
+    from pyspark import StorageLevel
+
     df = ensure_parallelism(df)
+    # dual-consumer relation (corpus stats agg + the per-doc scoring
+    # join): uncached, each consumer re-scanned and re-tokenized the
+    # corpus (Catalyst compiles separate subtree copies — the same
+    # finding as hybrid_rerank's max_bm25 branch). One narrow
+    # (id, dl) row per document.
     lens = df.select(
         F.col(id_col), token_count(F.col(text_col)).alias("dl")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     stats = lens.agg(
         F.sum("dl").alias("total_dl"), F.count(F.lit(1)).alias("n_docs")
     )
