@@ -895,10 +895,12 @@ def simhash(
     # 2·c_j > n — integer-exact, bit-identical output (A/B checksummed at
     # sf0.1), measured ~1.25× faster on the signature stage (the
     # aggregate-buffer update count, not the hashing, was the per-row
-    # cost). Lane headroom: counts stay exact below 2³² token
-    # occurrences PER DOCUMENT — a >4-billion-token single document is
-    # beyond any real corpus row (and would break the token explode
-    # far earlier).
+    # cost). Lane headroom: the packed signed-BIGINT sum (low lane up
+    # to n plus high lane c·2³²) overflows at n ≥ 2³¹ token occurrences
+    # PER DOCUMENT, and under the engine's ANSI default that overflow
+    # THROWS rather than corrupting — a >2-billion-token single
+    # document is beyond any real corpus row (and would break the
+    # token explode far earlier).
     nlanes = (bits + 1) // 2
     aggs = [F.count(F.lit(1)).alias("n")]
     for kk in range(nlanes):

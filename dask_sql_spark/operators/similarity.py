@@ -186,6 +186,14 @@ def signature_col(vec: Column | str, planes: np.ndarray) -> Column:
     ``F.lit`` path shipped). The Column form is kept as the fallback for
     computed vector expressions."""
     if isinstance(vec, str):
+        if not np.isfinite(planes).all():
+            raise ValueError(
+                "signature_col: planes must be finite (inf/nan would "
+                "emit invalid SQL literals on the string path)"
+            )
+        # backtick-quote so names with spaces/dashes/dots parse as one
+        # identifier (embedded backticks escaped by doubling, per SQL)
+        vref = "`" + vec.replace("`", "``") + "`"
         terms = []
         for j, plane in enumerate(planes):
             arr = (
@@ -194,7 +202,7 @@ def signature_col(vec: Column | str, planes: np.ndarray) -> Column:
                 + ")"
             )
             dot = (
-                f"aggregate(zip_with({vec}, {arr}, (x, y) -> x * y), "
+                f"aggregate(zip_with({vref}, {arr}, (x, y) -> x * y), "
                 "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
             )
             terms.append(f"IF({dot} > CAST(0 AS DOUBLE), {1 << j}, 0)")
@@ -1082,7 +1090,21 @@ def mmr_rerank(
 
     Output: (query_id, selected_id, step) with step 1..k in selection
     order; step 1 is the plain relevance argmax.
+
+    Memory bound (§5): the rerank packs each query's candidate rows into
+    ONE aggregation row of ``n_candidates × dim`` doubles, so
+    ``n_candidates`` must stay a rerank-sized input (10²-10³), never a
+    corpus cardinality — guarded below rather than left to an executor
+    OOM.
     """
+    if k < 1:
+        raise ValueError(f"mmr_rerank: require k >= 1, got {k}")
+    if not 1 <= n_candidates <= 100_000:
+        raise ValueError(
+            "mmr_rerank: n_candidates must be a bounded rerank input "
+            f"(1..100000), got {n_candidates} — the per-query candidate "
+            "set is packed into a single aggregation row"
+        )
     one_minus = 1.0 - lam
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -1157,28 +1179,43 @@ def mmr_rerank(
         "IF(acc.lastvb IS NULL, cu.msim, "
         f"greatest(cu.msim, {_cos_sql('cu.vb', 'acc.lastvb')}))"
     )
-    # per-iteration candidate view: running msim, and the step's ranking
-    # key — plain relevance at step 1, lam·cos − (1−lam)·msim after
+    # Interpreted HOF evaluation has NO common-subexpression elimination:
+    # every textual splice of a subexpression re-runs it (r12 verdict —
+    # the O(n·dim) msim cosine fold ran ~14× per step through the
+    # rem2/pick duplication). Each shared value is therefore bound ONCE
+    # per step with the let-binding idiom
+    # ``element_at(transform(array(<expr>), x -> <body>), 1)``: the
+    # single-element array materializes <expr> exactly once and <body>
+    # references the lambda variable. Arithmetic is unchanged
+    # expression-for-expression, so selection stays bit-identical
+    # (oracle-gated).
+    #
+    # per-iteration candidate view: running msim (bound once per
+    # candidate as ``m``), and the step's ranking key — plain relevance
+    # at step 1, lam·cos − (1−lam)·msim after
     rem2 = (
-        "transform(acc.rem, cu -> named_struct("
+        "transform(acc.rem, cu -> element_at(transform("
+        f"array({msim_upd}), m -> named_struct("
         "'id_b', cu.id_b, 'cos', cu.cos, 'vb', cu.vb, "
-        f"'msim', {msim_upd}, "
+        "'msim', m, "
         f"'key', IF(st = 1, cu.cos, CAST({lam!r} AS DOUBLE) * cu.cos - "
-        f"CAST({one_minus!r} AS DOUBLE) * {msim_upd})))"
+        f"CAST({one_minus!r} AS DOUBLE) * m))), 1))"
     )
     pick = (
-        f"aggregate(slice({rem2}, 2, size({rem2}) - 1), "
-        f"element_at({rem2}, 1), "
+        "aggregate(slice(R, 2, size(R) - 1), "
+        "element_at(R, 1), "
         f"(b2, c2) -> IF({_best('c2', 'b2', 'key')}, c2, b2))"
     )
     step_body = (
-        "IF(size(acc.rem) = 0, acc, named_struct("
-        f"'sel', concat(acc.sel, array(named_struct("
-        f"'id_b', {pick}.id_b, 'step', st))), "
-        f"'lastvb', {pick}.vb, "
-        f"'rem', transform(filter({rem2}, r2 -> r2.id_b != {pick}.id_b), "
+        "IF(size(acc.rem) = 0, acc, "
+        f"element_at(transform(array({rem2}), R -> "
+        f"element_at(transform(array({pick}), p -> named_struct("
+        "'sel', concat(acc.sel, array(named_struct("
+        "'id_b', p.id_b, 'step', st))), "
+        "'lastvb', p.vb, "
+        "'rem', transform(filter(R, r2 -> r2.id_b != p.id_b), "
         "r3 -> named_struct('id_b', r3.id_b, 'cos', r3.cos, 'vb', r3.vb, "
-        "'msim', r3.msim))))"
+        "'msim', r3.msim)))), 1)), 1))"
     )
     acc_init = (
         "named_struct("

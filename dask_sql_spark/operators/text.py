@@ -1003,7 +1003,10 @@ def bm25_search(
     # join): uncached, each consumer re-scanned and re-tokenized the
     # corpus (Catalyst compiles separate subtree copies — the same
     # finding as hybrid_rerank's max_bm25 branch). One narrow
-    # (id, dl) row per document.
+    # (id, dl) row per document. Cache lifetime: the block lives for
+    # the session (MEMORY_AND_DISK, evicted under pressure) — same
+    # per-call contract as ngram_doc_lists; query-loop callers that
+    # care should spark.catalog.clearCache() between batches.
     lens = df.select(
         F.col(id_col), token_count(F.col(text_col)).alias("dl")
     ).persist(StorageLevel.MEMORY_AND_DISK)

@@ -10,7 +10,13 @@ from pyspark.sql import DataFrame
 # PARALLELISM HEURISTIC, not a correctness input, so memoizing it on the
 # analyzed plan is safe — a stale entry merely repartitions (or skips
 # repartitioning) a frame the heuristic would have treated identically.
+# Bounded (r13): evict oldest entries past _PARTS_CACHE_MAX so a
+# long-lived driver session cannot grow it without limit, and a stale
+# hit (same semanticHash, rewritten files) ages out instead of living
+# forever.  dicts preserve insertion order, so popping the first key is
+# FIFO eviction — adequate for a heuristic cache.
 _PARTS_CACHE: dict[int, int] = {}
+_PARTS_CACHE_MAX = 4096
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -34,6 +40,8 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     else:
         n = df.rdd.getNumPartitions()
         if key is not None:
+            while len(_PARTS_CACHE) >= _PARTS_CACHE_MAX:
+                _PARTS_CACHE.pop(next(iter(_PARTS_CACHE)))
             _PARTS_CACHE[key] = n
     if n >= target:
         return df
