@@ -16,11 +16,14 @@ Catalyst-visible (no UDF, no python in the hot path).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dask_sql_spark.operators.dedup import cosine
+from dask_sql_spark.operators.util import ensure_parallelism
 
 
 def _exact_sum(col: Column, scale: float) -> Column:
@@ -222,71 +225,135 @@ def signature_col(vec: Column | str, planes: np.ndarray) -> Column:
     return out
 
 
-def _assign_cells(c: DataFrame, cent_df: DataFrame) -> DataFrame:
-    """Assign each (id_b, vb) corpus vector to its max-cosine centroid
-    cell (deterministic tie-break: smallest cell id — max_by on the
-    (acos, -cell) struct picks max cosine, then min cell, the same
-    decision as ORDER BY acos DESC, cell ASC).
+def _collect_codebook(cent_df: DataFrame) -> list[tuple[int, list[float]]]:
+    """Materialize the (cell, centroid) codebook to the driver as plain
+    Python rows. The codebook is DRIVER-SIZED BY CONSTRUCTION (n_cells
+    entries — index metadata, the same class of bounded collect as
+    :func:`ivf_search`'s probed-cell set, never corpus rows), and the
+    old broadcast-join form moved exactly the same bytes driver-ward to
+    build the broadcast relation anyway."""
+    rows = cent_df.select("cell", "centroid").collect()
+    out = [(int(r["cell"]), [float(x) for x in r["centroid"]]) for r in rows]
+    out.sort()
+    return out
 
-    Shape (round-11 measurement — the same rule as the round-10 MMR
-    fix: a per-key ranking exchange must never carry the vector
-    column). The original formulation ranked rows whose OUTPUT kept
-    ``vb``, so the corpus × n_cells fan-out sorted and shuffled with
-    the ~0.5 KB vector payload attached (sf100: 32M rows ≈ 17 GB,
-    245 s just to materialize; `corpus.count()` could never see it —
-    column pruning drops the vector under a count, which is how the
-    shape survived). A max_by aggregate was tried and is no better:
-    its struct-typed buffer forces ObjectHashAggregate, whose sort
-    fallback re-sorts the same wide rows. This form ranks the NARROW
-    (id_b, cell, acos) fan-out — WindowGroupLimit collapses it to one
-    row per vector before the exchange — and rejoins ``vb`` once at
-    corpus cardinality (sf100 materialization ~40 s).
 
-    PRECONDITION: ``id_b`` must be unique. The narrow-rank + rejoin
-    carries the winning cell back BY ID, so a duplicated id emits one
-    output row per duplicate, all tagged with one arbitrary dup's cell
-    (the old inline window silently dropped all but one dup instead —
-    garbage either way). :func:`ivf_build_index` validates this once at
-    build time; in-memory callers own the contract."""
-    fan = (
-        c.crossJoin(F.broadcast(cent_df))
-        .withColumn("acos", cosine(F.col("vb"), F.col("centroid")))
-        .select("id_b", "cell", "acos")
-    )
-    best = (
-        fan.withColumn(
-            "arank",
-            F.row_number().over(
-                Window.partitionBy("id_b").orderBy(
-                    F.col("acos").desc(), F.col("cell")
-                )
-            ),
+def _codebook_sql(cent_rows: list[tuple[int, list[float]]]) -> str:
+    """SQL literal ``array<struct<nc:int, vc:array<double>, nb:double>>``
+    for an in-row scan over the codebook: nc = -cell (so lexicographic
+    struct MAX breaks cosine ties toward the SMALLEST cell id), vc the
+    centroid, nb its precomputed norm. ``repr(float)``+``D`` literals
+    round-trip the exact IEEE doubles (the r12 signature_col discipline)
+    and nb replays Spark's own sequential ``acc + v*v`` fold + sqrt in
+    Python doubles — identical operations, identical bits — so dropping
+    the per-row centroid-norm folds changes no value."""
+    items = []
+    for cell, vec in cent_rows:
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"
+        acc = 0.0
+        for x in vec:
+            acc = acc + float(x) * float(x)
+        nb = math.sqrt(acc)
+        items.append(
+            f"named_struct('nc', {-cell}, 'vc', {arr}, 'nb', {nb!r}D)"
         )
-        .where(F.col("arank") == 1)
-        .select("id_b", "cell")
+    return "array(" + ", ".join(items) + ")"
+
+
+def _cell_scores_sql(vec: str, cent_rows: list[tuple[int, list[float]]]) -> str:
+    """``array<struct<acos:double, nc:int>>`` — the vector's cosine
+    against every codebook centroid, computed IN-ROW (guide §2.4: no
+    fan-out rows, no ranking exchange, no rejoin). The arithmetic is the
+    exact :func:`dask_sql_spark.operators.dedup.cosine` fold
+    (zip_with dot, sequential ``acc + v*v`` norms, try_divide), with the
+    vector's own norm bound ONCE via the single-element-array let idiom
+    (interpreted HOFs have no CSE — r12/r13 MMR finding) and the
+    centroid norms folded at plan-build time (see _codebook_sql).
+
+    Ordering equivalence with the old ``row_number() OVER (ORDER BY
+    acos DESC, cell ASC)`` windows: struct comparison comes with
+    null-field-smallest and NaN-largest semantics — exactly the window's
+    ``DESC NULLS LAST`` with NaN-first — and nc = -cell turns the
+    ASC cell tie-break into a struct MAX / descending sort."""
+    cents = _codebook_sql(cent_rows)
+    dot = (
+        f"aggregate(zip_with({vec}, ct.vc, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    return c.join(best, "id_b").select("id_b", "vb", "cell")
+    na = (
+        f"sqrt(aggregate({vec}, CAST(0 AS DOUBLE), "
+        "(acc, v) -> acc + v * v))"
+    )
+    return (
+        f"element_at(transform(array({na}), nv -> "
+        f"transform({cents}, ct -> named_struct("
+        f"'acos', try_divide({dot}, nv * ct.nb), 'nc', ct.nc))), 1)"
+    )
+
+
+def _assign_cells(
+    c: DataFrame,
+    cent_df: DataFrame | None,
+    cent_rows: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Assign each (id_b, vb) corpus vector to its max-cosine centroid
+    cell (deterministic tie-break: smallest cell id — the same decision
+    as ORDER BY acos DESC, cell ASC).
+
+    Shape (r13; guide §2.4 remove shuffles outright): the assignment is
+    a pure IN-ROW projection — ``array_max`` over the per-row
+    _cell_scores_sql array against the collected codebook literal. The
+    corpus flows scan → project(cell) with NO exchange at all. The r11
+    narrow-rank form (fan-out rows → window → rejoin by id) still
+    shuffled the narrow fan AND re-shuffled the full vector payload
+    through the rejoin's sort-merge join at build scale; this removes
+    both, and with them 2 of the 3 driver jobs the old plan needed
+    (profile_query r13: ann_ivf_topk 7 jobs → see OPTIMIZATION_r13.md).
+
+    Duplicate ``id_b`` rows (a contract violation — uniqueness is
+    validated by :func:`ivf_build_index`) now each keep their own row
+    and own cell instead of all inheriting one arbitrary dup's cell."""
+    if cent_rows is None:
+        cent_rows = _collect_codebook(cent_df)
+    if not cent_rows:
+        # empty codebook: the old crossJoin produced zero rows
+        return (
+            c.select("id_b", "vb")
+            .withColumn("cell", F.lit(0).cast("int"))
+            .where(F.lit(False))
+        )
+    best = f"array_max({_cell_scores_sql('`vb`', cent_rows)})"
+    return c.select(
+        "id_b", "vb", F.expr(f"CAST(-({best}.nc) AS INT)").alias("cell")
+    )
 
 
 def _rank_query_cells(
-    q: DataFrame, cent_df: DataFrame, n_probe: int
+    q: DataFrame,
+    cent_df: DataFrame | None,
+    n_probe: int,
+    cent_rows: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """(query_id, vq, cell) — each query's n_probe nearest cells by
-    centroid cosine, deterministic tie-break on cell id."""
-    return (
-        q.crossJoin(F.broadcast(cent_df))
-        .withColumn("ccos", cosine(F.col("vq"), F.col("centroid")))
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("ccos").desc(), F.col("cell")
-                )
-            ),
+    centroid cosine, deterministic tie-break on cell id. In-row form
+    (r13): descending ``sort_array`` over the per-row codebook scores,
+    slice the top n_probe, explode — no crossJoin fan-out, no window
+    exchange (ordering equivalence in _cell_scores_sql's docstring)."""
+    if cent_rows is None:
+        cent_rows = _collect_codebook(cent_df)
+    if not cent_rows or n_probe <= 0:
+        return (
+            q.select("query_id", "vq")
+            .withColumn("cell", F.lit(0).cast("int"))
+            .where(F.lit(False))
         )
-        .where(F.col("crank") <= n_probe)
-        .select("query_id", "vq", "cell")
+    top = (
+        f"slice(sort_array({_cell_scores_sql('`vq`', cent_rows)}, false), "
+        f"1, {int(n_probe)})"
     )
+    return q.select(
+        "query_id", "vq", F.explode(F.expr(top)).alias("pc")
+    ).select("query_id", "vq", F.expr("CAST(-(pc.nc) AS INT)").alias("cell"))
 
 
 def ivf_build_index(
@@ -543,23 +610,27 @@ def ivf_topk(
         )
         model = kmeans.fit(feat)
         corpus = model.transform(feat).select("id_b", "vb", "cell")
-        cent_rows = [
+        # the codebook is already a driver-side list — no Spark frame,
+        # no collect needed for the in-row query-cell ranking
+        cent_rows = sorted(
             (i, [float(x) for x in ctr])
             for i, ctr in enumerate(model.clusterCenters())
-        ]
-        cent_df = spark.createDataFrame(
-            cent_rows, "cell INT, centroid ARRAY<DOUBLE>"
         )
     else:
-        cent_df = centroids.select("cell", "centroid")
-        corpus = _assign_cells(c, cent_df)
+        cent_rows = _collect_codebook(centroids.select("cell", "centroid"))
+        # in-row assignment (scan → project, no exchange); the
+        # repartition only fires when the scan is under-parallel (small
+        # local files) — at scale the scan's own splits carry it
+        corpus = _assign_cells(
+            ensure_parallelism(c), None, cent_rows=cent_rows
+        )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("vq"),
     )
     # rank the query's cells by centroid cosine; keep the top n_probe
-    q_cells = _rank_query_cells(q, cent_df, n_probe)
+    q_cells = _rank_query_cells(q, None, n_probe, cent_rows=cent_rows)
     scored = (
         corpus.join(F.broadcast(q_cells), on="cell")
         .where(F.col("query_id") != F.col("id_b"))
