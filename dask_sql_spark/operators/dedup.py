@@ -691,17 +691,22 @@ def minhash_signatures(
     grams = word_ngrams(F.col("_t"), shingle_n, keep_short=True)
     arr = F.filter(F.array_distinct(grams), lambda g: g != F.lit(""))
     hs = F.transform(arr, lambda s: portable_hash64(s) % MINHASH_PRIME)
-    sigs = [
-        F.array_min(
-            F.transform(
-                F.col("_hs"),
-                lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME,
-            )
-        ).alias(f"mh{i}")
+    # the num_perm folds ship as ONE selectExpr: the F.transform lambda
+    # machinery costs ~15 py4j round trips per permutation (~0.5 s of
+    # driver wall per plan BUILD at num_perm=16, re-paid on every bench
+    # pass — r13 cProfile), where one selectExpr is a single call and
+    # the JVM parses the folds in-process. Expression semantics are
+    # token-identical: {a}/{b}/p are int32 literals in both forms, so
+    # int*bigint→bigint arithmetic and the array_min fold match the old
+    # Column form bit-for-bit (oracle-hash-verified at 3 SFs).
+    sig_exprs = [
+        f"array_min(transform(_hs, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+        f" AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_PERMS[:num_perm])
     ]
-    return df2.select(F.col(id_col), hs.alias("_hs")).select(
-        F.col(id_col), *sigs
+    qid = "`" + id_col.replace("`", "``") + "`"
+    return df2.select(F.col(id_col), hs.alias("_hs")).selectExpr(
+        qid, *sig_exprs
     )
 
 
@@ -726,22 +731,24 @@ def minhash_band_buckets(
         if sigs is not None
         else minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"mh{b * rows_per_band + j}").cast("string")
-                        for j in range(rows_per_band)
-                    ],
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
+    # one selectExpr instead of the nested struct/concat_ws Column tree
+    # (~50 py4j round trips per build — same rationale and equivalence
+    # as the signature folds above: int32 band literals, identical
+    # concat_ws('_', CAST(mh AS STRING)...) buckets)
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', concat_ws('_', {parts}))".format(
+            b=b,
+            parts=", ".join(
+                f"CAST(mh{b * rows_per_band + j} AS STRING)"
+                for j in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
     )
-    return sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+    qid = "`" + id_col.replace("`", "``") + "`"
+    return sig.selectExpr(
+        qid, f"explode(array({band_structs})) AS bb"
+    ).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
@@ -910,17 +917,28 @@ def simhash(
             e += f" + shiftleft(shiftright(h, {j1}) & 1, 32)"
         aggs.append(F.sum(F.expr(e)).alias(f"p{kk}"))
     sums = tok_h.groupBy(id_col).agg(*aggs)
-    sim = F.lit(0).cast("bigint")
+    # the bits-term fingerprint assembly ships as ONE selectExpr — the
+    # old chained Column form (F.when per bit, + per term) cost ~11 py4j
+    # round trips per bit per plan build (r13 cProfile: build time is
+    # re-paid on every bench pass; guide §1.2). The SQL text is the
+    # same expression tree: CASE WHEN 2·c_j > n THEN 1<<j ELSE 0, summed
+    # left-associatively over exact BIGINTs. Bit 63's weight is
+    # Long.MIN_VALUE in two's complement — shiftleft(1L, 63) produces
+    # exactly that bit pattern where a -9223372036854775808 literal
+    # would parse as decimal; shiftleft constant-folds for every j.
+    terms = []
     for j in range(bits):
         kk, half = divmod(j, 2)
-        c = F.expr(f"shiftright(p{kk}, {32 * half}) & 4294967295")
-        # bit 63's weight is Long.MIN_VALUE in two's complement — the
-        # plain 1 << 63 literal overflows the signed BIGINT domain
-        w = (1 << j) - (1 << 64) if j == 63 else (1 << j)
-        sim = sim + F.when(c * 2 > F.col("n"), F.lit(w).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
+        terms.append(
+            f"(CASE WHEN (shiftright(p{kk}, {32 * half}) & 4294967295)"
+            f" * 2 > n THEN shiftleft(CAST(1 AS BIGINT), {j})"
+            f" ELSE CAST(0 AS BIGINT) END)"
         )
-    return sums.select(F.col(id_col), sim.alias("simhash"))
+    qid = "`" + id_col.replace("`", "``") + "`"
+    return sums.selectExpr(
+        qid,
+        "(CAST(0 AS BIGINT) + " + " + ".join(terms) + ") AS simhash",
+    )
 
 
 def simhash_pairs(
