@@ -1041,30 +1041,39 @@ def quantize_embeddings(
             F.lit(1.0)
         ),
     )
-    q_of = lambda x: F.floor(x / F.col("_step") + F.lit(0.5))  # noqa: E731
-    err_of = lambda x: F.abs(x - q_of(x) * F.col("_step"))  # noqa: E731
+    # the audit folds ship as F.expr SQL text over the bound _vd/_step
+    # columns — the old nested-lambda Column form cost ~500 py4j round
+    # trips per plan build (r13, guide §1.2). Literal care: 0.5D/1.0E12
+    # are DOUBLE (a bare SQL 0.5 parses as DECIMAL and would change the
+    # arithmetic); floor(double) is BIGINT in both forms; otherwise the
+    # SQL is token-identical to the old lambdas and the gate hashes
+    # pin equality.
+    q_sql = "floor({x} / _step + 0.5D)"
+    err_sql = "abs({x} - " + q_sql + " * _step)"
     return out.select(
         id_col,
         *keep_cols,
-        F.transform(F.col("_vd"), lambda x: q_of(x).cast("int")).alias("qvec"),
+        F.expr(
+            "transform(_vd, x -> CAST("
+            + q_sql.format(x="x")
+            + " AS INT))"
+        ).alias("qvec"),
         F.round(F.col("_scale"), round_digits).alias("scale"),
-        F.size(
-            F.filter(F.col("_vd"), lambda x: F.abs(q_of(x)) == 127)
-        ).cast("long").alias("n_sat"),
-        F.round(
-            F.array_max(F.transform(F.col("_vd"), err_of)), round_digits
+        F.expr(
+            "CAST(size(filter(_vd, x -> abs("
+            + q_sql.format(x="x")
+            + ") = 127)) AS BIGINT)"
+        ).alias("n_sat"),
+        F.expr(
+            "round(array_max(transform(_vd, x -> "
+            + err_sql.format(x="x")
+            + f")), {round_digits})"
         ).alias("max_err"),
-        F.round(
-            F.aggregate(
-                F.transform(
-                    F.col("_vd"),
-                    lambda x: F.round(err_of(x) * F.lit(1e12)).cast("long"),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).cast("double")
-            / F.lit(1e12),
-            round_digits,
+        F.expr(
+            "round(CAST(aggregate(transform(_vd, x -> "
+            "CAST(round(" + err_sql.format(x="x") + " * 1.0E12) AS BIGINT)"
+            "), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)"
+            f" / 1.0E12, {round_digits})"
         ).alias("sum_err"),
     )
 

@@ -101,60 +101,73 @@ def score_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     df = ensure_parallelism(df)
     t = F.col(text_col)
-    # BPE-ish pieces: word chunks, digit runs, single punctuation marks
-    pieces = F.filter(
-        F.split(
-            F.regexp_replace(t, r"([^\sA-Za-z0-9]|\d+)", r" $1 "), _WS
-        ),
-        lambda p: p != F.lit(""),
-    )
     n_chars = F.length(t)
     n_punct = n_chars - F.length(F.regexp_replace(t, _PUNCT_CLASS, ""))
     n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
-    # bind the token array to a (dropped) column so the tokenize split
-    # evaluates once, not once per consuming expression after
-    # projection collapse (same discipline as dedup.shingles; measured
-    # 1.3× at sf1, identical output)
+    # bind the token array (and the raw BPE-ish piece split: word
+    # chunks, digit runs, single punctuation marks) to dropped columns
+    # so each split evaluates once, not once per consuming expression
+    # after projection collapse (same discipline as dedup.shingles;
+    # measured 1.3× at sf1, identical output)
     tok_col = "__toks"
     while tok_col in df.columns:  # never clobber (then drop) a user column
         tok_col += "_"
-    tmp = df.withColumn(tok_col, tokens(t))
-    toks = F.col(tok_col)
-    n_toks = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS["en"])))
-    mean_word_len = F.when(
-        n_toks > 0,
-        F.round(
-            F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w)).cast(
-                "double"
-            )
-            / n_toks,
-            4,
-        ),
-    ).otherwise(F.lit(0.0))
+    pieces_col = "__pieces"
+    while pieces_col in df.columns:
+        pieces_col += "_"
+    tmp = df.withColumns(
+        {
+            tok_col: tokens(t),
+            pieces_col: F.split(
+                F.regexp_replace(t, r"([^\sA-Za-z0-9]|\d+)", r" $1 "), _WS
+            ),
+        }
+    )
+    n_toks = F.size(F.col(tok_col))
     safe = F.when(n_chars > 0, n_chars).otherwise(F.lit(1))
-    scores = {
-        lang: F.size(F.filter(toks, lambda w: w.isin(words)))
+    # the lambda-HOF parts (stopword IN-filters per language, the
+    # length-fold, the piece filter) ship as F.expr SQL text: each
+    # F.filter/F.aggregate lambda costs ~15 py4j round trips at plan
+    # BUILD (r13, re-paid every bench pass; guide §1.2), one parsed
+    # string costs 1. The SQL is token-identical to the old Column
+    # form — `w IN (...)` IS Column.isin, 0.0D is the double literal
+    # F.lit(0.0) built, the CASE arms keep the insertion-order language
+    # priority, and the regex splits stay in the Column API (regex
+    # metacharacters never transit SQL string-literal escaping).
+    score_sql = {
+        lang: "size(filter({tc}, w -> w IN ({ws})))".format(
+            tc=tok_col, ws=", ".join("'" + w + "'" for w in words)
+        )
         for lang, words in STOPWORDS.items()
     }
-    best = F.greatest(*scores.values())
-    lang_expr = F.when(best == 0, F.lit("und"))
+    best_sql = "greatest(" + ", ".join(score_sql.values()) + ")"
+    lang_sql = "CASE WHEN " + best_sql + " = 0 THEN 'und'"
     for lang in STOPWORDS:  # insertion order = fixed priority for ties
-        lang_expr = lang_expr.when(scores[lang] == best, F.lit(lang))
+        lang_sql += (
+            f" WHEN {score_sql[lang]} = {best_sql} THEN '{lang}'"
+        )
+    lang_sql += " END"
+    mean_word_len = F.expr(
+        f"CASE WHEN size({tok_col}) > 0 THEN round(CAST(aggregate("
+        f"{tok_col}, 0, (acc, w) -> acc + length(w)) AS DOUBLE)"
+        f" / size({tok_col}), 4) ELSE 0.0D END"
+    )
     return tmp.withColumns(
         {
             "n_tokens": n_toks,
-            "n_pieces": F.size(pieces),
+            "n_pieces": F.expr(f"size(filter({pieces_col}, p -> p != ''))"),
             "n_chars_m": n_chars,
             "punct_ratio": F.round(n_punct.cast("double") / safe, 4),
             "digit_ratio": F.round(n_digit.cast("double") / safe, 4),
-            "stopword_ratio": F.when(
-                n_toks > 0, F.round(n_stop.cast("double") / n_toks, 4)
-            ).otherwise(F.lit(0.0)),
+            "stopword_ratio": F.expr(
+                f"CASE WHEN size({tok_col}) > 0 THEN round(CAST("
+                f"{score_sql['en']} AS DOUBLE) / size({tok_col}), 4)"
+                f" ELSE 0.0D END"
+            ),
             "mean_word_len": mean_word_len,
-            "lang_guess": lang_expr,
+            "lang_guess": F.expr(lang_sql),
         }
-    ).drop(tok_col)
+    ).drop(tok_col, pieces_col)
 
 
 #: every column :func:`score_documents` appends (= may REPLACE on input)

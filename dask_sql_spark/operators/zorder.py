@@ -24,16 +24,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _interleave(scaled: list[Column], bits: int) -> Column:
+def _interleave(scaled: list[str], bits: int) -> Column:
+    # ONE parsed SQL string instead of the old bits×ndim chained
+    # Column loop (~8 py4j round trips per bit at plan build, re-paid
+    # per bench pass — r13, guide §1.2). Same expression tree: the
+    # scaled inputs are already BIGINT (CAST..DIV), so the CAST is the
+    # same no-op the old .cast("bigint") was, and the OR chain keeps
+    # the (d outer, i inner) association order. Bitwise ops are exact;
+    # output is bit-identical.
     ndim = len(scaled)
-    key = F.lit(0).cast("bigint")
+    key = "CAST(0 AS BIGINT)"
     for d, c in enumerate(scaled):
         for i in range(bits):
-            bit = F.shiftright(c, i).cast("bigint").bitwiseAND(
-                F.lit(1).cast("bigint")
+            key += (
+                f" | shiftleft(CAST(shiftright({c}, {i}) AS BIGINT)"
+                f" & CAST(1 AS BIGINT), {i * ndim + d})"
             )
-            key = key.bitwiseOR(F.shiftleft(bit, i * ndim + d))
-    return key
+    return F.expr(key)
 
 
 def with_zorder_key(
@@ -57,10 +64,8 @@ def with_zorder_key(
     # exact integer arithmetic end-to-end: Spark DIV == DuckDB // for
     # non-negative operands; double division would misplace boundary rows
     scaled = [
-        F.expr(
-            f"((CAST({c} AS BIGINT) - __min_{c}) * {grid}) "
-            f"DIV greatest(__max_{c} - __min_{c}, 1)"
-        )
+        f"(((CAST({c} AS BIGINT) - __min_{c}) * {grid}) "
+        f"DIV greatest(__max_{c} - __min_{c}, 1))"
         for c in cols
     ]
     out = out.withColumn(key_name, _interleave(scaled, bits))
