@@ -2610,7 +2610,7 @@ def _kmeans_step_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = (
         v.join(F.broadcast(c))
-        .withColumn("cos", cosine(F.col("vv"), F.col("vc")))
+        .withColumn("cos", cosine("vv", "vc"))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
         .select("vec_id", "cell", "vv")
@@ -2698,7 +2698,7 @@ def _knn_confusion_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         c.join(F.broadcast(q))
         .where(F.col("query_id") != F.col("id_b"))
-        .withColumn("cos", cosine(F.col("vq"), F.col("vb")))
+        .withColumn("cos", cosine("vq", "vb"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("id_b").asc()

@@ -1007,7 +1007,7 @@ def simhash_pairs(
 # --------------------------------------------------------------------- #
 # embedding cosine near-dup                                             #
 # --------------------------------------------------------------------- #
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity of two array<float/double> columns, JVM-side via
     zip_with + aggregate (no UDF).
 
@@ -1018,7 +1018,23 @@ def cosine(a: Column, b: Column) -> Column:
     too — cosine is undefined at zero norm, NULL ranks last under the
     top-k's ``desc`` ordering and fails every ``>= threshold`` screen,
     so degenerate vectors drop out instead of polluting results.
+
+    Pass COLUMN NAMES when you can (r13): the whole fold then ships as
+    one ``F.expr`` SQL string — a single py4j call — where the Column
+    lambdas cost ~60 round trips per call site at plan build (same
+    discipline as similarity.signature_col; ``0.0D`` is the double
+    literal ``F.lit(0.0)`` built, so values are bit-identical). The
+    Column form remains for computed vector expressions.
     """
+    if isinstance(a, str) and isinstance(b, str):
+        ra = "`" + a.replace("`", "``") + "`"
+        rb = "`" + b.replace("`", "``") + "`"
+        return F.expr(
+            f"try_divide(aggregate(zip_with({ra}, {rb},"
+            f" (x, y) -> x * y), 0.0D, (acc, v) -> acc + v),"
+            f" sqrt(aggregate({ra}, 0.0D, (acc, v) -> acc + v * v))"
+            f" * sqrt(aggregate({rb}, 0.0D, (acc, v) -> acc + v * v)))"
+        )
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),

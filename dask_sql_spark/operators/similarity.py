@@ -98,7 +98,7 @@ def brute_force_topk(
     scored = (
         c.join(F.broadcast(q))
         .where(F.col("query_id") != F.col("id_b"))
-        .withColumn("cos", cosine(F.col("vq"), F.col("vb")))
+        .withColumn("cos", cosine("vq", "vb"))
     )
     return _rank_topk(scored, k)
 
@@ -559,7 +559,7 @@ def ivf_search(
     scored = (
         corpus.join(F.broadcast(q_cells), on="cell")
         .where(F.col("query_id") != F.col("id_b"))
-        .withColumn("cos", cosine(F.col("vq"), F.col("vb")))
+        .withColumn("cos", cosine("vq", "vb"))
     )
     return _rank_topk(scored, k)
 
@@ -634,7 +634,7 @@ def ivf_topk(
     scored = (
         corpus.join(F.broadcast(q_cells), on="cell")
         .where(F.col("query_id") != F.col("id_b"))
-        .withColumn("cos", cosine(F.col("vq"), F.col("vb")))
+        .withColumn("cos", cosine("vq", "vb"))
     )
     return _rank_topk(scored, k)
 
@@ -817,7 +817,7 @@ def lsh_topk(
     scored = (
         c.join(F.broadcast(q), on="sig")
         .where(F.col("query_id") != F.col("id_b"))
-        .withColumn("cos", cosine(F.col("vq"), F.col("vb")))
+        .withColumn("cos", cosine("vq", "vb"))
     )
     return _rank_topk(scored, k)
 
@@ -940,7 +940,7 @@ def hybrid_rerank(
         .join(e, id_col)
         .crossJoin(q)
         .withColumn("bm25_norm", F.round(F.col("score") / F.col("__m"), 9))
-        .withColumn("cos_sim", F.round(cosine(F.col("__v"), F.col("__vq")), 9))
+        .withColumn("cos_sim", F.round(cosine("__v", "__vq"), 9))
     )
     return (
         scored.select(
@@ -1207,7 +1207,7 @@ def mmr_rerank(
     cand_ids = (
         c.join(F.broadcast(q))
         .where(F.col("query_id") != F.col("id_b"))
-        .withColumn("cos", cosine(F.col("vq"), F.col("vb")))
+        .withColumn("cos", cosine("vq", "vb"))
         .select("query_id", "id_b", "cos")
         .withColumn("rk", F.row_number().over(wrel))
         .where(F.col("rk") <= n_candidates)
